@@ -1,0 +1,122 @@
+"""Persistence-container roundtrips, mirroring
+/root/reference/tests/test_containers.py: metadata coercion, save='last',
+in-memory vs on-disk equality, retrieve in all isel modes, chunk merge."""
+
+import numpy as np
+import pytest
+
+from triflow_tpu import Container, Model, Simulation, retrieve_container
+from triflow_tpu.plugins.container import TimeSeries, coerce_attr
+
+
+@pytest.fixture(scope="module")
+def heat_model():
+    return Model("k * dxxT", "T", "k")
+
+
+def run_simul(heat_model, path=None, save="all", nbuffer=7, tmax=10):
+    x = np.linspace(0, 10, 50, endpoint=False)
+    T = np.cos(x * 2 * np.pi / 10)
+    fields = heat_model.fields_template(x=x, T=T)
+    simul = Simulation(heat_model, fields, dict(periodic=True, k=1),
+                       dt=1, tmax=tmax, tol=1e-1, id="test_simul")
+    simul.attach_container(path, save=save, nbuffer=nbuffer, force=True)
+    simul.run(progress=False)
+    return simul
+
+
+def test_coerce_attr():
+    assert coerce_attr("a", 1) == 1
+    assert coerce_attr("a", 1.5) == 1.5
+    assert coerce_attr("a", "x") == "x"
+    assert coerce_attr("a", np.float64(2.0)) == 2.0
+    # non-castable objects fall through to their str() form
+    assert isinstance(coerce_attr("a", object()), str)
+
+
+def test_in_memory_container(heat_model):
+    simul = run_simul(heat_model, path=None)
+    data = simul.container.data
+    assert data is not None
+    assert len(data.t) == 11  # initial emit + 10 steps
+    assert data["T"].shape == (11, 50)
+    assert np.isclose(data.t[-1], 10)
+
+
+def test_on_disk_matches_memory(heat_model, tmp_path):
+    mem = run_simul(heat_model, path=None)
+    disk = run_simul(heat_model, path=str(tmp_path / "out"))
+    data = retrieve_container(str(tmp_path / "out" / disk.id)).data
+    mem_data = mem.container.data
+    assert np.allclose(data["T"][0], mem_data["T"][0])
+    assert np.allclose(data["T"][-1], mem_data["T"][-1])
+    assert np.allclose(data.t, mem_data.t)
+
+
+def test_save_last(heat_model, tmp_path):
+    simul = run_simul(heat_model, path=str(tmp_path / "last"), save="last",
+                      nbuffer=3)
+    retrieved = retrieve_container(str(tmp_path / "last" / simul.id))
+    assert len(np.atleast_1d(retrieved.data.t)) == 1
+    assert np.isclose(retrieved.data.t[-1], 10)
+
+
+def test_metadata_roundtrip(heat_model, tmp_path):
+    simul = run_simul(heat_model, path=str(tmp_path / "meta"))
+    retrieved = retrieve_container(str(tmp_path / "meta" / simul.id))
+    assert retrieved.metadata["k"] == 1
+    assert retrieved.metadata["periodic"] in (True, 1)
+    assert retrieved.metadata.k == 1  # AttrDict access
+
+
+@pytest.mark.parametrize("isel", ["all", "last", -1, slice(0, 5), [0, 2, 4]])
+def test_retrieve_isel_modes(heat_model, tmp_path, isel):
+    simul = run_simul(heat_model, path=str(tmp_path / "isel"))
+    retrieved = retrieve_container(str(tmp_path / "isel" / simul.id), isel=isel)
+    if isel == "all":
+        assert len(retrieved.data.t) == 11
+    elif isel in ("last", -1):
+        assert np.isclose(np.atleast_1d(retrieved.data.t)[-1], 10)
+    elif isinstance(isel, slice):
+        assert len(retrieved.data.t) == 5
+    else:
+        assert len(retrieved.data.t) == 3
+
+
+def test_merge_chunks(heat_model, tmp_path):
+    simul = run_simul(heat_model, path=str(tmp_path / "merge"), nbuffer=3)
+    cdir = tmp_path / "merge" / simul.id
+    # after the end-of-run merge there must be exactly one data.h5
+    assert (cdir / "data.h5").exists()
+    assert list(cdir.glob("data_*.h5")) == []
+    data = retrieve_container(str(cdir)).data
+    assert len(data.t) == 11
+    assert np.all(np.diff(data.t) > 0)
+
+
+def test_mode_w_existing_raises(heat_model, tmp_path):
+    target = tmp_path / "exists"
+    target.mkdir()
+    (target / "sentinel").write_text("x")
+    with pytest.raises(FileExistsError):
+        Container(str(target), mode="w", force=False)
+
+
+def test_mode_r_missing_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        Container(str(tmp_path / "nope"), mode="r")
+
+
+def test_save_argument_validation():
+    with pytest.raises(ValueError):
+        Container(save="everything")
+
+
+def test_timeseries_concat_and_equals():
+    x = np.arange(4.0)
+    a = TimeSeries([0.0], {"x": x}, {"U": np.ones((1, 4))})
+    b = TimeSeries([1.0, 2.0], {"x": x}, {"U": np.zeros((2, 4))})
+    cat = TimeSeries.concat([b, a])  # out of order: must sort by t
+    assert np.allclose(cat.t, [0, 1, 2])
+    assert cat.equals(TimeSeries.concat([a, b]))
+    assert not cat.equals(a)

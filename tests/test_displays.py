@@ -1,0 +1,51 @@
+"""Headless display smoke tests, mirroring
+/root/reference/tests/test_displays.py: Agg rendering of fields/probe
+displays, and the on-disk frame count must equal the number of steps."""
+
+import numpy as np
+import pytest
+
+from triflow_tpu import Model, Simulation, display_fields, display_probe
+
+
+@pytest.fixture(scope="module")
+def heat_model():
+    return Model("k * dxxT", "T", "k")
+
+
+def make_simul(heat_model, tmax=5):
+    x = np.linspace(0, 10, 50, endpoint=False)
+    T = np.cos(x * 2 * np.pi / 10)
+    fields = heat_model.fields_template(x=x, T=T)
+    return Simulation(heat_model, fields, dict(periodic=True, k=1),
+                      dt=1, tmax=tmax, tol=1e-1)
+
+
+def test_display_fields(heat_model):
+    simul = make_simul(heat_model)
+    display_fields(simul)
+    simul.run(progress=False)
+
+
+def test_display_probe(heat_model):
+    simul = make_simul(heat_model)
+    display_probe(simul, function=lambda s: s.timer.total)
+    simul.run(progress=False)
+
+
+@pytest.mark.parametrize("fmt", ["png", "svg", "pdf"])
+def test_display_on_disk_frame_count(heat_model, tmp_path, fmt):
+    simul = make_simul(heat_model, tmax=5)
+    display_fields(simul, on_disk=str(tmp_path), fmt=fmt)
+    simul.run(progress=False)
+    frames = list(tmp_path.glob(f"*.{fmt}"))
+    # initial frame + one per emitted step
+    assert len(frames) == simul.i + 1
+
+
+def test_display_probe_on_disk(heat_model, tmp_path):
+    simul = make_simul(heat_model, tmax=3)
+    display_probe(simul, function=lambda s: float(np.abs(np.asarray(s.fields["T"])).max()),
+                  on_disk=str(tmp_path))
+    simul.run(progress=False)
+    assert len(list(tmp_path.glob("*.png"))) == simul.i + 1

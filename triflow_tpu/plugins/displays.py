@@ -1,4 +1,161 @@
-"""placeholder"""
-class Display:  # pragma: no cover
-    display_fields = None
-    display_probe = None
+"""Real-time display plugin.
+
+Reference analog: TriflowDisplay (/root/reference/triflow/plugins/
+displays.py:43-142) — live plots of the 1D fields or of a scalar probe fed
+from the simulation stream, with optional per-frame on-disk snapshots.
+
+Implementation differences: holoviews/bokeh are replaced by matplotlib with
+the headless Agg backend (the reference itself falls back to Agg when no
+display is found, displays.py:24-36); frames are written synchronously rather
+than via one spawned process per frame (displays.py:58-67) — the snapshot
+path is off the numerical loop either way.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import warnings
+from collections import deque
+from pathlib import Path
+from uuid import uuid4
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+logger.addHandler(logging.NullHandler())
+
+
+def is_interactive():
+    import __main__ as main
+
+    return not hasattr(main, "__file__")
+
+
+def _load_matplotlib():
+    import matplotlib as mpl
+
+    if os.environ.get("DISPLAY", "") == "":
+        logger.info("no display found; using non-interactive Agg backend")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            mpl.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+class Display:
+    """Stream-fed live plot with optional on-disk frame capture.
+
+    Parameters
+    ----------
+    skel_data : the simulation (used to draw the initial frame)
+    plot_function : callable(simul, fig) -> None, redraws the figure
+    on_disk : str or None — directory to write one image per emitted frame
+    on_disk_name : str — frame basename; files are ``<name>_<i>.<fmt>``
+    fmt : str — image format (png/svg/pdf), default png
+    """
+
+    def __init__(self, skel_data, plot_function, on_disk=None,
+                 on_disk_name="triflow_plot", fmt="png", **renderer_args):
+        self._plt = _load_matplotlib()
+        self._plot_function = plot_function
+        self.on_disk = on_disk
+        self._on_disk_name = on_disk_name
+        self._fmt = fmt
+        self._renderer_args = renderer_args
+        self._fig = self._plt.figure()
+        self._writers = []
+        if on_disk:
+            Path(on_disk).mkdir(parents=True, exist_ok=True)
+        self._draw(skel_data)
+
+    def _draw(self, simul):
+        self._fig.clf()
+        self._plot_function(simul, self._fig)
+        self._fig.canvas.draw_idle()
+        if self.on_disk:
+            target = Path(self.on_disk) / (
+                "%s_%i.%s" % (self._on_disk_name, simul.i, self._fmt)
+            )
+            self._fig.savefig(target, **self._renderer_args)
+            self._writers.append(target)
+
+    def connect(self, stream):
+        stream.sink(self._draw)
+
+    @property
+    def figure(self):
+        return self._fig
+
+    def _repr_mimebundle_(self, *args, **kwargs):
+        return self._fig.canvas._repr_mimebundle_(*args, **kwargs)
+
+    # ------------------------------------------------------------- factories
+    @staticmethod
+    def display_fields(simul, keys="all", on_disk=None, on_disk_name=None,
+                       **renderer_args):
+        """One curve per 1D dependent/helper variable, redrawn per step
+        (reference displays.py:89-113)."""
+
+        def plot_function(data, fig):
+            selected = (
+                data.fields.keys() if keys == "all" else keys
+            )
+            selected = [selected] if isinstance(selected, str) else selected
+            x_name = data.fields.template.coords[0]
+            selected = [
+                k for k in selected
+                if k not in data.fields.template.coords
+                and np.asarray(data.fields[k]).ndim == 1
+            ]
+            x = np.asarray(data.fields[x_name])
+            for iax, var in enumerate(selected):
+                ax = fig.add_subplot(len(selected), 1, iax + 1)
+                ax.plot(x, np.asarray(data.fields[var]))
+                ax.set_ylabel(var)
+            fig.suptitle("t = %g" % data.t)
+
+        if on_disk and not on_disk_name:
+            keys_label = "all" if keys == "all" else "-".join(np.atleast_1d(keys))
+            on_disk_name = "%s_%s" % (simul.id, keys_label)
+
+        display = Display(simul, plot_function, on_disk=on_disk,
+                          on_disk_name=on_disk_name or "triflow_plot",
+                          **renderer_args)
+        display.connect(simul.stream)
+        return display
+
+    @staticmethod
+    def display_probe(simul, function, xlabel=None, ylabel=None, buffer=None,
+                      on_disk=None, on_disk_name=None, **renderer_args):
+        """Scalar time-series probe with a ring buffer
+        (reference displays.py:115-142)."""
+        history = deque([], buffer)
+        if not xlabel:
+            xlabel = str(uuid4())[:6]
+        if not ylabel:
+            ylabel = function.__name__
+        if ylabel == "<lambda>":
+            warnings.warn(
+                "Anonymous function used, appending random prefix "
+                "to avoid label confusion"
+            )
+            ylabel += str(uuid4())[:8]
+
+        def plot_function(data, fig):
+            history.append(function(simul))
+            ax = fig.add_subplot(111)
+            ax.plot(list(history))
+            ax.set_xlabel(xlabel)
+            ax.set_ylabel(ylabel)
+
+        if on_disk and not on_disk_name:
+            on_disk_name = "%s_%s" % (simul.id, ylabel)
+
+        display = Display(simul, plot_function, on_disk=on_disk,
+                          on_disk_name=on_disk_name or "triflow_probe",
+                          **renderer_args)
+        display.connect(simul.stream)
+        return display

@@ -1,0 +1,101 @@
+"""Ensemble (DP) tests: vmapped members must match per-member runs; the
+member axis must shard over a device mesh (8 virtual CPU devices standing in
+for a pod slice, SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from triflow_tpu import Model, Simulation, schemes
+from triflow_tpu.parallel import Ensemble
+
+
+@pytest.fixture(scope="module")
+def burgers():
+    return Model("k * dxxU - U * dxU", "U", "k")
+
+
+def test_ensemble_matches_single_runs(burgers):
+    N, B = 64, 4
+    x = np.linspace(0, 10, N, endpoint=False)
+    rng = np.random.RandomState(0)
+    u0 = np.stack([np.cos(2 * np.pi * x / 10 + phi) for phi in rng.rand(B)])
+    ks = [0.5, 0.7, 1.0, 1.5]
+    ens = Ensemble(
+        burgers, u0, [dict(k=k, periodic=True) for k in ks], x,
+        scheme=schemes.ROS2,
+    )
+    t, u = ens.run(tmax=0.5, dt=0.1)
+    assert t == pytest.approx(0.5)
+
+    for i, k in enumerate(ks):
+        simul = Simulation(
+            burgers, burgers.fields_template(x=x, U=u0[i]),
+            dict(k=k, periodic=True), scheme=schemes.ROS2,
+            time_stepping=False, dt=0.1, tmax=0.5,
+        )
+        for ts, fields in simul:
+            pass
+        assert np.allclose(np.asarray(u[i, 0]), np.asarray(fields["U"]),
+                           rtol=1e-10, atol=1e-12)
+
+
+def test_ensemble_adaptive_shared_dt(burgers):
+    N, B = 64, 3
+    x = np.linspace(0, 10, N, endpoint=False)
+    u0 = np.stack([np.cos(2 * np.pi * x / 10) * a for a in (0.5, 1.0, 2.0)])
+    ens = Ensemble(
+        burgers, u0, dict(k=1.0, periodic=True), x,
+        scheme=schemes.RODASPR, tol=1e-6,
+    )
+    t, u = ens.run(tmax=0.5, dt=0.25)
+    assert t == pytest.approx(0.5)
+    assert np.isfinite(np.asarray(u)).all()
+    # cross-check one member against a tight scipy oracle
+    oracle = Simulation(
+        burgers, burgers.fields_template(x=x, U=u0[1]),
+        dict(k=1.0, periodic=True), scheme=schemes.scipy_ode,
+        time_stepping=False, dt=0.25, tmax=0.5, atol=1e-12, rtol=1e-12,
+    )
+    for ts, fields in oracle:
+        pass
+    assert np.allclose(np.asarray(u[1, 0]), np.asarray(fields["U"]), atol=1e-6)
+
+
+def test_ensemble_guard_status(burgers):
+    N = 64
+    x = np.linspace(0, 10, N, endpoint=False)
+    u0 = np.cos(2 * np.pi * x / 10)[None]
+    ens = Ensemble(burgers, u0, dict(k=1.0, periodic=True), x,
+                   scheme=schemes.RODASPR, tol=1e-12, dt_min=0.5)
+    with pytest.raises(RuntimeError):
+        ens.run(tmax=1.0, dt=1.0)
+
+
+def test_ensemble_sharded_over_mesh(burgers):
+    """Members laid out over a mesh 'ensemble' axis: results must match the
+    unsharded run exactly, with no host round-trips per step."""
+    from jax.sharding import Mesh
+
+    devices = np.array(jax.devices()[:8])
+    assert devices.size == 8, "conftest must provide 8 virtual devices"
+    mesh = Mesh(devices, ("ensemble",))
+
+    N, B = 64, 16
+    x = np.linspace(0, 10, N, endpoint=False)
+    rng = np.random.RandomState(1)
+    u0 = np.stack([np.cos(2 * np.pi * x / 10 + p) for p in rng.rand(B)])
+
+    ens_sharded = Ensemble(burgers, u0, dict(k=1.0, periodic=True), x,
+                           scheme=schemes.ROS2, mesh=mesh)
+    t, u_sharded = ens_sharded.run(tmax=0.3, dt=0.1)
+
+    ens_local = Ensemble(burgers, u0, dict(k=1.0, periodic=True), x,
+                         scheme=schemes.ROS2)
+    t, u_local = ens_local.run(tmax=0.3, dt=0.1)
+
+    assert np.allclose(np.asarray(u_sharded), np.asarray(u_local),
+                       rtol=1e-12, atol=1e-14)
+    # the state must actually live distributed over the mesh
+    assert len(ens_sharded.u.sharding.device_set) == 8

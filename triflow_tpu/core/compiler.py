@@ -199,6 +199,64 @@ class ArrayBackend:
             bands = fold_edges(bands, self.halo, xp)
         return bands
 
+    # ------------------------------------------------- extended-array entry
+    # (domain decomposition: the caller supplies arrays already padded with
+    # `halo` ghost cells per side — from a shard_map halo exchange — and the
+    # expressions are evaluated on the interior slice without any internal
+    # boundary closure)
+    def _eval_args_ext(self, u_ext, helpers_ext, pstack, x, dx):
+        h = self.halo
+        named = {}
+        for i, name in enumerate(self.system.dep_vars):
+            named[name] = u_ext[..., i, :]
+        for i, name in enumerate(self.system.help_funcs):
+            named[name] = helpers_ext[..., i, :]
+        N = u_ext.shape[-1] - 2 * h
+        args = [x]
+        for var, off in self._offset_args:
+            args.append(named[var][..., h + off: h + off + N])
+        for i, _p in enumerate(self.system.pars):
+            args.append(pstack[..., i, :])
+        args.append(dx)
+        return args, N
+
+    def F_ext_impl(self, u_ext, helpers_ext, pstack, x, dx):
+        """RHS over pre-haloed arrays; returns (..., nvar, N_interior)."""
+        args, N = self._eval_args_ext(u_ext, helpers_ext, pstack, x, dx)
+        like = jnp.broadcast_shapes(u_ext.shape[:-2], x.shape[:-1]) + (N,)
+        rows = [self._broadcast(fn(*args), like) for fn in self._F_fns]
+        return self.xp.stack(rows, axis=-2)
+
+    def J_bands_ext_impl(self, u_ext, helpers_ext, pstack, x, dx):
+        """Banded Jacobian over pre-haloed arrays (no edge folding — the
+        caller owns the global boundary closure)."""
+        xp = self.xp
+        args, N = self._eval_args_ext(u_ext, helpers_ext, pstack, x, dx)
+        nvar = self.system.nvar
+        W = self.window
+        batch = jnp.broadcast_shapes(u_ext.shape[:-2], x.shape[:-1])
+        like = batch + (N,)
+        rows = {}
+        for (m, n, k), fn in self._J_fns.items():
+            rows[(k, m, n)] = self._broadcast(fn(*args), like)
+        zero = xp.zeros(like, dtype=self.dtype)
+        return xp.stack(
+            [
+                xp.stack(
+                    [
+                        xp.stack(
+                            [rows.get((k, m, n), zero) for n in range(nvar)],
+                            axis=-2,
+                        )
+                        for m in range(nvar)
+                    ],
+                    axis=-3,
+                )
+                for k in range(W)
+            ],
+            axis=-4,
+        )
+
     # --------------------------------------------------- host-side helpers
     def pack_pars(self, pars: dict, x):
         """Broadcast scalar/per-node parameters to an (npar, N) stack

@@ -126,6 +126,27 @@ class _SchemeBase:
             self._steppers[key] = self._build_stepper(problem)
         return self._steppers[key]
 
+    def device_stepper(self, hook=null_hook, periodic=True):
+        """Pure jitted stepper over raw device state — the building block for
+        ensembles (vmap), sharded runs and benchmarks.
+
+        Signature: ``step(t, u, helpers, pstack, x, dt, internal_dt) ->
+        (t', u', helpers', pstack', x', internal_dt', niter, status)``.
+        """
+        return self._get_stepper(hook, periodic)
+
+    def device_fixed_step(self, hook=null_hook, periodic=True):
+        """Pure single fixed step (no adaptive loop) where the scheme defines
+        one: ``fixed(t, u, helpers, pstack, x, dt) -> (u', helpers', pstack',
+        x', err)``."""
+        problem = _DeviceProblem(self._model, hook, periodic)
+        return self._fixed_step_fn(problem)
+
+    def _fixed_step_fn(self, problem):
+        raise NotImplementedError(
+            f"{type(self).__name__} does not expose a single fixed step"
+        )
+
     def _split(self, fields, pars):
         backend = self._model.backend
         u, helpers, x = backend.split_fields(fields)
@@ -472,6 +493,28 @@ class Theta(_SchemeBase):
         super().__init__(model)
         self._theta = theta
         self._solver = solver  # optional custom (A_bands, B, periodic) -> x
+
+    def _fixed_step_fn(self, problem):
+        theta = self._theta
+        periodic = problem.periodic
+        solver = self._solver
+
+        def fixed_step(t, u, helpers, pstack, x, dt):
+            u, helpers, pstack, x = problem.apply_hook(t, u, helpers, pstack, x)
+            F = problem.F(u, helpers, pstack, x)
+            if theta == 0:
+                u2 = u + dt * F
+            else:
+                J = problem.J_bands(u, helpers, pstack, x)
+                B = dt * (F - theta * banded_matvec(J, u, periodic)) + u
+                A = axpy_bands(1.0, -theta * dt, J)
+                if solver is None:
+                    u2 = factor_banded(A, periodic).solve(B)
+                else:
+                    u2 = solver(A, B, periodic)
+            return u2, helpers, pstack, x, jnp.zeros((), dtype=u.dtype)
+
+        return fixed_step
 
     def _build_stepper(self, problem):
         theta = self._theta

@@ -140,9 +140,14 @@ def _extract_wrap(bands, periodic: bool):
 
 
 def _assemble_blocks(bands):
-    """Assemble block-tridiagonal (L, D, U) of shape (..., M, s, s) from the
+    """Assemble block-tridiagonal (L, D, U) of shape (..., s, s, M) from the
     (already wrap-free) bands.  N is padded to a multiple of g with identity
-    rows; M = ceil(N/g)."""
+    rows; M = ceil(N/g).
+
+    TPU layout note: the block index M lives in the LAST (lane) dimension and
+    the tiny s x s block dims in leading positions, so every block operation
+    vectorizes over M on the VPU; an (M, s, s) layout would waste ~99% of
+    each (8, 128) register tile on s in the lane dimension."""
     bands = jnp.asarray(bands)
     W, nvar, _, N = bands.shape[-4:]
     h = W // 2
@@ -157,9 +162,9 @@ def _assemble_blocks(bands):
         diag_idx = jnp.arange(nvar)
         bands = bands.at[..., h, diag_idx, diag_idx, N:].set(1.0)
 
-    L = jnp.zeros(batch + (M, s, s), dtype=bands.dtype)
-    D = jnp.zeros(batch + (M, s, s), dtype=bands.dtype)
-    U = jnp.zeros(batch + (M, s, s), dtype=bands.dtype)
+    L = jnp.zeros(batch + (s, s, M), dtype=bands.dtype)
+    D = jnp.zeros(batch + (s, s, M), dtype=bands.dtype)
+    U = jnp.zeros(batch + (s, s, M), dtype=bands.dtype)
     for a in range(g):
         # node i = I*g + a ; slice [..., a::g] -> (..., nvar, nvar, M)
         for b in range(g):
@@ -167,10 +172,11 @@ def _assemble_blocks(bands):
                 delta = (b - a) + dblock
                 if abs(delta) > h:
                     continue
-                blk = jnp.moveaxis(bands[..., h + delta, :, :, a::g], -1, -3)
+                blk = bands[..., h + delta, :, :, a::g]
                 sl = (...,
                       slice(a * nvar, (a + 1) * nvar),
-                      slice(b * nvar, (b + 1) * nvar))
+                      slice(b * nvar, (b + 1) * nvar),
+                      slice(None))
                 if name == "L":
                     L = L.at[sl].set(blk)
                 elif name == "D":
@@ -180,8 +186,8 @@ def _assemble_blocks(bands):
     # couplings that would reach outside the block range are structurally
     # zero already (edge folding / wrap extraction), but enforce the BCR
     # invariants L[0] = 0, U[M-1] = 0 defensively:
-    L = L.at[..., 0, :, :].set(0.0)
-    U = U.at[..., M - 1, :, :].set(0.0)
+    L = L.at[..., 0].set(0.0)
+    U = U.at[..., M - 1].set(0.0)
     return L, D, U, g, s, M, Np
 
 
@@ -189,84 +195,136 @@ def _assemble_blocks(bands):
 # block cyclic reduction
 # ---------------------------------------------------------------------------
 
+def _stack_block(rows):
+    """Build an (..., s, s, M) block from a nested list of (..., M) entries."""
+    return jnp.stack([jnp.stack(r, axis=-2) for r in rows], axis=-3)
+
+
 def _mm(a, b):
-    return jnp.einsum("...ij,...jk->...ik", a, b)
+    """Block matmul over (..., s, s, M): unrolled multiply-adds elementwise
+    over the lane dimension M (s is tiny, 1-4)."""
+    s = a.shape[-3]
+    return _stack_block(
+        [
+            [
+                sum(a[..., i, k, :] * b[..., k, j, :] for k in range(s))
+                for j in range(s)
+            ]
+            for i in range(s)
+        ]
+    )
 
 
 def _mv(a, b):
-    return jnp.einsum("...ij,...j->...i", a, b)
+    """Block matvec: (..., s, s, M) @ (..., s, M) -> (..., s, M)."""
+    s = a.shape[-3]
+    return jnp.stack(
+        [
+            sum(a[..., i, k, :] * b[..., k, :] for k in range(s))
+            for i in range(s)
+        ],
+        axis=-2,
+    )
+
+
+def _small_inv(D):
+    """Batched inverse of small (s, s, M) blocks.
+
+    XLA's generic batched ``linalg.inv`` lowers to an LU routine that is slow
+    on TPU for huge batches of tiny matrices; the solver's block sizes are
+    tiny (s = nvar*halo, typically 1-4), so closed-form 2x2 / recursive
+    block-Schur inverses keep everything elementwise on the VPU."""
+    s = D.shape[-3]
+    if s == 1:
+        return 1.0 / D
+    if s == 2:
+        a = D[..., 0, 0, :]
+        b = D[..., 0, 1, :]
+        c = D[..., 1, 0, :]
+        d = D[..., 1, 1, :]
+        inv_det = 1.0 / (a * d - b * c)
+        return _stack_block(
+            [[d * inv_det, -b * inv_det], [-c * inv_det, a * inv_det]]
+        )
+    if s % 2 == 0 and s <= 8:
+        # block-Schur: [[A, B], [C, D]]^-1 with half-size blocks, recursing
+        # down to the closed 2x2 form
+        p = s // 2
+        A = D[..., :p, :p, :]
+        B = D[..., :p, p:, :]
+        C = D[..., p:, :p, :]
+        Dd = D[..., p:, p:, :]
+        Ainv = _small_inv(A)
+        Sinv = _small_inv(Dd - _mm(C, _mm(Ainv, B)))
+        AinvB = _mm(Ainv, B)
+        CAinv = _mm(C, Ainv)
+        top_left = Ainv + _mm(AinvB, _mm(Sinv, CAinv))
+        top_right = -_mm(AinvB, Sinv)
+        bot_left = -_mm(Sinv, CAinv)
+        top = jnp.concatenate([top_left, top_right], axis=-2)
+        bot = jnp.concatenate([bot_left, Sinv], axis=-2)
+        return jnp.concatenate([top, bot], axis=-3)
+    # odd sizes: fall back to the generic batched inverse (batch-major)
+    Dm = jnp.moveaxis(D, -1, -3)
+    return jnp.moveaxis(jnp.linalg.inv(Dm), -3, -1)
+
+
+def _pcr_factor(L, D, U):
+    """Parallel-cyclic-reduction factorization of a block-tridiagonal system
+    given as (..., s, s, M) stacks.
+
+    PCR keeps all M equations at every level (no odd/even shrinking): level
+    l eliminates the couplings at distance 2**l by combining each row with
+    the rows 2**l above/below, so after ceil(log2(M)) levels the system is
+    block-diagonal.  Compared to classic cyclic reduction this does
+    O(M log M) block work instead of O(M), but every level is a fixed-shape
+    elementwise pass with lane-dimension rolls — no stride-2 gathers, no
+    shape changes, no back-substitution — which is the profitable trade on
+    the TPU VPU.
+
+    Returns the per-level (alpha, beta) reduction operators plus the final
+    block-diagonal inverse; a solve is then log2(M) fused multiply-add
+    passes over the RHS."""
+    M = L.shape[-1]
+    idx = jnp.arange(M)
+    levels = []
+    d = 1
+    while d < M:
+        Dinv = _small_inv(D)
+        alpha = -_mm(L, _roll_blocks(Dinv, d))
+        beta = -_mm(U, _roll_blocks(Dinv, -d))
+        # rows whose +-d neighbor falls outside the system keep no coupling
+        # (the rolled operands would be wrap-around junk)
+        alpha = jnp.where(idx >= d, alpha, 0.0)
+        beta = jnp.where(idx < M - d, beta, 0.0)
+        newD = D + _mm(alpha, _roll_blocks(U, d)) + _mm(beta, _roll_blocks(L, -d))
+        newL = _mm(alpha, _roll_blocks(L, d))
+        newU = _mm(beta, _roll_blocks(U, -d))
+        levels.append((alpha, beta, d))
+        L, D, U = newL, newD, newU
+        d *= 2
+    return {"levels": levels, "Dinv": _small_inv(D), "M": M}
+
+
+def _pcr_solve(fact, b):
+    """Solve with a _pcr_factor result; b has shape (..., s, M)."""
+    for (alpha, beta, d) in fact["levels"]:
+        b = (
+            b
+            + _mv(alpha, jnp.roll(b, d, axis=-1))
+            + _mv(beta, jnp.roll(b, -d, axis=-1))
+        )
+    return _mv(fact["Dinv"], b)
+
+
+# kept as aliases: the factorization algorithm is an implementation detail
+# of factor_banded/solve_banded
+_bcr_factor = _pcr_factor
+_bcr_solve = _pcr_solve
 
 
 def _roll_blocks(arr, shiftn):
-    return jnp.roll(arr, shiftn, axis=-3)
-
-
-def _bcr_factor(L, D, U):
-    """Cyclic-reduction factorization of a block-tridiagonal system.
-
-    M (the number of blocks) is padded to a power of two with identity
-    blocks.  Returns the per-level reduction operators needed to reduce a
-    RHS and back-substitute."""
-    M = L.shape[-3]
-    Mp = 1 << max(0, (M - 1).bit_length())
-    if Mp != M:
-        batch = L.shape[:-3]
-        s = L.shape[-1]
-        padn = Mp - M
-        eye = jnp.broadcast_to(jnp.eye(s, dtype=D.dtype), batch + (padn, s, s))
-        zero = jnp.zeros(batch + (padn, s, s), dtype=D.dtype)
-        L = jnp.concatenate([L, zero], axis=-3)
-        D = jnp.concatenate([D, eye], axis=-3)
-        U = jnp.concatenate([U, zero], axis=-3)
-    levels = []
-    m = Mp
-    while m > 1:
-        L_odd, D_odd, U_odd = L[..., 1::2, :, :], D[..., 1::2, :, :], U[..., 1::2, :, :]
-        L_evn, D_evn, U_evn = L[..., 0::2, :, :], D[..., 0::2, :, :], U[..., 0::2, :, :]
-        Dinv_odd = jnp.linalg.inv(D_odd)
-        # CL[t] = L[2t] @ Dinv[odd t-1] ; CU[t] = U[2t] @ Dinv[odd t]
-        CL = _mm(L_evn, _roll_blocks(Dinv_odd, 1))
-        CU = _mm(U_evn, Dinv_odd)
-        newL = -_mm(CL, _roll_blocks(L_odd, 1))
-        newD = D_evn - _mm(CL, _roll_blocks(U_odd, 1)) - _mm(CU, L_odd)
-        newU = -_mm(CU, U_odd)
-        # invariants: no left neighbor for block 0, no right neighbor for last
-        newL = newL.at[..., 0, :, :].set(0.0)
-        newU = newU.at[..., -1, :, :].set(0.0)
-        levels.append((CL, CU, Dinv_odd, L_odd, U_odd))
-        L, D, U = newL, newD, newU
-        m //= 2
-    D0inv = jnp.linalg.inv(D[..., 0, :, :])
-    return {"levels": levels, "D0inv": D0inv, "M": M, "Mp": Mp}
-
-
-def _bcr_solve(fact, b):
-    """Solve with a _bcr_factor result; b has shape (..., M, s)."""
-    M, Mp = fact["M"], fact["Mp"]
-    if Mp != M:
-        pad = [(0, 0)] * (b.ndim - 2) + [(0, Mp - M), (0, 0)]
-        b = jnp.pad(b, pad)
-    stack = []
-    for (CL, CU, Dinv_odd, L_odd, U_odd) in fact["levels"]:
-        b_odd = b[..., 1::2, :]
-        b_evn = b[..., 0::2, :]
-        stack.append(b_odd)
-        b = b_evn - _mv(CL, jnp.roll(b_odd, 1, axis=-2)) - _mv(CU, b_odd)
-    x = _mv(fact["D0inv"], b[..., 0, :])[..., None, :]
-    for (CL, CU, Dinv_odd, L_odd, U_odd), b_odd in zip(
-        reversed(fact["levels"]), reversed(stack)
-    ):
-        # odd j = 2t+1: neighbors even 2t (x[t]) and even 2t+2 (x[t+1] or 0)
-        x_right = jnp.concatenate(
-            [x[..., 1:, :], jnp.zeros_like(x[..., :1, :])], axis=-2
-        )
-        x_odd = _mv(Dinv_odd, b_odd - _mv(L_odd, x) - _mv(U_odd, x_right))
-        m2 = x.shape[-2] * 2
-        xs = jnp.stack([x, x_odd], axis=-2)  # (..., m, 2, s)
-        x = xs.reshape(xs.shape[:-3] + (m2, x.shape[-1]))
-    if Mp != M:
-        x = x[..., :M, :]
-    return x
+    return jnp.roll(arr, shiftn, axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -309,14 +367,20 @@ class BandedFactorization:
         nvar, N, g, s = self.nvar, self.N, self.g, self.s
         M = -(-N // g)
         Np = M * g
-        b = jnp.moveaxis(rhs, -2, -1)  # (..., N, nvar)
+        b = rhs
         if Np != N:
-            pad = [(0, 0)] * (b.ndim - 2) + [(0, Np - N), (0, 0)]
+            pad = [(0, 0)] * (b.ndim - 1) + [(0, Np - N)]
             b = jnp.pad(b, pad)
-        b = b.reshape(b.shape[:-2] + (M, s))
+        # (..., nvar, M*g) -> (..., s = g*nvar, M): block entry a*nvar + m
+        # holds variable m at local node a of supernode I
+        b = b.reshape(b.shape[:-1] + (M, g))          # (..., nvar, M, g)
+        b = jnp.moveaxis(b, -1, -3)                   # (..., g, nvar, M)
+        b = b.reshape(b.shape[:-3] + (s, M))
         x = _bcr_solve(self.tri_fact, b)
-        x = x.reshape(x.shape[:-2] + (Np, nvar))[..., :N, :]
-        return jnp.moveaxis(x, -1, -2)
+        x = x.reshape(x.shape[:-2] + (g, nvar, M))
+        x = jnp.moveaxis(x, -3, -1)                   # (..., nvar, M, g)
+        x = x.reshape(x.shape[:-2] + (Np,))[..., :N]
+        return x
 
     def solve(self, rhs):
         """Solve ``A x = rhs`` with rhs of shape (..., nvar, N)."""
@@ -329,7 +393,7 @@ class BandedFactorization:
         y_end = jnp.moveaxis(y[..., N - h:], -2, -1).reshape(y.shape[:-2] + (P,))
         y_top = jnp.moveaxis(y[..., :h], -2, -1).reshape(y.shape[:-2] + (P,))
         vty = jnp.concatenate([y_end, y_top], axis=-1)  # (..., 2P)
-        coef = _mv(self.wood_cap_inv, vty)              # (..., 2P)
+        coef = jnp.einsum("...ij,...j->...i", self.wood_cap_inv, vty)
         corr = jnp.einsum("...cni,...c->...ni", self.wood_Z, coef)
         return y - corr
 

@@ -1,0 +1,221 @@
+"""Data-parallel ensembles: many simulation instances stepped together.
+
+The reference's only parallelism story is user-orchestrated parameter sweeps
+with pickled models (/root/reference/source_doc/source/user_guide.rst:125-138).
+Here ensembles are first-class (SURVEY.md §2 strategy table, DP row):
+
+* within one chip, the member axis is a **vmap** over the pure device
+  stepper — the banded factorizations and stage solves batch into single
+  XLA ops;
+* across chips, the member axis is laid out over a ``jax.sharding.Mesh``
+  axis (default name "ensemble") with NamedSharding — members never
+  communicate, so XLA partitions the whole step with zero collectives.
+
+All members share the time axis (shared-dt ensembles, BASELINE config 5);
+adaptive schemes use the max error across members to control the shared dt,
+so every member satisfies the tolerance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import schemes as schemes_mod
+from ..core.schemes import null_hook
+
+
+def stack_parameters(model, parameter_sets, N):
+    """Stack a list of parameter dicts (scalars or (N,) arrays) into a
+    batched pstack of shape (B, npar, N)."""
+    backend = model.backend
+    rows = []
+    for pars in parameter_sets:
+        rows.append(
+            np.stack(
+                [
+                    np.broadcast_to(
+                        np.asarray(pars[k], dtype=backend.dtype), (N,)
+                    )
+                    for k in backend.system.pars
+                ]
+            )
+            if backend.system.pars
+            else np.zeros((0, N), dtype=backend.dtype)
+        )
+    return jnp.asarray(np.stack(rows))
+
+
+def ensemble_sharding(mesh, axis="ensemble"):
+    """NamedSharding placing the leading (member) axis on a mesh axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P(axis))
+
+
+class Ensemble:
+    """Batched simulations over a leading member axis.
+
+    Parameters
+    ----------
+    model : Model
+    u0 : (B, nvar, N) initial dependent variables (or (B, N) when nvar == 1)
+    parameter_sets : list of B parameter dicts (all sharing 'periodic'),
+        or a single dict broadcast to every member
+    x : (N,) shared grid
+    scheme : scheme class (default schemes.ROS2 — fixed-dt; adaptive ROW
+        classes use a shared dt controlled by the max member error)
+    hook : traced hook applied per member
+    mesh / mesh_axis : optional device mesh; members are sharded over it
+    helpers0 : (B, nhelp, N) initial helper functions
+    **scheme_kwargs : forwarded to the scheme constructor
+
+    Example
+    -------
+    >>> ens = Ensemble(model, u0, [{'k': k, 'periodic': True} for k in ks], x)
+    >>> t, u = ens.run(tmax=1.0, dt=0.1)
+    """
+
+    def __init__(self, model, u0, parameter_sets, x, scheme=None,
+                 hook=null_hook, mesh=None, mesh_axis="ensemble",
+                 helpers0=None, **scheme_kwargs):
+        self.model = model
+        backend = model.backend
+        nvar = backend.system.nvar
+        u0 = jnp.asarray(u0, dtype=backend.dtype)
+        if u0.ndim == 2 and nvar == 1:
+            u0 = u0[:, None, :]
+        if u0.ndim != 3:
+            raise ValueError("u0 must have shape (B, nvar, N)")
+        self.B, _, self.N = u0.shape
+        self.x = jnp.asarray(x, dtype=backend.dtype)
+
+        if isinstance(parameter_sets, dict):
+            parameter_sets = [parameter_sets] * self.B
+        if len(parameter_sets) != self.B:
+            raise ValueError("need one parameter dict per member")
+        periodic = {bool(p.get("periodic", False)) for p in parameter_sets}
+        if len(periodic) != 1:
+            raise ValueError("all members must share the periodic flag")
+        self.periodic = periodic.pop()
+        self.pstack = stack_parameters(model, parameter_sets, self.N)
+
+        if helpers0 is None:
+            helpers0 = jnp.zeros(
+                (self.B, len(backend.system.help_funcs), self.N), backend.dtype
+            )
+        self.helpers = jnp.asarray(helpers0, dtype=backend.dtype)
+        self.u = u0
+        self.t = 0.0
+
+        scheme = schemes_mod.ROS2 if scheme is None else scheme
+        self._scheme = scheme(model, **scheme_kwargs)
+        self._adaptive = (
+            isinstance(self._scheme, schemes_mod.ROW_general)
+            and self._scheme._time_control
+        )
+        self._hook = hook
+        self._internal_dt = None
+        self._stepper = self._build(mesh, mesh_axis)
+
+    # ------------------------------------------------------------------
+    def _build(self, mesh, mesh_axis):
+        if self._adaptive:
+            stepper = self._build_adaptive()
+        else:
+            fixed = self._scheme.device_fixed_step(self._hook, self.periodic)
+
+            def stepper(t, u, helpers, pstack, x, dt, internal_dt):
+                u2, h2, p2, _x, _err = jax.vmap(
+                    fixed, in_axes=(None, 0, 0, 0, None, None)
+                )(t, u, helpers, pstack, x, dt)
+                return t + dt, u2, h2, p2, internal_dt, jnp.int32(0)
+
+        stepper = jax.jit(stepper)
+        if mesh is not None:
+            sharding = ensemble_sharding(mesh, mesh_axis)
+            self.u = jax.device_put(self.u, sharding)
+            self.helpers = jax.device_put(self.helpers, sharding)
+            self.pstack = jax.device_put(self.pstack, sharding)
+        return stepper
+
+    def _build_adaptive(self):
+        """Shared-dt adaptive loop: one lax.while_loop whose error is the max
+        over members (every member meets the tolerance)."""
+        fixed = self._scheme.device_fixed_step(self._hook, self.periodic)
+        vfixed = jax.vmap(fixed, in_axes=(None, 0, 0, 0, None, None))
+        tol = self._scheme._tol
+        safety = self._scheme._safety_factor
+        max_iter = self._scheme._max_iter
+        dt_min = self._scheme._dt_min
+
+        def stepper(t, u, helpers, pstack, x, dt, internal_dt):
+            next_t = t + dt
+            eps = 1e-12 * jnp.maximum(jnp.abs(next_t), 1.0)
+
+            def cond(carry):
+                t, u, h, p, dt_i, niter, status = carry
+                return (t < next_t - eps) & (status == 0)
+
+            def body(carry):
+                t, u, h, p, dt_i, niter, status = carry
+                remaining = next_t - t
+                clamped = dt_i >= remaining
+                dt_eff = jnp.minimum(dt_i, remaining)
+                u2, h2, p2, _x, errs = vfixed(t, u, h, p, x, dt_eff)
+                err = jnp.max(errs)
+                accept = err <= tol
+                err_safe = jnp.maximum(err, jnp.finfo(dt_eff.dtype).tiny)
+                dt_next = jnp.minimum(
+                    safety * dt_eff * jnp.sqrt(tol / err_safe), 10.0 * dt_eff
+                )
+                dt_i = jnp.where(accept & clamped, dt_i, dt_next)
+                t = jnp.where(accept, t + dt_eff, t)
+                u = jnp.where(accept, u2, u)
+                h = jnp.where(accept, h2, h)
+                p = jnp.where(accept, p2, p)
+                niter = niter + jnp.int32(1)
+                if max_iter is not None:
+                    status = jnp.where(niter > jnp.int32(max_iter),
+                                       jnp.int32(1), status)
+                if dt_min is not None:
+                    status = jnp.where(dt_i < dt_min, jnp.int32(2), status)
+                return (t, u, h, p, dt_i, niter, status)
+
+            carry = (t, u, helpers, pstack,
+                     jnp.minimum(internal_dt, dt), jnp.int32(0), jnp.int32(0))
+            t2, u2, h2, p2, dt_i, niter, status = jax.lax.while_loop(
+                cond, body, carry
+            )
+            return next_t, u2, h2, p2, dt_i, status
+
+        return stepper
+
+    # ------------------------------------------------------------------
+    def step(self, dt):
+        """Advance every member by dt (shared clock)."""
+        backend = self.model.backend
+        internal_dt = self._internal_dt
+        if internal_dt is None:
+            internal_dt = 1e-6 if self._adaptive else dt
+        t2, u2, h2, p2, dt_i, status = self._stepper(
+            jnp.asarray(self.t, backend.dtype), self.u, self.helpers,
+            self.pstack, self.x, jnp.asarray(dt, backend.dtype),
+            jnp.asarray(internal_dt, backend.dtype),
+        )
+        status = int(status)
+        if status == 1:
+            raise RuntimeError(
+                "Rosenbrock internal iteration above max iterations authorized"
+            )
+        if status == 2:
+            raise RuntimeError("Rosenbrock internal time step less than authorized")
+        self.t, self.u, self.helpers, self.pstack = float(t2), u2, h2, p2
+        self._internal_dt = float(dt_i)
+        return self.t, self.u
+
+    def run(self, tmax, dt):
+        while self.t < tmax - 1e-12 * max(1.0, abs(tmax)):
+            self.step(min(dt, tmax - self.t))
+        return self.t, self.u

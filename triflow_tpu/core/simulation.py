@@ -213,6 +213,12 @@ class Simulation(object):
 
         except RuntimeError:
             self.status = "failed"
+            # persist whatever was buffered before surfacing the failure
+            if self.container:
+                try:
+                    self.container.flush()
+                except Exception:  # noqa: BLE001 - best effort on teardown
+                    logger.exception("container flush failed during teardown")
             raise
 
     def _end_simulation(self):
@@ -263,6 +269,22 @@ class Simulation(object):
         )
         self._container.connect(self.stream)
         return self._container
+
+    # --------------------------------------------------------- checkpointing
+    def save_checkpoint(self, path):
+        """One-call restartable snapshot (t, i, dt, adaptive internal dt,
+        fields, parameters) — see utils/checkpoint.py."""
+        from ..utils.checkpoint import save_checkpoint
+
+        return save_checkpoint(path, self)
+
+    @staticmethod
+    def from_checkpoint(path, model, **kwargs):
+        """Rebuild a Simulation from a checkpoint file and the (re)built
+        model; extra kwargs (hook, scheme, tol, ...) forwarded."""
+        from ..utils.checkpoint import load_checkpoint
+
+        return load_checkpoint(path, model, **kwargs)
 
     @property
     def post_processes(self):

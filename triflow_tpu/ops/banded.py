@@ -269,6 +269,49 @@ def _small_inv(D):
     return jnp.moveaxis(jnp.linalg.inv(Dm), -3, -1)
 
 
+@jax.tree_util.register_pytree_node_class
+class PcrFactor:
+    """PCR factorization: per-level (alpha, beta) operators + final block
+    inverse.  The roll distances are static metadata."""
+
+    def __init__(self, alphas, betas, Dinv, ds):
+        self.alphas = alphas
+        self.betas = betas
+        self.Dinv = Dinv
+        self.ds = tuple(ds)
+
+    def tree_flatten(self):
+        return (self.alphas, self.betas, self.Dinv), self.ds
+
+    @classmethod
+    def tree_unflatten(cls, ds, leaves):
+        alphas, betas, Dinv = leaves
+        return cls(alphas, betas, Dinv, ds)
+
+
+@jax.tree_util.register_pytree_node_class
+class ChunkedFactor:
+    """Wang/SPIKE factorization: Thomas operators, spikes and the reduced
+    interface PCR factorization."""
+
+    def __init__(self, fac, Dhinv, Uc, W, V, red, C, Mc, M, s):
+        self.fac = fac
+        self.Dhinv = Dhinv
+        self.Uc = Uc
+        self.W = W
+        self.V = V
+        self.red = red
+        self.C, self.Mc, self.M, self.s = C, Mc, M, s
+
+    def tree_flatten(self):
+        return (self.fac, self.Dhinv, self.Uc, self.W, self.V, self.red), \
+            (self.C, self.Mc, self.M, self.s)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, *aux)
+
+
 def _pcr_factor(L, D, U):
     """Parallel-cyclic-reduction factorization of a block-tridiagonal system
     given as (..., s, s, M) stacks.
@@ -303,24 +346,195 @@ def _pcr_factor(L, D, U):
         levels.append((alpha, beta, d))
         L, D, U = newL, newD, newU
         d *= 2
-    return {"levels": levels, "Dinv": _small_inv(D), "M": M}
+    return PcrFactor([a for a, _, _ in levels], [b for _, b, _ in levels],
+                     _small_inv(D), [d for _, _, d in levels])
 
 
 def _pcr_solve(fact, b):
     """Solve with a _pcr_factor result; b has shape (..., s, M)."""
-    for (alpha, beta, d) in fact["levels"]:
+    for alpha, beta, d in zip(fact.alphas, fact.betas, fact.ds):
         b = (
             b
             + _mv(alpha, jnp.roll(b, d, axis=-1))
             + _mv(beta, jnp.roll(b, -d, axis=-1))
         )
-    return _mv(fact["Dinv"], b)
+    return _mv(fact.Dinv, b)
+
+
+# ---------------------------------------------------------------------------
+# chunked Thomas / SPIKE (Wang's algorithm): the large-M fast path
+# ---------------------------------------------------------------------------
+#
+# PCR does O(M log M) block work in log M full-width passes; for large M the
+# profitable layout is C independent *contiguous* chunks of Mc = M/C rows,
+# each eliminated by a sequential Thomas sweep that is vectorized across the
+# C chunks sitting in the lane dimension — O(M) work, Mc-deep lax.scans over
+# (s, s, C) tiles.  The chunks couple only through their first/last rows; a
+# reduced block-tridiagonal interface system over C supernodes of size 2s is
+# solved with PCR.  This is the single-chip twin of the cross-chip SPIKE
+# decomposition in parallel/spatial.py.
+
+def _to_chunks(A, C, Mc):
+    """(..., s, s, M=C*Mc) -> (Mc, ..., s, s, C): scan axis leading, chunk
+    index in lanes; chunk c owns the contiguous rows [c*Mc, (c+1)*Mc)."""
+    s = A.shape[-2]
+    A = A.reshape(A.shape[:-1] + (C, Mc))
+    return jnp.moveaxis(A, -1, 0)
+
+
+def _from_chunks(A, M):
+    """(Mc, ..., s, C) -> (..., s, M) inverse of the vector chunking."""
+    A = jnp.moveaxis(A, 0, -1)          # (..., s, C, Mc)
+    A = A.reshape(A.shape[:-2] + (-1,))  # (..., s, C*Mc)
+    return A[..., :M]
+
+
+def _chunked_factor(L, D, U, C):
+    """Wang/SPIKE factorization of a NON-cyclic block-tridiagonal system.
+
+    Returns the per-row Thomas operators (fac, Dhat^-1), the stored spikes
+    W (left coupling) and V (right coupling), and the PCR factorization of
+    the reduced interface system."""
+    s, M = L.shape[-3], L.shape[-1]
+    Mc = -(-M // C)
+    Mp = Mc * C
+    if Mp != M:
+        padn = Mp - M
+        eye = jnp.broadcast_to(jnp.eye(s, dtype=D.dtype)[..., None],
+                               D.shape[:-1] + (padn,))
+        zero = jnp.zeros(L.shape[:-1] + (padn,), dtype=D.dtype)
+        L = jnp.concatenate([L, zero], axis=-1)
+        D = jnp.concatenate([D, eye], axis=-1)
+        U = jnp.concatenate([U, zero], axis=-1)
+    Lc = _to_chunks(L, C, Mc)
+    Dc = _to_chunks(D, C, Mc)
+    Uc = _to_chunks(U, C, Mc)
+    # cross-chunk couplings live in row 0 (to the previous chunk's last row)
+    # and row Mc-1 (to the next chunk's first row)
+    Tl = Lc[0]
+    Tr = Uc[-1]
+    Lc = Lc.at[0].set(0.0)
+    Uc = Uc.at[-1].set(0.0)
+
+    zero_blk = jnp.zeros_like(Tl)
+    bW = jnp.zeros_like(Lc).at[0].set(Tl)   # spike-W rhs: Tl at row 0
+    bV = jnp.zeros_like(Uc).at[-1].set(Tr)  # spike-V rhs: Tr at last row
+
+    def fwd(carry, inputs):
+        Dhinv_prev, U_prev, wt_prev = carry
+        L_j, D_j, U_j, bW_j = inputs
+        fac_j = _mm(L_j, Dhinv_prev)
+        Dhinv_j = _small_inv(D_j - _mm(fac_j, U_prev))
+        wt_j = bW_j - _mm(fac_j, wt_prev)
+        return (Dhinv_j, U_j, wt_j), (fac_j, Dhinv_j, wt_j)
+
+    init = (zero_blk, zero_blk, zero_blk)
+    _, (fac, Dhinv, wt) = jax.lax.scan(fwd, init, (Lc, Dc, Uc, bW))
+
+    def bwd(carry, inputs):
+        W_next, V_next = carry
+        Dhinv_j, U_j, wt_j, bV_j = inputs
+        W_j = _mm(Dhinv_j, wt_j) - _mm(_mm(Dhinv_j, U_j), W_next)
+        V_j = _mm(Dhinv_j, bV_j) - _mm(_mm(Dhinv_j, U_j), V_next)
+        return (W_j, V_j), (W_j, V_j)
+
+    _, (W, V) = jax.lax.scan(bwd, (zero_blk, zero_blk),
+                             (Dhinv, Uc, wt, bV), reverse=True)
+
+    # reduced interface system: supernode c = (x_c^top, x_c^bot), size 2s
+    #   x_c^top + W_0  x_{c-1}^bot + V_0  x_{c+1}^top = y_c^top
+    #   x_c^bot + W_L  x_{c-1}^bot + V_L  x_{c+1}^top = y_c^bot
+    d2 = 2 * s
+    Lred = jnp.zeros(W.shape[1:-3] + (d2, d2, C), dtype=D.dtype)
+    Ured = jnp.zeros_like(Lred)
+    Dred = jnp.broadcast_to(
+        jnp.eye(d2, dtype=D.dtype)[..., None], Lred.shape
+    )
+    Lred = Lred.at[..., :s, s:, :].set(W[0])
+    Lred = Lred.at[..., s:, s:, :].set(W[-1])
+    Ured = Ured.at[..., :s, :s, :].set(V[0])
+    Ured = Ured.at[..., s:, :s, :].set(V[-1])
+    # chunk 0 has no left neighbor, chunk C-1 no right neighbor (their
+    # couplings Tl/Tr are structurally zero for a non-cyclic system, but
+    # enforce the PCR invariants)
+    Lred = Lred.at[..., 0].set(0.0)
+    Ured = Ured.at[..., C - 1].set(0.0)
+    red = _pcr_factor(Lred, Dred, Ured)
+
+    return ChunkedFactor(fac, Dhinv, Uc, W, V, red, C, Mc, M, s)
+
+
+def _chunked_solve(fact, b):
+    """Solve with a _chunked_factor result; b has shape (..., s, M)."""
+    C, Mc, M, s = fact.C, fact.Mc, fact.M, fact.s
+    Mp = Mc * C
+    if Mp != M:
+        pad = [(0, 0)] * (b.ndim - 1) + [(0, Mp - M)]
+        b = jnp.pad(b, pad)
+    bc = jnp.moveaxis(b.reshape(b.shape[:-1] + (C, Mc)), -1, 0)  # (Mc, ..., s, C)
+
+    fac, Dhinv, Uc = fact.fac, fact.Dhinv, fact.Uc
+
+    def fwd(bt_prev, inputs):
+        fac_j, b_j = inputs
+        bt_j = b_j - _mv(fac_j, bt_prev)
+        return bt_j, bt_j
+
+    zero_vec = jnp.zeros_like(bc[0])
+    _, bt = jax.lax.scan(fwd, zero_vec, (fac, bc))
+
+    def bwd(y_next, inputs):
+        Dhinv_j, U_j, bt_j = inputs
+        y_j = _mv(Dhinv_j, bt_j - _mv(U_j, y_next))
+        return y_j, y_j
+
+    _, y = jax.lax.scan(bwd, zero_vec, (Dhinv, Uc, bt), reverse=True)
+
+    # reduced interface solve
+    yred = jnp.concatenate([y[0], y[-1]], axis=-2)       # (..., 2s, C)
+    z = _pcr_solve(fact.red, yred)
+    ztop, zbot = z[..., :s, :], z[..., s:, :]
+    xm1_bot = jnp.concatenate(
+        [jnp.zeros_like(zbot[..., :1]), zbot[..., :-1]], axis=-1
+    )
+    xp1_top = jnp.concatenate(
+        [ztop[..., 1:], jnp.zeros_like(ztop[..., :1])], axis=-1
+    )
+    x = y - _mv(fact.W, xm1_bot) - _mv(fact.V, xp1_top)
+    return _from_chunks(x, M)
+
+
+#: chunk count heuristic: keep the sequential sweep depth Mc moderate while
+#: the reduced system stays small; both ends are full-lane friendly.
+_CHUNK_MIN_M = 1024
+
+
+def _pick_chunks(M: int) -> int:
+    C = 1
+    while C * 64 < M and C < 8192:
+        C *= 2
+    return C
+
+
+def _tri_factor(L, D, U):
+    """Factor a non-cyclic block-tridiagonal system, picking the chunked
+    Thomas/SPIKE path for large M and PCR otherwise."""
+    M = L.shape[-1]
+    if M >= _CHUNK_MIN_M:
+        return _chunked_factor(L, D, U, _pick_chunks(M))
+    return _pcr_factor(L, D, U)
+
+
+def _tri_solve(fact, b):
+    if isinstance(fact, ChunkedFactor):
+        return _chunked_solve(fact, b)
+    return _pcr_solve(fact, b)
 
 
 # kept as aliases: the factorization algorithm is an implementation detail
 # of factor_banded/solve_banded
-_bcr_factor = _pcr_factor
-_bcr_solve = _pcr_solve
+_bcr_factor = _tri_factor
+_bcr_solve = _tri_solve
 
 
 def _roll_blocks(arr, shiftn):

@@ -299,12 +299,13 @@ class ROW_general(_SchemeBase):
                 if max_iter is not None:
                     status = jnp.where(niter > jnp.int32(max_iter),
                                        jnp.int32(1), status)
-                # dt floor: the user's dt_min if given, else a roundoff-scale
-                # guard so a diverging problem (err -> inf, dt -> 0) raises
-                # instead of spinning the while_loop forever
+                # dt floor: the user's dt_min if given, else the roundoff
+                # no-progress threshold (t + dt == t) so a diverging problem
+                # (err -> inf, dt -> 0) raises instead of spinning the
+                # while_loop forever
                 dt_floor = dt_min if dt_min is not None else (
                     1e3 * jnp.finfo(dt_eff.dtype).tiny
-                    + 100.0 * jnp.finfo(dt_eff.dtype).eps * jnp.abs(next_t)
+                    + 2.0 * jnp.finfo(dt_eff.dtype).eps * jnp.abs(next_t)
                 )
                 status = jnp.where(dt_i_new < dt_floor, jnp.int32(2), status)
                 return (t, u, h, p, x_, dt_i_new, niter, status)

@@ -294,18 +294,20 @@ class ChunkedFactor:
     """Wang/SPIKE factorization: Thomas operators, spikes and the reduced
     interface PCR factorization."""
 
-    def __init__(self, fac, Dhinv, Uc, W, V, red, C, Mc, M, s):
+    def __init__(self, fac, Dhinv, DU, W, V, red, C, Mc, M, s,
+                 use_pallas=False):
         self.fac = fac
         self.Dhinv = Dhinv
-        self.Uc = Uc
+        self.DU = DU
         self.W = W
         self.V = V
         self.red = red
         self.C, self.Mc, self.M, self.s = C, Mc, M, s
+        self.use_pallas = use_pallas
 
     def tree_flatten(self):
-        return (self.fac, self.Dhinv, self.Uc, self.W, self.V, self.red), \
-            (self.C, self.Mc, self.M, self.s)
+        return (self.fac, self.Dhinv, self.DU, self.W, self.V, self.red), \
+            (self.C, self.Mc, self.M, self.s, self.use_pallas)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -389,12 +391,30 @@ def _from_chunks(A, M):
     return A[..., :M]
 
 
+def _use_pallas_sweeps(s: int, ndim: int) -> bool:
+    """Pallas sweep kernels: TPU only, unbatched, power-of-two block size."""
+    import os
+
+    if os.environ.get("TRIFLOW_NO_PALLAS"):
+        return False
+    if ndim != 3:
+        return False
+    if s not in (1, 2, 4, 8):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
 def _chunked_factor(L, D, U, C):
     """Wang/SPIKE factorization of a NON-cyclic block-tridiagonal system.
 
     Returns the per-row Thomas operators (fac, Dhat^-1), the stored spikes
     W (left coupling) and V (right coupling), and the PCR factorization of
-    the reduced interface system."""
+    the reduced interface system.  On TPU the sequential sweeps run as
+    Pallas kernels (ops/pallas_thomas.py); elsewhere as lax.scans."""
+    use_pallas = _use_pallas_sweeps(L.shape[-2], L.ndim)
     s, M = L.shape[-3], L.shape[-1]
     Mc = -(-M // C)
     Mp = Mc * C
@@ -416,30 +436,36 @@ def _chunked_factor(L, D, U, C):
     Lc = Lc.at[0].set(0.0)
     Uc = Uc.at[-1].set(0.0)
 
-    zero_blk = jnp.zeros_like(Tl)
-    bW = jnp.zeros_like(Lc).at[0].set(Tl)   # spike-W rhs: Tl at row 0
-    bV = jnp.zeros_like(Uc).at[-1].set(Tr)  # spike-V rhs: Tr at last row
+    if use_pallas:
+        from .pallas_thomas import chunked_factor_sweeps
 
-    def fwd(carry, inputs):
-        Dhinv_prev, U_prev, wt_prev = carry
-        L_j, D_j, U_j, bW_j = inputs
-        fac_j = _mm(L_j, Dhinv_prev)
-        Dhinv_j = _small_inv(D_j - _mm(fac_j, U_prev))
-        wt_j = bW_j - _mm(fac_j, wt_prev)
-        return (Dhinv_j, U_j, wt_j), (fac_j, Dhinv_j, wt_j)
+        fac, Dhinv, W, V, DU = chunked_factor_sweeps(Lc, Dc, Uc, Tl, Tr)
+    else:
+        zero_blk = jnp.zeros_like(Tl)
+        bW = jnp.zeros_like(Lc).at[0].set(Tl)   # spike-W rhs: Tl at row 0
+        bV = jnp.zeros_like(Uc).at[-1].set(Tr)  # spike-V rhs: Tr at last row
 
-    init = (zero_blk, zero_blk, zero_blk)
-    _, (fac, Dhinv, wt) = jax.lax.scan(fwd, init, (Lc, Dc, Uc, bW))
+        def fwd(carry, inputs):
+            Dhinv_prev, U_prev, wt_prev = carry
+            L_j, D_j, U_j, bW_j = inputs
+            fac_j = _mm(L_j, Dhinv_prev)
+            Dhinv_j = _small_inv(D_j - _mm(fac_j, U_prev))
+            wt_j = bW_j - _mm(fac_j, wt_prev)
+            return (Dhinv_j, U_j, wt_j), (fac_j, Dhinv_j, wt_j)
 
-    def bwd(carry, inputs):
-        W_next, V_next = carry
-        Dhinv_j, U_j, wt_j, bV_j = inputs
-        W_j = _mm(Dhinv_j, wt_j) - _mm(_mm(Dhinv_j, U_j), W_next)
-        V_j = _mm(Dhinv_j, bV_j) - _mm(_mm(Dhinv_j, U_j), V_next)
-        return (W_j, V_j), (W_j, V_j)
+        init = (zero_blk, zero_blk, zero_blk)
+        _, (fac, Dhinv, wt) = jax.lax.scan(fwd, init, (Lc, Dc, Uc, bW))
 
-    _, (W, V) = jax.lax.scan(bwd, (zero_blk, zero_blk),
-                             (Dhinv, Uc, wt, bV), reverse=True)
+        def bwd(carry, inputs):
+            W_next, V_next = carry
+            Dhinv_j, U_j, wt_j, bV_j = inputs
+            W_j = _mm(Dhinv_j, wt_j) - _mm(_mm(Dhinv_j, U_j), W_next)
+            V_j = _mm(Dhinv_j, bV_j) - _mm(_mm(Dhinv_j, U_j), V_next)
+            return (W_j, V_j), (W_j, V_j)
+
+        _, (W, V) = jax.lax.scan(bwd, (zero_blk, zero_blk),
+                                 (Dhinv, Uc, wt, bV), reverse=True)
+        DU = _mm(Dhinv, Uc)
 
     # reduced interface system: supernode c = (x_c^top, x_c^bot), size 2s
     #   x_c^top + W_0  x_{c-1}^bot + V_0  x_{c+1}^top = y_c^top
@@ -461,7 +487,8 @@ def _chunked_factor(L, D, U, C):
     Ured = Ured.at[..., C - 1].set(0.0)
     red = _pcr_factor(Lred, Dred, Ured)
 
-    return ChunkedFactor(fac, Dhinv, Uc, W, V, red, C, Mc, M, s)
+    return ChunkedFactor(fac, Dhinv, DU, W, V, red, C, Mc, M, s,
+                         use_pallas=use_pallas)
 
 
 def _chunked_solve(fact, b):
@@ -473,22 +500,27 @@ def _chunked_solve(fact, b):
         b = jnp.pad(b, pad)
     bc = jnp.moveaxis(b.reshape(b.shape[:-1] + (C, Mc)), -1, 0)  # (Mc, ..., s, C)
 
-    fac, Dhinv, Uc = fact.fac, fact.Dhinv, fact.Uc
+    fac, Dhinv, DU = fact.fac, fact.Dhinv, fact.DU
 
-    def fwd(bt_prev, inputs):
-        fac_j, b_j = inputs
-        bt_j = b_j - _mv(fac_j, bt_prev)
-        return bt_j, bt_j
+    if fact.use_pallas and b.ndim in (2, 3):
+        from .pallas_thomas import chunked_solve_sweeps
 
-    zero_vec = jnp.zeros_like(bc[0])
-    _, bt = jax.lax.scan(fwd, zero_vec, (fac, bc))
+        y = chunked_solve_sweeps(fac, Dhinv, DU, bc)
+    else:
+        def fwd(bt_prev, inputs):
+            fac_j, b_j = inputs
+            bt_j = b_j - _mv(fac_j, bt_prev)
+            return bt_j, bt_j
 
-    def bwd(y_next, inputs):
-        Dhinv_j, U_j, bt_j = inputs
-        y_j = _mv(Dhinv_j, bt_j - _mv(U_j, y_next))
-        return y_j, y_j
+        zero_vec = jnp.zeros_like(bc[0])
+        _, bt = jax.lax.scan(fwd, zero_vec, (fac, bc))
 
-    _, y = jax.lax.scan(bwd, zero_vec, (Dhinv, Uc, bt), reverse=True)
+        def bwd(y_next, inputs):
+            Dhinv_j, DU_j, bt_j = inputs
+            y_j = _mv(Dhinv_j, bt_j) - _mv(DU_j, y_next)
+            return y_j, y_j
+
+        _, y = jax.lax.scan(bwd, zero_vec, (Dhinv, DU, bt), reverse=True)
 
     # reduced interface solve
     yred = jnp.concatenate([y[0], y[-1]], axis=-2)       # (..., 2s, C)
@@ -509,9 +541,14 @@ def _chunked_solve(fact, b):
 _CHUNK_MIN_M = 1024
 
 
-def _pick_chunks(M: int) -> int:
+def _pick_chunks(M: int, use_pallas: bool) -> int:
+    # pallas sweeps pipeline grid steps, so many small chunks are cheap and
+    # keep the reduced system tiny; the lax.scan path pays per-iteration
+    # dispatch and prefers fewer, fatter iterations
+    cap = 1024 if use_pallas else 8192
+    min_depth = 8 if use_pallas else 64
     C = 1
-    while C * 64 < M and C < 8192:
+    while C * min_depth < M and C < cap:
         C *= 2
     return C
 
@@ -521,7 +558,8 @@ def _tri_factor(L, D, U):
     Thomas/SPIKE path for large M and PCR otherwise."""
     M = L.shape[-1]
     if M >= _CHUNK_MIN_M:
-        return _chunked_factor(L, D, U, _pick_chunks(M))
+        use_pallas = _use_pallas_sweeps(L.shape[-2], L.ndim)
+        return _chunked_factor(L, D, U, _pick_chunks(M, use_pallas))
     return _pcr_factor(L, D, U)
 
 
@@ -651,9 +689,8 @@ def factor_banded(A_bands, periodic: bool) -> BandedFactorization:
     B_cols = jnp.moveaxis(Bmat, -1, -2).reshape(batch + (P, h, nvar))
     B_cols = jnp.moveaxis(B_cols, -1, -2)
     cols = cols.at[..., P:, :, N - h:].set(B_cols)
-    # Z = A_tri^-1 Uw : vmap the tridiagonal solve over the 2P columns (the
-    # factorization's own batch dims, if any, stay aligned underneath)
-    Z = jax.vmap(fact._tri_solve_nodes, in_axes=-3, out_axes=-3)(cols)
+    # Z = A_tri^-1 Uw : one batched tridiagonal solve over the 2P columns
+    Z = fact._tri_solve_nodes(cols)
     # capacity = I + Vw^T Z ; Vw^T selects [last h nodes ; first h nodes]
     Z_end = jnp.moveaxis(Z[..., N - h:], -2, -1).reshape(batch + (2 * P, P))
     Z_top = jnp.moveaxis(Z[..., :h], -2, -1).reshape(batch + (2 * P, P))

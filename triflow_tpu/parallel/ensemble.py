@@ -179,8 +179,11 @@ class Ensemble:
                 if max_iter is not None:
                     status = jnp.where(niter > jnp.int32(max_iter),
                                        jnp.int32(1), status)
-                if dt_min is not None:
-                    status = jnp.where(dt_i < dt_min, jnp.int32(2), status)
+                dt_floor = dt_min if dt_min is not None else (
+                    1e3 * jnp.finfo(dt_eff.dtype).tiny
+                    + 2.0 * jnp.finfo(dt_eff.dtype).eps * jnp.abs(next_t)
+                )
+                status = jnp.where(dt_i < dt_floor, jnp.int32(2), status)
                 return (t, u, h, p, dt_i, niter, status)
 
             carry = (t, u, helpers, pstack,

@@ -283,7 +283,9 @@ class ROW_general(_SchemeBase):
                 # output step doesn't lose the adapted step size
                 err_safe = jnp.maximum(err, jnp.finfo(dt_eff.dtype).tiny)
                 dt_next = safety * dt_eff * jnp.sqrt(tol / err_safe)
-                dt_next = jnp.minimum(dt_next, 10.0 * dt_eff)
+                # clamp growth AND shrink (10x / 0.1x per attempt): an
+                # inf/NaN stage must retry at a smaller dt, not jump to zero
+                dt_next = jnp.clip(dt_next, 0.1 * dt_eff, 10.0 * dt_eff)
                 dt_i_new = jnp.where(accept & clamped, dt_i, dt_next)
                 t = jnp.where(accept, t + dt_eff, t)
                 u = jax.tree_util.tree_map(

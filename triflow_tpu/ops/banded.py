@@ -532,7 +532,13 @@ def _chunked_solve(fact, b):
     xp1_top = jnp.concatenate(
         [ztop[..., 1:], jnp.zeros_like(ztop[..., :1])], axis=-1
     )
-    x = y - _mv(fact.W, xm1_bot) - _mv(fact.V, xp1_top)
+    Wb, Vb = fact.W, fact.V
+    extra = y.ndim - 3  # RHS axes sitting between Mc and (s, C)
+    if extra > 0:
+        expand = (slice(None),) + (None,) * extra
+        Wb = Wb[expand]
+        Vb = Vb[expand]
+    x = y - _mv(Wb, xm1_bot) - _mv(Vb, xp1_top)
     return _from_chunks(x, M)
 
 

@@ -167,8 +167,9 @@ class Ensemble:
                 err = jnp.max(errs)
                 accept = err <= tol
                 err_safe = jnp.maximum(err, jnp.finfo(dt_eff.dtype).tiny)
-                dt_next = jnp.minimum(
-                    safety * dt_eff * jnp.sqrt(tol / err_safe), 10.0 * dt_eff
+                dt_next = jnp.clip(
+                    safety * dt_eff * jnp.sqrt(tol / err_safe),
+                    0.1 * dt_eff, 10.0 * dt_eff,
                 )
                 dt_i = jnp.where(accept & clamped, dt_i, dt_next)
                 t = jnp.where(accept, t + dt_eff, t)

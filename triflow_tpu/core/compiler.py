@@ -331,7 +331,11 @@ class NumpyBackend(ArrayBackend):
 
 
 class JaxBackend(ArrayBackend):
-    """JAX/XLA backend — the production TPU path."""
+    """JAX/XLA backend — the production TPU path.
+
+    On TPU, unbatched tile-aligned grids evaluate F and the Jacobian bands
+    through fused Pallas stencil kernels (ops/pallas_stencil.py); everything
+    else takes the generic XLA lowering."""
 
     xp = jnp
     printer_module = "jax"
@@ -340,6 +344,23 @@ class JaxBackend(ArrayBackend):
     def _finalize(self):
         self.F = jax.jit(self.F_impl, static_argnames=("periodic",))
         self.J_bands = jax.jit(self.J_bands_impl, static_argnames=("periodic",))
+
+    def F_impl(self, u, helpers, pstack, x, *, periodic: bool):
+        from ..ops import pallas_stencil as ps
+
+        if ps.stencil_applicable(self, u, x.shape[-1]):
+            return ps.eval_F(self, u, helpers, pstack, x, periodic)
+        return super().F_impl(u, helpers, pstack, x, periodic=periodic)
+
+    def J_bands_impl(self, u, helpers, pstack, x, *, periodic: bool):
+        from ..ops import pallas_stencil as ps
+
+        if ps.stencil_applicable(self, u, x.shape[-1]):
+            bands = ps.eval_J_bands(self, u, helpers, pstack, x, periodic)
+            if not periodic:
+                bands = fold_edges(bands, self.halo, jnp)
+            return bands
+        return super().J_bands_impl(u, helpers, pstack, x, periodic=periodic)
 
 
 # ---------------------------------------------------------------------------

@@ -37,7 +37,7 @@ from ..ops.banded import (
     BandedFactorization,
     _assemble_blocks,
     _extract_wrap,
-    _pcr_factor,
+    _tri_factor,
     axpy_bands,
 )
 
@@ -170,7 +170,7 @@ def spike_factor(A_bands, axis_name: str, ndev: int) -> SpikeFactorization:
     P = nvar * h
     bands_tri, T, B = _extract_wrap(A_bands, periodic=True)
     L, D, U, g, s, M, Np = _assemble_blocks(bands_tri)
-    tri = _pcr_factor(L, D, U)
+    tri = _tri_factor(L, D, U)  # chunked/pallas for large local grids
     local_fact = BandedFactorization(tri, g, s, Nl, nvar, False, halo=h)
     if h == 0 or ndev == 1:
         return SpikeFactorization(local_fact, None, None, h, P, ndev, axis_name)
@@ -185,7 +185,7 @@ def spike_factor(A_bands, axis_name: str, ndev: int) -> SpikeFactorization:
     )
     cols = cols.at[:P, :, :h].set(T_cols)
     cols = cols.at[P:, :, Nl - h:].set(B_cols)
-    Z = jax.vmap(local_fact._tri_solve_nodes, in_axes=-3, out_axes=-3)(cols)
+    Z = local_fact._tri_solve_nodes(cols)
 
     # interface blocks of the spikes: each (P, P) with rows = my interface
     # unknowns (node-major), cols = the coupled neighbor unknowns

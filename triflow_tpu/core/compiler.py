@@ -199,6 +199,11 @@ class ArrayBackend:
             bands = fold_edges(bands, self.halo, xp)
         return bands
 
+    def J_bands_split_impl(self, u, helpers, pstack, x, *, periodic: bool):
+        """(J, phase-split J or None) — the split form feeds the solver's
+        block assembly without an HBM-level deinterleave (JAX backend only)."""
+        return self.J_bands_impl(u, helpers, pstack, x, periodic=periodic), None
+
     # ------------------------------------------------- extended-array entry
     # (domain decomposition: the caller supplies arrays already padded with
     # `halo` ghost cells per side — from a shard_map halo exchange — and the
@@ -356,11 +361,16 @@ class JaxBackend(ArrayBackend):
         from ..ops import pallas_stencil as ps
 
         if ps.stencil_applicable(self, u, x.shape[-1]):
-            bands = ps.eval_J_bands(self, u, helpers, pstack, x, periodic)
-            if not periodic:
-                bands = fold_edges(bands, self.halo, jnp)
-            return bands
+            # edge folding happens in-kernel on the boundary tiles
+            return ps.eval_J_bands(self, u, helpers, pstack, x, periodic)
         return super().J_bands_impl(u, helpers, pstack, x, periodic=periodic)
+
+    def J_bands_split_impl(self, u, helpers, pstack, x, *, periodic: bool):
+        # NOTE: the in-kernel phase-split output is blocked on a Mosaic
+        # limitation ("unsupported shape cast" for minor-dim reshapes); until
+        # then the split stays None and factor_linearized takes the
+        # barrier-materialized XLA assembly path.
+        return self.J_bands_impl(u, helpers, pstack, x, periodic=periodic), None
 
 
 # ---------------------------------------------------------------------------

@@ -39,7 +39,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.banded import axpy_bands, banded_matvec, factor_banded
+from ..ops.banded import (axpy_bands, banded_matvec, factor_banded,
+                           factor_linearized)
 
 logger = logging.getLogger(__name__)
 logger.addHandler(logging.NullHandler())
@@ -104,6 +105,12 @@ class _DeviceProblem:
 
     def J_bands(self, u, helpers, pstack, x):
         return self.backend.J_bands_impl(u, helpers, pstack, x, periodic=self.periodic)
+
+    def J_system(self, u, helpers, pstack, x):
+        """(J, phase-split J or None) — feeds factor_linearized."""
+        return self.backend.J_bands_split_impl(
+            u, helpers, pstack, x, periodic=self.periodic
+        )
 
 
 class _SchemeBase:
@@ -206,9 +213,8 @@ class ROW_general(_SchemeBase):
 
         def fixed_step(t, u, helpers, pstack, x, dt):
             u, helpers, pstack, x = problem.apply_hook(t, u, helpers, pstack, x)
-            J = problem.J_bands(u, helpers, pstack, x)
-            A = axpy_bands(1.0, -gamma[0, 0] * dt, J)
-            fact = factor_banded(A, periodic)
+            J, Jg = problem.J_system(u, helpers, pstack, x)
+            fact = factor_linearized(1.0, -gamma[0, 0] * dt, J, Jg, periodic)
             ks = []
             for i in range(s):
                 u_i = u
@@ -514,13 +520,13 @@ class Theta(_SchemeBase):
             if theta == 0:
                 u2 = u + dt * F
             else:
-                J = problem.J_bands(u, helpers, pstack, x)
+                J, Jg = problem.J_system(u, helpers, pstack, x)
                 B = dt * (F - theta * banded_matvec(J, u, periodic)) + u
-                A = axpy_bands(1.0, -theta * dt, J)
                 if solver is None:
-                    u2 = factor_banded(A, periodic).solve(B)
+                    u2 = factor_linearized(1.0, -theta * dt, J, Jg,
+                                           periodic).solve(B)
                 else:
-                    u2 = solver(A, B, periodic)
+                    u2 = solver(axpy_bands(1.0, -theta * dt, J), B, periodic)
             return u2, helpers, pstack, x, jnp.zeros((), dtype=u.dtype)
 
         return fixed_step
@@ -536,13 +542,13 @@ class Theta(_SchemeBase):
             if theta == 0:
                 u2 = u + dt * F
             else:
-                J = problem.J_bands(u, helpers, pstack, x)
+                J, Jg = problem.J_system(u, helpers, pstack, x)
                 B = dt * (F - theta * banded_matvec(J, u, periodic)) + u
-                A = axpy_bands(1.0, -theta * dt, J)
                 if solver is None:
-                    u2 = factor_banded(A, periodic).solve(B)
+                    u2 = factor_linearized(1.0, -theta * dt, J, Jg,
+                                           periodic).solve(B)
                 else:
-                    u2 = solver(A, B, periodic)
+                    u2 = solver(axpy_bands(1.0, -theta * dt, J), B, periodic)
             u2, helpers, pstack, x = problem.apply_hook(
                 t + dt, u2, helpers, pstack, x
             )

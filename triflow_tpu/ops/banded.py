@@ -169,10 +169,14 @@ def _assemble_blocks(bands):
         diag_idx = jnp.arange(nvar)
         bands = bands.at[..., h, diag_idx, diag_idx, N:].set(1.0)
 
-    # (..., W, nvar, nvar, M, g) -> (..., g, W, nvar, nvar, M)
+    # (..., W, nvar, nvar, M, g) -> (..., g, W, nvar, nvar, M); the barrier
+    # forces XLA to materialize the transpose ONCE — without it the gather
+    # fuses into all ~12 slice consumers below and runs ~12x (measured 28ms
+    # vs 3ms at N=1e6)
     bands_t = jnp.moveaxis(
         bands.reshape(batch + (W, nvar, nvar, M, g)), -1, -5
     )
+    bands_t = jax.lax.optimization_barrier(bands_t)
     zero = jnp.zeros(batch + (M,), dtype=bands.dtype)
 
     def block(dblock):
@@ -668,6 +672,44 @@ class BandedFactorization:
     __call__ = solve
 
 
+def _attach_woodbury(fact: "BandedFactorization", T, B):
+    """Attach the Sherman-Morrison-Woodbury periodic-corner correction to a
+    non-cyclic factorization.
+
+    A_cyc = A_tri + E_top @ T @ E_end^T + E_end @ B @ E_top^T
+          = A_tri + Uw @ Vw^T,
+      Uw = [E_top @ T | E_end @ B]  (Ntot x 2P),  Vw = [E_end | E_top]."""
+    h, nvar, N = fact.halo, fact.nvar, fact.N
+    P = nvar * h
+    batch = T.shape[:-2]
+    dtype = T.dtype
+    # RHS columns of Uw as (..., 2P, nvar, N) node-layout vectors; T rows are
+    # scalar indices r = node*nvar + m over the first h nodes
+    cols = jnp.zeros(batch + (2 * P, nvar, N), dtype=dtype)
+    T_cols = jnp.moveaxis(T, -1, -2).reshape(batch + (P, h, nvar))
+    T_cols = jnp.moveaxis(T_cols, -1, -2)  # (..., P, nvar, h)
+    cols = cols.at[..., :P, :, :h].set(T_cols)
+    B_cols = jnp.moveaxis(B, -1, -2).reshape(batch + (P, h, nvar))
+    B_cols = jnp.moveaxis(B_cols, -1, -2)
+    cols = cols.at[..., P:, :, N - h:].set(B_cols)
+    # Z = A_tri^-1 Uw : one batched tridiagonal solve over the 2P columns
+    Z = fact._tri_solve_nodes(cols)
+    # capacity = I + Vw^T Z ; Vw^T selects [last h nodes ; first h nodes]
+    Z_end = jnp.moveaxis(Z[..., N - h:], -2, -1).reshape(batch + (2 * P, P))
+    Z_top = jnp.moveaxis(Z[..., :h], -2, -1).reshape(batch + (2 * P, P))
+    VtZ = jnp.concatenate([Z_end, Z_top], axis=-1)  # (..., 2P, 2P)
+    cap = jnp.eye(2 * P, dtype=dtype) + jnp.moveaxis(VtZ, -1, -2)
+    fact.wood_Z = Z
+    # tiny dense inverse: jnp.linalg.inv of a single small matrix costs
+    # ~1.4ms on TPU (scalar LU loop); route through the closed-form block
+    # inverse instead
+    if cap.shape[-1] in (2, 4, 8):
+        fact.wood_cap_inv = _small_inv(cap[..., None])[..., 0]
+    else:
+        fact.wood_cap_inv = jnp.linalg.inv(cap)
+    return fact
+
+
 def factor_banded(A_bands, periodic: bool) -> BandedFactorization:
     """Factor a block-banded matrix given as (..., window, nvar, nvar, N).
 
@@ -684,43 +726,77 @@ def factor_banded(A_bands, periodic: bool) -> BandedFactorization:
     fact = BandedFactorization(tri, g, s, N, nvar, periodic, halo=h)
     if not periodic or h == 0:
         return fact
+    return _attach_woodbury(fact, T, B)
 
-    # ---- Woodbury correction for the periodic corners ---------------------
-    # A_cyc = A_tri + E_top @ T @ E_end^T + E_end @ B @ E_top^T
-    #       = A_tri + Uw @ Vw^T,
-    #   Uw = [E_top @ T | E_end @ B]  (Ntot x 2P),  Vw = [E_end | E_top]
+
+def _assemble_from_split(Jg_t, alpha, beta):
+    """Block-tridiagonal (L, D, U) from the phase-split bands
+    ``Jg_t[a, k, m, n, I] = J[k, m, n, I*g + a]`` (wrap-free), forming
+    ``alpha*I + beta*J`` on the fly.  Every block element is a contiguous
+    (M,)-slice — no deinterleave."""
+    g, W, nvar, _, M = Jg_t.shape[-5:]
+    h = W // 2
+    A_t = beta * Jg_t
+    diag_idx = jnp.arange(nvar)
+    A_t = A_t.at[..., :, h, diag_idx, diag_idx, :].add(alpha)
+    zero = jnp.zeros(A_t.shape[:-5] + (M,), dtype=A_t.dtype)
+
+    def block(dblock):
+        rows = []
+        for a in range(g):
+            for m in range(nvar):
+                row = []
+                for b in range(g):
+                    for n in range(nvar):
+                        delta = (b - a) + dblock
+                        if abs(delta) > h:
+                            row.append(zero)
+                        else:
+                            row.append(A_t[..., a, h + delta, m, n, :])
+                rows.append(jnp.stack(row, axis=-2))
+        return jnp.stack(rows, axis=-3)
+
+    L = block(-g)
+    D = block(0)
+    U = block(g)
+    L = L.at[..., 0].set(0.0)
+    U = U.at[..., M - 1].set(0.0)
+    return L, D, U
+
+
+def factor_linearized(alpha, beta, J_bands, Jg_split, periodic: bool):
+    """Factor ``alpha*I + beta*J`` — the implicit system of the Theta and
+    ROW schemes.
+
+    When the compiler provided the phase-split bands (JaxBackend on TPU,
+    ``J_bands_split_impl``), the supernode assembly reads contiguous slices
+    and the periodic corners are read directly off the banded J; otherwise
+    this is ``factor_banded(alpha*I + beta*J)``."""
+    if Jg_split is None:
+        return factor_banded(axpy_bands(alpha, beta, J_bands), periodic)
+    W, nvar, _, N = J_bands.shape[-4:]
+    h = W // 2
+    g = max(h, 1)
+    L, D, U = _assemble_from_split(Jg_split, alpha, beta)
+    tri = _tri_factor(L, D, U)
+    fact = BandedFactorization(tri, g, nvar * g, N, nvar, periodic, halo=h)
+    if not periodic or h == 0:
+        return fact
+    # wrap-coupling blocks, read straight from the (unmasked) banded J
     P = nvar * h
-    batch = A_bands.shape[:-4]
-    # RHS columns of Uw as (2P, nvar, N) node-layout vectors
-    cols = jnp.zeros(batch + (2 * P, nvar, N), dtype=A_bands.dtype)
-    # first block: E_top @ T -> column c has T[:, c] scattered on first h nodes
-    # T rows are scalar indices r = node*nvar + m over the first h nodes
-    Tmat = T  # (..., P, P)
-    Bmat = B
-    # build with vectorized reshapes: scatter (..., P, P) into node layout
-    T_cols = jnp.moveaxis(Tmat, -1, -2)  # (..., P_col, P_row)
-    T_cols = T_cols.reshape(batch + (P, h, nvar))  # row index -> (node, var)
-    T_cols = jnp.moveaxis(T_cols, -1, -2)  # (..., P, nvar, h)
-    cols = cols.at[..., :P, :, :h].set(T_cols)
-    B_cols = jnp.moveaxis(Bmat, -1, -2).reshape(batch + (P, h, nvar))
-    B_cols = jnp.moveaxis(B_cols, -1, -2)
-    cols = cols.at[..., P:, :, N - h:].set(B_cols)
-    # Z = A_tri^-1 Uw : one batched tridiagonal solve over the 2P columns
-    Z = fact._tri_solve_nodes(cols)
-    # capacity = I + Vw^T Z ; Vw^T selects [last h nodes ; first h nodes]
-    Z_end = jnp.moveaxis(Z[..., N - h:], -2, -1).reshape(batch + (2 * P, P))
-    Z_top = jnp.moveaxis(Z[..., :h], -2, -1).reshape(batch + (2 * P, P))
-    VtZ = jnp.concatenate([Z_end, Z_top], axis=-1)  # (..., 2P, 2P)
-    cap = jnp.eye(2 * P, dtype=A_bands.dtype) + jnp.moveaxis(VtZ, -1, -2)
-    fact.wood_Z = Z
-    # tiny dense inverse: jnp.linalg.inv of a single small matrix costs
-    # ~1.4ms on TPU (scalar LU loop); route through the closed-form block
-    # inverse instead
-    if cap.shape[-1] in (2, 4, 8):
-        fact.wood_cap_inv = _small_inv(cap[..., None])[..., 0]
-    else:
-        fact.wood_cap_inv = jnp.linalg.inv(cap)
-    return fact
+    batch = J_bands.shape[:-4]
+    T = jnp.zeros(batch + (P, P), dtype=J_bands.dtype)
+    B = jnp.zeros(batch + (P, P), dtype=J_bands.dtype)
+    top, bottom = _wrapped_indices(W, nvar, N)
+    for (k, i, r, c) in top:
+        T = T.at[..., r * nvar:(r + 1) * nvar, c * nvar:(c + 1) * nvar].set(
+            beta * J_bands[..., k, :, :, i]
+        )
+    for (k, i, r, c) in bottom:
+        B = B.at[..., r * nvar:(r + 1) * nvar, c * nvar:(c + 1) * nvar].set(
+            beta * J_bands[..., k, :, :, i]
+        )
+    return _attach_woodbury(fact, T, B)
 
 
 def solve_banded(A_bands, rhs, periodic: bool):

@@ -159,29 +159,88 @@ def eval_F(backend, u, helpers, pstack, x, periodic: bool):
     )(*ops)
 
 
-def eval_J_bands(backend, u, helpers, pstack, x, periodic: bool):
-    """Banded Jacobian fill as a tiled Pallas kernel (edge folding is applied
-    by the caller — it only touches the outermost halo nodes)."""
+def _iota_tile():
+    return jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)[0]
+
+
+def eval_J_bands(backend, u, helpers, pstack, x, periodic: bool,
+                 split: bool = False):
+    """Banded Jacobian fill as a tiled Pallas kernel.
+
+    Edge folding (non-periodic ghost dependencies onto the boundary columns)
+    happens in-kernel on the boundary tiles.
+
+    With ``split=True`` the kernel also emits a **phase-split** copy of the
+    bands, ``Jg[a, k, m, n, I] = J[k, m, n, I*g + a]`` with the periodic wrap
+    entries zeroed — exactly the layout the supernode block assembly of the
+    solver consumes.  Doing the deinterleave in-registers at tile scale costs
+    ~nothing; as an HBM-level strided gather it costs tens of ms at N=1e6.
+    Returns J or (J, Jg)."""
     call = _StencilCall(backend, periodic, u.shape[-1])
     nvar, dtype = call.nvar, call.dtype
     W = backend.window
+    h = call.h
+    g = max(h, 1)
+    ntiles = call.ntiles
+    Mt = TILE // g
+
+    # static wrap-entry lists at node granularity (mirrors
+    # ops.banded._wrapped_indices for the first/last tile)
+    top_entries = [(k, i) for i in range(h) for k in range(h - i)]
+    bottom_entries = [
+        (k, TILE - 1 - di)
+        for di in range(h)
+        for k in range(W - 1, W - 1 - (h - di), -1)
+    ]
 
     def kernel(*refs):
-        out_ref = refs[-1]
-        args = call.build_args(refs[:-1])
+        if split:
+            out_ref, outg_ref = refs[-2], refs[-1]
+            args = call.build_args(refs[:-2])
+        else:
+            out_ref = refs[-1]
+            args = call.build_args(refs[:-1])
+        tid = pl.program_id(0)
+        iota = _iota_tile()
         zero = jnp.zeros((TILE,), dtype)
         rows = {}
         for (m, n, k), fn in backend._J_fns.items():
             rows[(k, m, n)] = jnp.broadcast_to(
                 jnp.asarray(fn(*args), dtype), (TILE,)
             )
+
+        def get(k, m, n):
+            return rows.get((k, m, n), zero)
+
+        if not periodic:
+            # fold ghost contributions onto the boundary columns (only the
+            # first/last tile has any)
+            for m in range(nvar):
+                for n in range(nvar):
+                    for i in range(h):
+                        for k in range(h - i):
+                            mask = (tid == 0) & (iota == i)
+                            src = get(k, m, n)
+                            rows[(h - i, m, n)] = jnp.where(
+                                mask, get(h - i, m, n) + src, get(h - i, m, n)
+                            )
+                            rows[(k, m, n)] = jnp.where(mask, 0.0, src)
+                    for i in range(h):
+                        for k in range(h - i):
+                            koff = W - 1 - k
+                            loc = TILE - 1 - i
+                            mask = (tid == ntiles - 1) & (iota == loc)
+                            src = get(koff, m, n)
+                            rows[(h + i, m, n)] = jnp.where(
+                                mask, get(h + i, m, n) + src, get(h + i, m, n)
+                            )
+                            rows[(koff, m, n)] = jnp.where(mask, 0.0, src)
+
         out_ref[...] = jnp.stack(
             [
                 jnp.stack(
                     [
-                        jnp.stack(
-                            [rows.get((k, m, n), zero) for n in range(nvar)]
-                        )
+                        jnp.stack([get(k, m, n) for n in range(nvar)])
                         for m in range(nvar)
                     ]
                 )
@@ -189,16 +248,67 @@ def eval_J_bands(backend, u, helpers, pstack, x, periodic: bool):
             ]
         )
 
+        if split:
+            # zero the periodic wrap entries (they belong to the Woodbury
+            # correction, not the block-tridiagonal part)
+            def get_tri(k, m, n):
+                row = get(k, m, n)
+                if periodic:
+                    for (kk, ii) in top_entries:
+                        if kk == k:
+                            row = jnp.where((tid == 0) & (iota == ii), 0.0, row)
+                    for (kk, ii) in bottom_entries:
+                        if kk == k:
+                            row = jnp.where(
+                                (tid == ntiles - 1) & (iota == ii), 0.0, row
+                            )
+                return row
+
+            outg_ref[...] = jnp.stack(
+                [
+                    jnp.stack(
+                        [
+                            jnp.stack(
+                                [
+                                    jnp.stack(
+                                        [
+                                            get_tri(k, m, n)
+                                            .reshape(Mt, g)[:, a]
+                                            for n in range(nvar)
+                                        ]
+                                    )
+                                    for m in range(nvar)
+                                ]
+                            )
+                            for k in range(W)
+                        ]
+                    )
+                    for a in range(g)
+                ]
+            )
+
     ops, specs = call.operands(u, helpers, pstack, x)
-    return pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((W, nvar, nvar, TILE), lambda i: (0, 0, 0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((W, nvar, nvar, call.N), dtype)]
+    if split:
+        out_specs.append(
+            pl.BlockSpec((g, W, nvar, nvar, Mt), lambda i: (0, 0, 0, 0, i),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((g, W, nvar, nvar, call.N // g), dtype)
+        )
+    result = pl.pallas_call(
         kernel,
-        grid=(call.ntiles,),
+        grid=(ntiles,),
         in_specs=specs,
-        out_specs=pl.BlockSpec((W, nvar, nvar, TILE),
-                               lambda i: (0, 0, 0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((W, nvar, nvar, call.N), dtype),
+        out_specs=out_specs if split else out_specs[0],
+        out_shape=out_shape if split else out_shape[0],
     )(*ops)
+    return result
 
 
 def matvec_applicable(bands, v):

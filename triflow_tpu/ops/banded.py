@@ -481,15 +481,21 @@ def _chunked_factor(L, D, U, C):
                                  (Dhinv, Uc, wt, bV), reverse=True)
         DU = _mm(Dhinv, Uc)
 
-    # reduced interface system: supernode c = (x_c^top, x_c^bot), size 2s
-    #   x_c^top + W_0  x_{c-1}^bot + V_0  x_{c+1}^top = y_c^top
-    #   x_c^bot + W_L  x_{c-1}^bot + V_L  x_{c+1}^top = y_c^bot
+    red = _reduced_interface_factor(W, V, C, s)
+    return ChunkedFactor(fac, Dhinv, DU, W, V, red, C, Mc, M, s,
+                         use_pallas=use_pallas)
+
+
+def _reduced_interface_factor(W, V, C, s):
+    """PCR factorization of the chunk-interface system: supernode c =
+    (x_c^top, x_c^bot), size 2s:
+      x_c^top + W_0  x_{c-1}^bot + V_0  x_{c+1}^top = y_c^top
+      x_c^bot + W_L  x_{c-1}^bot + V_L  x_{c+1}^top = y_c^bot"""
     d2 = 2 * s
-    Lred = jnp.zeros(W.shape[1:-3] + (d2, d2, C), dtype=D.dtype)
+    dtype = W.dtype
+    Lred = jnp.zeros(W.shape[1:-3] + (d2, d2, C), dtype=dtype)
     Ured = jnp.zeros_like(Lred)
-    Dred = jnp.broadcast_to(
-        jnp.eye(d2, dtype=D.dtype)[..., None], Lred.shape
-    )
+    Dred = jnp.broadcast_to(jnp.eye(d2, dtype=dtype)[..., None], Lred.shape)
     Lred = Lred.at[..., :s, s:, :].set(W[0])
     Lred = Lred.at[..., s:, s:, :].set(W[-1])
     Ured = Ured.at[..., :s, :s, :].set(V[0])
@@ -499,10 +505,7 @@ def _chunked_factor(L, D, U, C):
     # enforce the PCR invariants)
     Lred = Lred.at[..., 0].set(0.0)
     Ured = Ured.at[..., C - 1].set(0.0)
-    red = _pcr_factor(Lred, Dred, Ured)
-
-    return ChunkedFactor(fac, Dhinv, DU, W, V, red, C, Mc, M, s,
-                         use_pallas=use_pallas)
+    return _pcr_factor(Lred, Dred, Ured)
 
 
 def _chunked_solve(fact, b):
@@ -764,22 +767,70 @@ def _assemble_from_split(Jg_t, alpha, beta):
     return L, D, U
 
 
+def _chunked_factor_fused(J_bands, alpha, beta):
+    """Fused assembly + factor: the pallas forward sweep reads raw band
+    tiles in chunk layout and assembles each supernode row in-registers,
+    eliminating the XLA-side block assembly entirely (which costs ~28ms at
+    N=1e6 due to stack-of-strided-slice fusion failures).
+
+    Returns a ChunkedFactor of the NON-cyclic part (wrap entries masked
+    in-kernel via the boundary-chunk Tl/Tr masks), or None when the shape
+    doesn't fit the fused path."""
+    from .pallas_thomas import fused_factor_sweeps
+
+    W, nvar, _, N = J_bands.shape[-4:]
+    h = W // 2
+    g = max(h, 1)
+    s = nvar * g
+    if J_bands.ndim != 4 or N % g or s not in (1, 2, 4, 8):
+        return None
+    M = N // g
+    if M < _CHUNK_MIN_M:
+        return None
+    # fewer, fatter grid steps: the sweeps are bound by per-grid-step
+    # latency (~3us), so push C up until the sweep depth reaches ~32
+    C = 1
+    while C * 2 <= 4096 and M % (C * 2) == 0 and (M // (C * 2)) >= 32:
+        C *= 2
+    if C < 8:
+        return None
+    Mc = M // C
+    # (W, nvar, nvar, N) -> (W, nvar, nvar, C, Mc, g) -> (Mc, W, nvar, nvar, g, C)
+    bands_c = jnp.transpose(
+        J_bands.reshape(W, nvar, nvar, C, Mc, g), (4, 0, 1, 2, 5, 3)
+    )
+    fac, Dhinv, Uc, Wsp, Vsp, DU, Tl, Tr = fused_factor_sweeps(
+        bands_c, jnp.asarray(alpha, J_bands.dtype),
+        jnp.asarray(beta, J_bands.dtype),
+    )
+    red = _reduced_interface_factor(Wsp, Vsp, C, s)
+    return ChunkedFactor(fac, Dhinv, DU, Wsp, Vsp, red, C, Mc, M, s,
+                         use_pallas=True)
+
+
 def factor_linearized(alpha, beta, J_bands, Jg_split, periodic: bool):
     """Factor ``alpha*I + beta*J`` — the implicit system of the Theta and
     ROW schemes.
 
-    When the compiler provided the phase-split bands (JaxBackend on TPU,
-    ``J_bands_split_impl``), the supernode assembly reads contiguous slices
-    and the periodic corners are read directly off the banded J; otherwise
-    this is ``factor_banded(alpha*I + beta*J)``."""
-    if Jg_split is None:
-        return factor_banded(axpy_bands(alpha, beta, J_bands), periodic)
+    On TPU (unbatched, shape-compatible) the fused pallas path assembles the
+    supernode blocks inside the factor sweep and the periodic corners are
+    read directly off the banded J; otherwise this is
+    ``factor_banded(alpha*I + beta*J)``."""
     W, nvar, _, N = J_bands.shape[-4:]
     h = W // 2
     g = max(h, 1)
-    L, D, U = _assemble_from_split(Jg_split, alpha, beta)
-    tri = _tri_factor(L, D, U)
-    fact = BandedFactorization(tri, g, nvar * g, N, nvar, periodic, halo=h)
+    fact = None
+    if Jg_split is not None:
+        L, D, U = _assemble_from_split(Jg_split, alpha, beta)
+        tri = _tri_factor(L, D, U)
+        fact = BandedFactorization(tri, g, nvar * g, N, nvar, periodic, halo=h)
+    elif _use_pallas_sweeps(nvar * g, 3) and J_bands.ndim == 4:
+        tri = _chunked_factor_fused(J_bands, alpha, beta)
+        if tri is not None:
+            fact = BandedFactorization(tri, g, nvar * g, N, nvar, periodic,
+                                       halo=h)
+    if fact is None:
+        return factor_banded(axpy_bands(alpha, beta, J_bands), periodic)
     if not periodic or h == 0:
         return fact
     # wrap-coupling blocks, read straight from the (unmasked) banded J

@@ -23,7 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 #: tile length along the grid (lane-dim multiple)
-TILE = 2048
+TILE = 8192
 
 
 def stencil_applicable(backend, u, N):

@@ -767,6 +767,30 @@ def _assemble_from_split(Jg_t, alpha, beta):
     return L, D, U
 
 
+def _fused_chunk_plan(M, cap_C=4096, max_Mc=1 << 16):
+    """Pick (C, Mc) with C * Mc == M minimizing the post-row-blocking
+    sequential sweep depth Nb = Mc / row_block(Mc); ties broken by larger
+    Mc (fewer chunks -> smaller reduced interface system)."""
+    from .pallas_thomas import row_block
+
+    divs = set()
+    d = 1
+    while d * d <= M:
+        if M % d == 0:
+            divs.update((d, M // d))
+        d += 1
+    best = None
+    for Mc in sorted(divs):
+        C = M // Mc
+        if C > cap_C or C < 8 or Mc > max_Mc or Mc < 2:
+            continue
+        r = row_block(Mc, 0)  # pure divisor cap; byte budget applied in-kernel
+        key = (Mc // r, -Mc)
+        if best is None or key < best[0]:
+            best = (key, C, Mc)
+    return None if best is None else (best[1], best[2])
+
+
 def _chunked_factor_fused(J_bands, alpha, beta):
     """Fused assembly + factor: the pallas forward sweep reads raw band
     tiles in chunk layout and assembles each supernode row in-registers,
@@ -787,14 +811,15 @@ def _chunked_factor_fused(J_bands, alpha, beta):
     M = N // g
     if M < _CHUNK_MIN_M:
         return None
-    # fewer, fatter grid steps: the sweeps are bound by per-grid-step
-    # latency (~3us), so push C up until the sweep depth reaches ~32
-    C = 1
-    while C * 2 <= 4096 and M % (C * 2) == 0 and (M // (C * 2)) >= 32:
-        C *= 2
-    if C < 8:
+    # the sweeps are bound by per-grid-step latency, and the kernels process
+    # r rows per grid step (pallas_thomas.row_block), so choose (C, Mc) to
+    # minimize the post-blocking sequential depth Nb = Mc / r.  Any divisor
+    # C of M works: the chunk reshape needs M % C == 0 and the
+    # reduced-interface PCR handles arbitrary C via jnp.roll.
+    plan = _fused_chunk_plan(M)
+    if plan is None:
         return None
-    Mc = M // C
+    C, Mc = plan
     # (W, nvar, nvar, N) -> (W, nvar, nvar, C, Mc, g) -> (Mc, W, nvar, nvar, g, C)
     bands_c = jnp.transpose(
         J_bands.reshape(W, nvar, nvar, C, Mc, g), (4, 0, 1, 2, 5, 3)

@@ -13,6 +13,9 @@ Tiling: grid over N/T tiles; the halo is assembled from the left/right
 neighbor tiles, passed as additional inputs whose index maps are shifted by
 ±1 (with modular wrap, which equals the periodic closure when N % T == 0).
 The edge closure clamps the ghost cells in-kernel on the boundary tiles.
+The tile is chosen PER N (``pick_tile``): the kernels are bound by
+per-grid-step overhead (~10us each), so the fewer, fatter tiles the better —
+the only limits are VMEM and divisibility.
 """
 
 from __future__ import annotations
@@ -22,8 +25,44 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: tile length along the grid (lane-dim multiple)
-TILE = 8192
+#: tile-length search bounds (lane-dim)
+TILE_MAX = 1 << 16
+TILE_MIN = 512
+
+
+def pick_tile(N: int, halo: int = 0, max_tile: int = TILE_MAX):
+    """Largest divisor of N in [TILE_MIN, max_tile] (preferring lane-aligned
+    candidates), or None when N has no usable tiling.  ntiles >= 2 so the
+    ±1-shifted neighbor blocks are really distinct."""
+    if N < 2 * TILE_MIN:
+        return None
+    best = None
+    d = 1
+    while d * d <= N:
+        if N % d == 0:
+            for t in (d, N // d):
+                if (TILE_MIN <= t <= max_tile and N // t >= 2
+                        and t > 2 * max(halo, 1) and t % 128 == 0):
+                    # Mosaic requires lane-dim blocks divisible by 128
+                    if best is None or t > best:
+                        best = t
+        d += 1
+    return best
+
+
+def _tile_cap(backend) -> int:
+    """VMEM-driven tile cap: one grid step's blocks (J + split copy + the
+    haloed operand windows, double-buffered by pallas) must stay within a
+    ~8 MB budget."""
+    nvar = backend.system.nvar
+    W = backend.window
+    item = jnp.dtype(backend.dtype).itemsize
+    per_lane = 2 * W * nvar * nvar * item + 8 * nvar * item
+    return max(TILE_MIN, min(TILE_MAX, (4 << 20) // per_lane))
+
+
+def _backend_tile(backend, N):
+    return pick_tile(N, backend.halo, _tile_cap(backend))
 
 
 def stencil_applicable(backend, u, N):
@@ -33,9 +72,7 @@ def stencil_applicable(backend, u, N):
         return False
     if u.ndim != 2:
         return False
-    if N % TILE or N // TILE < 2:
-        return False
-    if backend.halo >= TILE:
+    if _backend_tile(backend, N) is None:
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -43,11 +80,11 @@ def stencil_applicable(backend, u, N):
         return False
 
 
-def _row_specs(rows, ntiles, shift):
+def _row_specs(rows, tile, ntiles, shift):
     """BlockSpec of a (rows, N) array tiled along N with a tile-index shift
     (modular: equals periodic wrap when the grid covers the array)."""
     return pl.BlockSpec(
-        (rows, TILE),
+        (rows, tile),
         lambda i, s=shift: (0, (i + s) % ntiles),
         memory_space=pltpu.VMEM,
     )
@@ -63,7 +100,8 @@ class _StencilCall:
         self.system = backend.system
         self.periodic = periodic
         self.N = N
-        self.ntiles = N // TILE
+        self.tile = _backend_tile(backend, N)
+        self.ntiles = N // self.tile
         self.h = backend.halo
         self.nvar = self.system.nvar
         self.nhelp = len(self.system.help_funcs)
@@ -71,21 +109,21 @@ class _StencilCall:
         self.dtype = backend.dtype
 
     def operands(self, u, helpers, pstack, x):
-        nt = self.ntiles
+        nt, tile = self.ntiles, self.tile
         ops = [u, u, u]
-        specs = [_row_specs(self.nvar, nt, -1),
-                 _row_specs(self.nvar, nt, 0),
-                 _row_specs(self.nvar, nt, 1)]
+        specs = [_row_specs(self.nvar, tile, nt, -1),
+                 _row_specs(self.nvar, tile, nt, 0),
+                 _row_specs(self.nvar, tile, nt, 1)]
         if self.nhelp:
             ops += [helpers, helpers, helpers]
-            specs += [_row_specs(self.nhelp, nt, -1),
-                      _row_specs(self.nhelp, nt, 0),
-                      _row_specs(self.nhelp, nt, 1)]
+            specs += [_row_specs(self.nhelp, tile, nt, -1),
+                      _row_specs(self.nhelp, tile, nt, 0),
+                      _row_specs(self.nhelp, tile, nt, 1)]
         if self.npar:
             ops.append(pstack)
-            specs.append(_row_specs(self.npar, nt, 0))
+            specs.append(_row_specs(self.npar, tile, nt, 0))
         ops.append(x)
-        specs.append(pl.BlockSpec((TILE,), lambda i: (i,),
+        specs.append(pl.BlockSpec((tile,), lambda i: (i,),
                                   memory_space=pltpu.VMEM))
         dx = ((x[-1] - x[0]) / (self.N - 1)).astype(self.dtype).reshape(1, 1)
         ops.append(dx)
@@ -127,9 +165,10 @@ class _StencilCall:
         for idx, name in enumerate(self.system.help_funcs):
             named[name] = he_win[idx]
         h = self.h
+        tile = self.tile
         args = [x_blk]
         for var, off in self.backend._offset_args:
-            args.append(named[var][h + off: h + off + TILE])
+            args.append(named[var][h + off: h + off + tile])
         for idx in range(self.npar):
             args.append(ps[idx])
         args.append(dx)
@@ -139,12 +178,12 @@ class _StencilCall:
 def eval_F(backend, u, helpers, pstack, x, periodic: bool):
     """F(u) as a tiled Pallas kernel; mirrors ArrayBackend.F_impl."""
     call = _StencilCall(backend, periodic, u.shape[-1])
-    nvar, dtype = call.nvar, call.dtype
+    nvar, dtype, tile = call.nvar, call.dtype, call.tile
 
     def kernel(*refs):
         out_ref = refs[-1]
         args = call.build_args(refs[:-1])
-        rows = [jnp.broadcast_to(jnp.asarray(fn(*args), dtype), (TILE,))
+        rows = [jnp.broadcast_to(jnp.asarray(fn(*args), dtype), (tile,))
                 for fn in backend._F_fns]
         out_ref[...] = jnp.stack(rows)
 
@@ -153,14 +192,10 @@ def eval_F(backend, u, helpers, pstack, x, periodic: bool):
         kernel,
         grid=(call.ntiles,),
         in_specs=specs,
-        out_specs=pl.BlockSpec((nvar, TILE), lambda i: (0, i),
+        out_specs=pl.BlockSpec((nvar, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nvar, call.N), dtype),
     )(*ops)
-
-
-def _iota_tile():
-    return jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)[0]
 
 
 def eval_J_bands(backend, u, helpers, pstack, x, periodic: bool,
@@ -177,18 +212,23 @@ def eval_J_bands(backend, u, helpers, pstack, x, periodic: bool,
     ~nothing; as an HBM-level strided gather it costs tens of ms at N=1e6.
     Returns J or (J, Jg)."""
     call = _StencilCall(backend, periodic, u.shape[-1])
-    nvar, dtype = call.nvar, call.dtype
+    nvar, dtype, tile = call.nvar, call.dtype, call.tile
     W = backend.window
     h = call.h
     g = max(h, 1)
     ntiles = call.ntiles
-    Mt = TILE // g
+    if split and tile % g:
+        split = False
+    Mt = tile // g if split else None
+
+    def _iota_tile():
+        return jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)[0]
 
     # static wrap-entry lists at node granularity (mirrors
     # ops.banded._wrapped_indices for the first/last tile)
     top_entries = [(k, i) for i in range(h) for k in range(h - i)]
     bottom_entries = [
-        (k, TILE - 1 - di)
+        (k, tile - 1 - di)
         for di in range(h)
         for k in range(W - 1, W - 1 - (h - di), -1)
     ]
@@ -202,11 +242,11 @@ def eval_J_bands(backend, u, helpers, pstack, x, periodic: bool,
             args = call.build_args(refs[:-1])
         tid = pl.program_id(0)
         iota = _iota_tile()
-        zero = jnp.zeros((TILE,), dtype)
+        zero = jnp.zeros((tile,), dtype)
         rows = {}
         for (m, n, k), fn in backend._J_fns.items():
             rows[(k, m, n)] = jnp.broadcast_to(
-                jnp.asarray(fn(*args), dtype), (TILE,)
+                jnp.asarray(fn(*args), dtype), (tile,)
             )
 
         def get(k, m, n):
@@ -228,7 +268,7 @@ def eval_J_bands(backend, u, helpers, pstack, x, periodic: bool,
                     for i in range(h):
                         for k in range(h - i):
                             koff = W - 1 - k
-                            loc = TILE - 1 - i
+                            loc = tile - 1 - i
                             mask = (tid == ntiles - 1) & (iota == loc)
                             src = get(koff, m, n)
                             rows[(h + i, m, n)] = jnp.where(
@@ -289,7 +329,7 @@ def eval_J_bands(backend, u, helpers, pstack, x, periodic: bool,
 
     ops, specs = call.operands(u, helpers, pstack, x)
     out_specs = [
-        pl.BlockSpec((W, nvar, nvar, TILE), lambda i: (0, 0, 0, i),
+        pl.BlockSpec((W, nvar, nvar, tile), lambda i: (0, 0, 0, i),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [jax.ShapeDtypeStruct((W, nvar, nvar, call.N), dtype)]
@@ -318,8 +358,7 @@ def matvec_applicable(bands, v):
         return False
     if v.ndim != 2 or bands.ndim != 4:
         return False
-    N = v.shape[-1]
-    if N % TILE or N // TILE < 2:
+    if _matvec_tile(bands, v) is None:
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -327,17 +366,26 @@ def matvec_applicable(bands, v):
         return False
 
 
+def _matvec_tile(bands, v):
+    W, nvar, _, N = bands.shape
+    item = jnp.dtype(v.dtype).itemsize
+    per_lane = W * nvar * nvar * item + 8 * nvar * item
+    cap = max(TILE_MIN, min(TILE_MAX, (4 << 20) // per_lane))
+    return pick_tile(N, W // 2, cap)
+
+
 def banded_matvec_pallas(bands, v, periodic: bool):
     """A @ v for banded A — tiled kernel version of ops.banded.banded_matvec
     (zero ghost contribution in edge mode: the caller's bands are folded)."""
     W, nvar, _, N = bands.shape
     h = W // 2
-    ntiles = N // TILE
+    tile = _matvec_tile(bands, v)
+    ntiles = N // tile
     dtype = v.dtype
 
-    bspec = pl.BlockSpec((W, nvar, nvar, TILE), lambda i: (0, 0, 0, i),
+    bspec = pl.BlockSpec((W, nvar, nvar, tile), lambda i: (0, 0, 0, i),
                          memory_space=pltpu.VMEM)
-    vspecs = [_row_specs(nvar, ntiles, s) for s in (-1, 0, 1)]
+    vspecs = [_row_specs(nvar, tile, ntiles, s) for s in (-1, 0, 1)]
 
     def kernel(b_ref, v_l, v_c, v_r, out_ref):
         i = pl.program_id(0)
@@ -361,7 +409,7 @@ def banded_matvec_pallas(bands, v, periodic: bool):
             acc = None
             for k in range(W):
                 for n in range(nvar):
-                    term = b_ref[k, m, n, :] * v_win[n, k: k + TILE]
+                    term = b_ref[k, m, n, :] * v_win[n, k: k + tile]
                     acc = term if acc is None else acc + term
             rows.append(acc)
         out_ref[...] = jnp.stack(rows)
@@ -370,7 +418,7 @@ def banded_matvec_pallas(bands, v, periodic: bool):
         kernel,
         grid=(ntiles,),
         in_specs=[bspec] + vspecs,
-        out_specs=pl.BlockSpec((nvar, TILE), lambda i: (0, i),
+        out_specs=pl.BlockSpec((nvar, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nvar, N), dtype),
     )(bands, v, v, v)

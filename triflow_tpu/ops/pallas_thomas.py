@@ -3,9 +3,14 @@
 The XLA ``lax.scan`` implementation of the chunk sweeps (ops/banded.py,
 ``_chunked_factor``/``_chunked_solve``) pays per-iteration dispatch overhead
 for every one of the Mc sequential steps; these kernels run the whole sweep
-inside one ``pallas_call`` with a sequential grid over Mc — carries live in
-VMEM scratch across grid steps and Pallas double-buffers the (s, s, C) block
-DMA automatically, so the sweep runs at HBM bandwidth.
+inside one ``pallas_call`` with a sequential grid — carries live in VMEM
+scratch across grid steps and Pallas double-buffers the block DMA
+automatically, so the sweep runs at HBM bandwidth.
+
+The sweeps are bound by per-grid-step latency (~3-10us each), not compute or
+bandwidth, so every kernel is ROW-BLOCKED: one grid step loads ``r``
+consecutive sweep rows and runs the recurrence over them as an unrolled
+in-register loop, cutting the sequential depth from Mc to Mc/r.
 
 Array convention (shared with ops/banded.py): chunk index C in the lane
 dimension, sweep index Mc as the (sequential) grid dimension, block dims
@@ -14,8 +19,6 @@ couplings (L[0] and U[Mc-1]) and passes them separately as Tl / Tr.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -85,81 +88,158 @@ def _inv(D):
     raise NotImplementedError(f"odd block size {s} not supported in kernel")
 
 
+def row_block(Mc: int, row_bytes: int, budget: int = 4 * 1024 * 1024,
+              cap: int = 16) -> int:
+    """Largest divisor of Mc that is <= cap and keeps one grid step's blocks
+    (row_bytes per row, double-buffered by pallas) within the VMEM budget."""
+    cap = max(1, min(cap, budget // max(row_bytes, 1), Mc))
+    for cand in range(cap, 0, -1):
+        if Mc % cand == 0:
+            return cand
+    return 1
+
+
 # ---------------------------------------------------------------------------
 # factor kernels
 # ---------------------------------------------------------------------------
 
-def _fwd_factor_kernel(L_ref, D_ref, U_ref, Tl_ref,
-                       fac_ref, Dhinv_ref, wt_ref,
-                       dhinv_c, uprev_c, wt_c):
-    j = pl.program_id(0)
+def _fwd_factor_kernel(r):
+    """Forward Thomas elimination over r-row blocks."""
 
-    @pl.when(j == 0)
-    def _():
-        dhinv_c[...] = jnp.zeros_like(dhinv_c)
-        uprev_c[...] = jnp.zeros_like(uprev_c)
-        wt_c[...] = jnp.zeros_like(wt_c)
+    def kernel(L_ref, D_ref, U_ref, Tl_ref,
+               fac_ref, Dhinv_ref, wt_ref,
+               dhinv_c, uprev_c, wt_c):
+        j = pl.program_id(0)
 
-    L_j = L_ref[0]
-    fac = _mm(L_j, dhinv_c[...])
-    Dhat = D_ref[0] - _mm(fac, uprev_c[...])
-    Dhinv = _inv(Dhat)
-    wt = jnp.where(j == 0, Tl_ref[...], -_mm(fac, wt_c[...]))
+        @pl.when(j == 0)
+        def _():
+            dhinv_c[...] = jnp.zeros_like(dhinv_c)
+            uprev_c[...] = jnp.zeros_like(uprev_c)
+            wt_c[...] = jnp.zeros_like(wt_c)
 
-    fac_ref[0] = fac
-    Dhinv_ref[0] = Dhinv
-    wt_ref[0] = wt
-    dhinv_c[...] = Dhinv
-    uprev_c[...] = U_ref[0]
-    wt_c[...] = wt
+        dhinv = dhinv_c[...]
+        uprev = uprev_c[...]
+        wt = wt_c[...]
+        for i in range(r):
+            fac = _mm(L_ref[i], dhinv)
+            dhinv = _inv(D_ref[i] - _mm(fac, uprev))
+            if i == 0:
+                wt = jnp.where(j == 0, Tl_ref[...], -_mm(fac, wt))
+            else:
+                wt = -_mm(fac, wt)
+            fac_ref[i] = fac
+            Dhinv_ref[i] = dhinv
+            wt_ref[i] = wt
+            uprev = U_ref[i]
+        dhinv_c[...] = dhinv
+        uprev_c[...] = uprev
+        wt_c[...] = wt
+
+    return kernel
 
 
-def _bwd_factor_kernel(Dhinv_ref, U_ref, wt_ref, Tr_ref,
-                       W_ref, V_ref, DU_ref,
-                       w_c, v_c):
-    j = pl.program_id(0)  # 0 = last sweep row (reversed index map)
+def _bwd_factor_kernel(r):
+    """Backward spike-construction sweep over r-row blocks (block index map
+    is reversed; rows are processed descending inside the block, so grid step
+    j == 0 / row i == r-1 is the globally LAST sweep row)."""
 
-    @pl.when(j == 0)
-    def _():
-        w_c[...] = jnp.zeros_like(w_c)
-        v_c[...] = jnp.zeros_like(v_c)
+    def kernel(Dhinv_ref, U_ref, wt_ref, Tr_ref,
+               W_ref, V_ref, DU_ref,
+               w_c, v_c):
+        j = pl.program_id(0)
 
-    Dhinv = Dhinv_ref[0]
-    DU = _mm(Dhinv, U_ref[0])
-    bV = jnp.where(j == 0, Tr_ref[...], jnp.zeros_like(Tr_ref[...]))
-    W = _mm(Dhinv, wt_ref[0]) - _mm(DU, w_c[...])
-    V = _mm(Dhinv, bV) - _mm(DU, v_c[...])
+        @pl.when(j == 0)
+        def _():
+            w_c[...] = jnp.zeros_like(w_c)
+            v_c[...] = jnp.zeros_like(v_c)
 
-    W_ref[0] = W
-    V_ref[0] = V
-    DU_ref[0] = DU
-    w_c[...] = W
-    v_c[...] = V
+        w = w_c[...]
+        v = v_c[...]
+        for i in reversed(range(r)):
+            Dhinv = Dhinv_ref[i]
+            DU = _mm(Dhinv, U_ref[i])
+            if i == r - 1:
+                bV = jnp.where(j == 0, Tr_ref[...],
+                               jnp.zeros_like(Tr_ref[...]))
+            else:
+                bV = jnp.zeros_like(Tr_ref[...])
+            w_new = _mm(Dhinv, wt_ref[i]) - _mm(DU, w)
+            v_new = _mm(Dhinv, bV) - _mm(DU, v)
+            W_ref[i] = w_new
+            V_ref[i] = v_new
+            DU_ref[i] = DU
+            w = w_new
+            v = v_new
+        w_c[...] = w
+        v_c[...] = v
+
+    return kernel
+
+
+def _bwd_factor_call(Dhinv, Uc, wt, Tr, Mc, s, C, dtype, r):
+    Nb = Mc // r
+    blk = (r, s, s, C)
+
+    def bwd_spec(j):
+        return (Nb - 1 - j, 0, 0, 0)
+
+    def const3(j):
+        return (0, 0, 0)
+
+    return pl.pallas_call(
+        _bwd_factor_kernel(r),
+        grid=(Nb,),
+        in_specs=[
+            pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, s, C), const3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Mc, s, s, C), dtype),
+            jax.ShapeDtypeStruct((Mc, s, s, C), dtype),
+            jax.ShapeDtypeStruct((Mc, s, s, C), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((s, s, C), dtype),
+            pltpu.VMEM((s, s, C), dtype),
+        ],
+    )(Dhinv, Uc, wt, Tr)
 
 
 def chunked_factor_sweeps(Lc, Dc, Uc, Tl, Tr):
     """Run the factor sweeps (forward Thomas elimination + backward spike
-    construction) as two pallas_calls.
+    construction) as two row-blocked pallas_calls.
 
     Inputs: (Mc, s, s, C) arrays with L[0] and U[Mc-1] already zeroed; Tl/Tr
     the cross-chunk couplings (s, s, C).
     Returns fac, Dhinv, W, V, DU — all (Mc, s, s, C)."""
     Mc, s, _, C = Lc.shape
-    blk = (1, s, s, C)
     dtype = Dc.dtype
+    blk_bytes = s * s * C * Dc.dtype.itemsize
+    r = row_block(Mc, 7 * blk_bytes)
+    Nb = Mc // r
+    blk = (r, s, s, C)
 
     def fwd_spec(j):
         return (j, 0, 0, 0)
 
+    def const3(j):
+        return (0, 0, 0)
+
     fac, Dhinv, wt = pl.pallas_call(
-        _fwd_factor_kernel,
-        grid=(Mc,),
+        _fwd_factor_kernel(r),
+        grid=(Nb,),
         in_specs=[
             pl.BlockSpec(blk, fwd_spec, memory_space=pltpu.VMEM),
             pl.BlockSpec(blk, fwd_spec, memory_space=pltpu.VMEM),
             pl.BlockSpec(blk, fwd_spec, memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, s, C), lambda j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, s, C), const3, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec(blk, fwd_spec, memory_space=pltpu.VMEM),
@@ -178,34 +258,7 @@ def chunked_factor_sweeps(Lc, Dc, Uc, Tl, Tr):
         ],
     )(Lc, Dc, Uc, Tl)
 
-    def bwd_spec(j):
-        return (Mc - 1 - j, 0, 0, 0)
-
-    W, V, DU = pl.pallas_call(
-        _bwd_factor_kernel,
-        grid=(Mc,),
-        in_specs=[
-            pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, s, C), lambda j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Mc, s, s, C), dtype),
-            jax.ShapeDtypeStruct((Mc, s, s, C), dtype),
-            jax.ShapeDtypeStruct((Mc, s, s, C), dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((s, s, C), dtype),
-            pltpu.VMEM((s, s, C), dtype),
-        ],
-    )(Dhinv, Uc, wt, Tr)
+    W, V, DU = _bwd_factor_call(Dhinv, Uc, wt, Tr, Mc, s, C, dtype, r)
     return fac, Dhinv, W, V, DU
 
 
@@ -256,8 +309,12 @@ def fused_factor_sweeps(bands_c, alpha, beta):
     h = W // 2
     s = nvar * g
     dtype = bands_c.dtype
-    band_blk = (1, W, nvar, nvar, g, C)
-    blk = (1, s, s, C)
+    band_bytes = W * nvar * nvar * g * C * bands_c.dtype.itemsize
+    blk_bytes = s * s * C * bands_c.dtype.itemsize
+    r = row_block(Mc, band_bytes + 4 * blk_bytes)
+    Nb = Mc // r
+    band_blk = (r, W, nvar, nvar, g, C)
+    blk = (r, s, s, C)
 
     def fwd_band(j):
         return (j, 0, 0, 0, 0, 0)
@@ -271,51 +328,67 @@ def fused_factor_sweeps(bands_c, alpha, beta):
     def fwd_kernel(ab_ref, b_ref, fac_ref, Dhinv_ref, wt_ref, U_ref,
                    Tl_ref, Tr_ref, dhinv_c, uprev_c, wt_c):
         j = pl.program_id(0)
-        Mc_n = pl.num_programs(0)
+        Nb_n = pl.num_programs(0)
         alpha = ab_ref[0, 0]
         beta = ab_ref[0, 1]
-        b_blk = b_ref[0]
         iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)[0]
-
-        L_row = _row_from_bands(b_blk, alpha, beta, g, nvar, h, W, -1, C, dtype)
-        D_row = _row_from_bands(b_blk, alpha, beta, g, nvar, h, W, 0, C, dtype)
-        U_row = _row_from_bands(b_blk, alpha, beta, g, nvar, h, W, 1, C, dtype)
-
-        # cross-chunk couplings: captured at the boundary rows, masked for
-        # the boundary chunks, zeroed out of the tri part
-        Tl = jnp.where(iota_c == 0, 0.0, L_row)
-        Tr = jnp.where(iota_c == C - 1, 0.0, U_row)
-        L_row = jnp.where(j == 0, 0.0, L_row)
-        U_row = jnp.where(j == Mc_n - 1, 0.0, U_row)
 
         @pl.when(j == 0)
         def _():
             dhinv_c[...] = jnp.zeros_like(dhinv_c)
             uprev_c[...] = jnp.zeros_like(uprev_c)
             wt_c[...] = jnp.zeros_like(wt_c)
-            Tl_ref[...] = Tl
 
-        @pl.when(j == Mc_n - 1)
-        def _():
-            Tr_ref[...] = Tr
+        dhinv = dhinv_c[...]
+        uprev = uprev_c[...]
+        wt = wt_c[...]
+        for i in range(r):
+            b_blk = b_ref[i]
+            L_row = _row_from_bands(b_blk, alpha, beta, g, nvar, h, W,
+                                    -1, C, dtype)
+            D_row = _row_from_bands(b_blk, alpha, beta, g, nvar, h, W,
+                                    0, C, dtype)
+            U_row = _row_from_bands(b_blk, alpha, beta, g, nvar, h, W,
+                                    1, C, dtype)
+            # cross-chunk couplings: captured at the boundary rows, masked
+            # for the boundary chunks, zeroed out of the tri part
+            if i == 0:
+                Tl = jnp.where(iota_c == 0, 0.0, L_row)
 
-        fac = _mm(L_row, dhinv_c[...])
-        Dhinv = _inv(D_row - _mm(fac, uprev_c[...]))
-        wt = jnp.where(j == 0, Tl, -_mm(fac, wt_c[...]))
+                @pl.when(j == 0)
+                def _(Tl=Tl):
+                    Tl_ref[...] = Tl
 
-        fac_ref[0] = fac
-        Dhinv_ref[0] = Dhinv
-        wt_ref[0] = wt
-        U_ref[0] = U_row
-        dhinv_c[...] = Dhinv
-        uprev_c[...] = U_row
+                L_row = jnp.where(j == 0, 0.0, L_row)
+            if i == r - 1:
+                Tr = jnp.where(iota_c == C - 1, 0.0, U_row)
+
+                @pl.when(j == Nb_n - 1)
+                def _(Tr=Tr):
+                    Tr_ref[...] = Tr
+
+                U_row = jnp.where(j == Nb_n - 1, 0.0, U_row)
+
+            fac = _mm(L_row, dhinv)
+            dhinv = _inv(D_row - _mm(fac, uprev))
+            if i == 0:
+                wt = jnp.where(j == 0, Tl, -_mm(fac, wt))
+            else:
+                wt = -_mm(fac, wt)
+            fac_ref[i] = fac
+            Dhinv_ref[i] = dhinv
+            wt_ref[i] = wt
+            U_ref[i] = U_row
+            uprev = U_row
+        dhinv_c[...] = dhinv
+        uprev_c[...] = uprev
         wt_c[...] = wt
 
     ab = jnp.stack([jnp.asarray(alpha, dtype),
                     jnp.asarray(beta, dtype)]).reshape(1, 2)
     fac, Dhinv, wt, Uc, Tl, Tr = pl.pallas_call(
         fwd_kernel,
-        grid=(Mc,),
+        grid=(Nb,),
         in_specs=[
             pl.BlockSpec((1, 2), lambda j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(band_blk, fwd_band, memory_space=pltpu.VMEM),
@@ -343,33 +416,7 @@ def fused_factor_sweeps(bands_c, alpha, beta):
         ],
     )(ab, bands_c)
 
-    def bwd_spec(j):
-        return (Mc - 1 - j, 0, 0, 0)
-
-    W_, V_, DU = pl.pallas_call(
-        _bwd_factor_kernel,
-        grid=(Mc,),
-        in_specs=[
-            pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, s, C), const3, memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Mc, s, s, C), dtype),
-            jax.ShapeDtypeStruct((Mc, s, s, C), dtype),
-            jax.ShapeDtypeStruct((Mc, s, s, C), dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((s, s, C), dtype),
-            pltpu.VMEM((s, s, C), dtype),
-        ],
-    )(Dhinv, Uc, wt, Tr)
+    W_, V_, DU = _bwd_factor_call(Dhinv, Uc, wt, Tr, Mc, s, C, dtype, r)
     return fac, Dhinv, Uc, W_, V_, DU, Tl, Tr
 
 
@@ -377,59 +424,77 @@ def fused_factor_sweeps(bands_c, alpha, beta):
 # solve kernels
 # ---------------------------------------------------------------------------
 
-def _fwd_solve_kernel(fac_ref, b_ref, bt_ref, bt_c):
-    j = pl.program_id(0)
+def _fwd_solve_kernel(r):
+    def kernel(fac_ref, b_ref, bt_ref, bt_c):
+        j = pl.program_id(0)
 
-    @pl.when(j == 0)
-    def _():
-        bt_c[...] = jnp.zeros_like(bt_c)
+        @pl.when(j == 0)
+        def _():
+            bt_c[...] = jnp.zeros_like(bt_c)
 
-    bt = b_ref[0] - _mv(fac_ref[0], bt_c[...])
-    bt_ref[0] = bt
-    bt_c[...] = bt
+        bt = bt_c[...]
+        for i in range(r):
+            bt = b_ref[i] - _mv(fac_ref[i], bt)
+            bt_ref[i] = bt
+        bt_c[...] = bt
 
-
-def _bwd_solve_kernel(Dhinv_ref, DU_ref, bt_ref, y_ref, y_c):
-    j = pl.program_id(0)
-
-    @pl.when(j == 0)
-    def _():
-        y_c[...] = jnp.zeros_like(y_c)
-
-    y = _mv(Dhinv_ref[0], bt_ref[0]) - _mv(DU_ref[0], y_c[...])
-    y_ref[0] = y
-    y_c[...] = y
+    return kernel
 
 
-def _solve_kernel(fac_ref, Dhinv_ref, DU_ref, b_ref, y_ref, bt_c, bt_all):
-    """Both Thomas solve sweeps in ONE sequential grid of 2*Mc steps: the
+def _bwd_solve_kernel(r):
+    def kernel(Dhinv_ref, DU_ref, bt_ref, y_ref, y_c):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            y_c[...] = jnp.zeros_like(y_c)
+
+        y = y_c[...]
+        for i in reversed(range(r)):
+            y = _mv(Dhinv_ref[i], bt_ref[i]) - _mv(DU_ref[i], y)
+            y_ref[i] = y
+        y_c[...] = y
+
+    return kernel
+
+
+def _solve_kernel(r):
+    """Both Thomas solve sweeps in ONE sequential grid of 2*Nb steps: the
     forward pass stores the reduced RHS in a VMEM scratch spanning the whole
     chunk depth; the backward pass reads it back — one kernel launch, no HBM
     round-trip for the intermediate."""
-    jj = pl.program_id(0)
-    Mc2 = pl.num_programs(0)
-    Mc = Mc2 // 2
 
-    @pl.when(jj == 0)
-    def _():
-        bt_c[...] = jnp.zeros_like(bt_c)
+    def kernel(fac_ref, Dhinv_ref, DU_ref, b_ref, y_ref, bt_c, bt_all):
+        jj = pl.program_id(0)
+        Nb2 = pl.num_programs(0)
+        Nb = Nb2 // 2
 
-    @pl.when(jj < Mc)
-    def _():
-        bt = b_ref[0] - _mv(fac_ref[0], bt_c[...])
-        bt_all[jj] = bt
-        bt_c[...] = bt
+        @pl.when(jj == 0)
+        def _():
+            bt_c[...] = jnp.zeros_like(bt_c)
 
-    @pl.when(jj == Mc)
-    def _():
-        bt_c[...] = jnp.zeros_like(bt_c)
+        @pl.when(jj < Nb)
+        def _():
+            bt = bt_c[...]
+            for i in range(r):
+                bt = b_ref[i] - _mv(fac_ref[i], bt)
+                bt_all[jj * r + i] = bt
+            bt_c[...] = bt
 
-    @pl.when(jj >= Mc)
-    def _():
-        j = 2 * Mc - 1 - jj  # Mc-1 ... 0
-        y = _mv(Dhinv_ref[0], bt_all[j]) - _mv(DU_ref[0], bt_c[...])
-        y_ref[0] = y
-        bt_c[...] = y
+        @pl.when(jj == Nb)
+        def _():
+            bt_c[...] = jnp.zeros_like(bt_c)
+
+        @pl.when(jj >= Nb)
+        def _():
+            j = 2 * Nb - 1 - jj  # block Nb-1 ... 0
+            y = bt_c[...]
+            for i in reversed(range(r)):
+                y = _mv(Dhinv_ref[i], bt_all[j * r + i]) - _mv(DU_ref[i], y)
+                y_ref[i] = y
+            bt_c[...] = y
+
+    return kernel
 
 
 def chunked_solve_sweeps(fac, Dhinv, DU, bc):
@@ -438,17 +503,22 @@ def chunked_solve_sweeps(fac, Dhinv, DU, bc):
     bc has shape (Mc, s, C) or (Mc, R, s, C) for R simultaneous right-hand
     sides (the Woodbury / SPIKE coupling columns) — the kernels broadcast
     over the extra axis."""
+    import numpy as _np
+
     Mc = bc.shape[0]
     s, C = bc.shape[-2:]
     dtype = bc.dtype
-    mat_blk = (1, s, s, C)
     vec_shape = bc.shape[1:]
-    vec_blk = (1,) + vec_shape
+    vec_bytes = int(_np.prod(vec_shape)) * bc.dtype.itemsize
+    blk_bytes = s * s * C * bc.dtype.itemsize
+    r = row_block(Mc, 3 * blk_bytes + 2 * vec_bytes)
+    Nb = Mc // r
+    mat_blk = (r, s, s, C)
+    vec_blk = (r,) + vec_shape
 
     # the fused single-launch variant keeps the intermediate in VMEM: only
     # usable when it fits alongside the pipeline buffers
-    import numpy as _np
-    bt_bytes = Mc * int(_np.prod(vec_shape)) * bc.dtype.itemsize
+    bt_bytes = Mc * vec_bytes
     if bt_bytes > 6 * 1024 * 1024:
         def fwd_mat(j):
             return (j, 0, 0, 0)
@@ -457,8 +527,8 @@ def chunked_solve_sweeps(fac, Dhinv, DU, bc):
             return (j,) + (0,) * len(vec_shape)
 
         bt = pl.pallas_call(
-            _fwd_solve_kernel,
-            grid=(Mc,),
+            _fwd_solve_kernel(r),
+            grid=(Nb,),
             in_specs=[
                 pl.BlockSpec(mat_blk, fwd_mat, memory_space=pltpu.VMEM),
                 pl.BlockSpec(vec_blk, fwd_vec, memory_space=pltpu.VMEM),
@@ -469,14 +539,14 @@ def chunked_solve_sweeps(fac, Dhinv, DU, bc):
         )(fac, bc)
 
         def bwd_mat(j):
-            return (Mc - 1 - j, 0, 0, 0)
+            return (Nb - 1 - j, 0, 0, 0)
 
         def bwd_vec(j):
-            return (Mc - 1 - j,) + (0,) * len(vec_shape)
+            return (Nb - 1 - j,) + (0,) * len(vec_shape)
 
         return pl.pallas_call(
-            _bwd_solve_kernel,
-            grid=(Mc,),
+            _bwd_solve_kernel(r),
+            grid=(Nb,),
             in_specs=[
                 pl.BlockSpec(mat_blk, bwd_mat, memory_space=pltpu.VMEM),
                 pl.BlockSpec(mat_blk, bwd_mat, memory_space=pltpu.VMEM),
@@ -487,31 +557,31 @@ def chunked_solve_sweeps(fac, Dhinv, DU, bc):
             scratch_shapes=[pltpu.VMEM(vec_shape, dtype)],
         )(Dhinv, DU, bt)
 
-    # grid step jj: forward row jj for jj < Mc, backward row 2Mc-1-jj after
-    def fwd_row(jj):
-        return jnp.minimum(jj, Mc - 1)
+    # grid step jj: forward block jj for jj < Nb, backward block 2Nb-1-jj
+    def fwd_blk_idx(jj):
+        return jnp.minimum(jj, Nb - 1)
 
-    def bwd_row(jj):
-        # during the forward phase (jj < Mc) this parks on row Mc-1; the
+    def bwd_blk_idx(jj):
+        # during the forward phase (jj < Nb) this parks on block Nb-1; the
         # block is only flushed once its index changes, by which time the
-        # backward phase has written the real value
-        return jnp.clip(2 * Mc - 1 - jj, 0, Mc - 1)
+        # backward phase has written the real values
+        return jnp.clip(2 * Nb - 1 - jj, 0, Nb - 1)
 
     def mat_fwd(jj):
-        return (fwd_row(jj), 0, 0, 0)
+        return (fwd_blk_idx(jj), 0, 0, 0)
 
     def mat_bwd(jj):
-        return (bwd_row(jj), 0, 0, 0)
+        return (bwd_blk_idx(jj), 0, 0, 0)
 
     def vec_fwd(jj):
-        return (fwd_row(jj),) + (0,) * len(vec_shape)
+        return (fwd_blk_idx(jj),) + (0,) * len(vec_shape)
 
     def vec_bwd(jj):
-        return (bwd_row(jj),) + (0,) * len(vec_shape)
+        return (bwd_blk_idx(jj),) + (0,) * len(vec_shape)
 
     y = pl.pallas_call(
-        _solve_kernel,
-        grid=(2 * Mc,),
+        _solve_kernel(r),
+        grid=(2 * Nb,),
         in_specs=[
             pl.BlockSpec(mat_blk, mat_fwd, memory_space=pltpu.VMEM),
             pl.BlockSpec(mat_blk, mat_bwd, memory_space=pltpu.VMEM),

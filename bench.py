@@ -24,7 +24,9 @@ def main():
     import jax.numpy as jnp
 
     N = int(os.environ.get("BENCH_N", 1_000_000))
-    STEPS_PER_CHUNK = int(os.environ.get("BENCH_STEPS", 20))
+    # enough steps per device scan to amortize the per-call dispatch (the
+    # production Simulation also scans many internal steps between outputs)
+    STEPS_PER_CHUNK = int(os.environ.get("BENCH_STEPS", 100))
     REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
     DT = 0.05
 
@@ -50,15 +52,41 @@ def main():
     helpers = jnp.zeros((0, N), dtype)
     pstack = jnp.zeros((0, N), dtype)
 
-    def chain(carry, _):
-        t, u = carry
-        u2, _h, _p, _x, _err = fixed(t, u, helpers, pstack, x, DT)
-        return (t + DT, u2), ()
+    # folded-native stepping when available: the scan carries the state in
+    # the chunk-native layout, paying the fold/unfold transpose once per
+    # chunk instead of per step (ops/folded.py)
+    folded_api = scheme.device_fixed_step_folded(N, periodic=True)
+    if folded_api is not None:
+        from triflow_tpu.ops import folded as fl
 
-    @jax.jit
-    def run_chunk(t, u):
-        (t2, u2), _ = jax.lax.scan(chain, (t, u), length=STEPS_PER_CHUNK)
-        return t2, u2
+        plan, fixed_f = folded_api
+        hf = fl.fold(helpers, plan)
+        pf = fl.fold(pstack, plan)
+        xf = fl.fold(x, plan)
+        dx_val = jnp.asarray((x[-1] - x[0]) / (N - 1), dtype)
+
+        def chain(carry, _):
+            t, uf = carry
+            uf2, _err = fixed_f(t, uf, hf, pf, xf, dx_val, DT)
+            return (t + DT, uf2), ()
+
+        @jax.jit
+        def run_chunk(t, u):
+            uf = fl.fold(u, plan)
+            (t2, uf2), _ = jax.lax.scan(chain, (t, uf),
+                                        length=STEPS_PER_CHUNK)
+            return t2, fl.unfold(uf2, plan)
+    else:
+        def chain(carry, _):
+            t, u = carry
+            u2, _h, _p, _x, _err = fixed(t, u, helpers, pstack, x, DT)
+            return (t + DT, u2), ()
+
+        @jax.jit
+        def run_chunk(t, u):
+            (t2, u2), _ = jax.lax.scan(chain, (t, u),
+                                       length=STEPS_PER_CHUNK)
+            return t2, u2
 
     # warmup (compile)
     t = jnp.asarray(0.0, dtype)

@@ -1,0 +1,98 @@
+"""Folded (chunk-native) hot-path equivalence vs the node-layout reference
+path, run through pallas interpret mode on the CPU mesh (ops/folded.py).
+
+The folded layout is the TPU production path (bench.py); these tests pin its
+numerics to the generic ArrayBackend implementation for every closure mode:
+cyclic reduced system (power-of-two C), folded Woodbury (non-power-of-two C),
+and the edge (non-periodic) clamp."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from triflow_tpu import Model, schemes
+from triflow_tpu.ops import folded
+
+
+@pytest.fixture()
+def interpret_pallas(monkeypatch):
+    monkeypatch.setenv("TRIFLOW_PALLAS_INTERPRET", "1")
+
+
+def _fixed_step_pair(model, N, periodic, monkeypatch):
+    be = model.backend
+    dtype = be.dtype
+    x = np.arange(N) * 0.5
+    rng = np.random.RandomState(1)
+    u0 = np.stack(
+        [np.cos(2 * np.pi * np.arange(N) / N * 7 + i) + 0.05 * rng.randn(N)
+         for i in range(be.system.nvar)])
+    pstack = be.pack_pars({p: 0.7 for p in be.system.pars}, x)
+    helpers = jnp.zeros((0, N), dtype)
+    args = (jnp.asarray(0.0, dtype), jnp.asarray(u0, dtype), helpers,
+            jnp.asarray(pstack, dtype), jnp.asarray(x, dtype), 0.02)
+
+    scheme = schemes.RODASPR(model, time_stepping=False, tol=None)
+    assert folded.folded_plan_for(be, np.asarray(u0), x) is not None
+    u_fold = scheme.device_fixed_step(periodic=periodic)(*args)[0]
+
+    monkeypatch.setenv("TRIFLOW_NO_FOLDED", "1")
+    scheme2 = schemes.RODASPR(model, time_stepping=False, tol=None)
+    u_node = scheme2.device_fixed_step(periodic=periodic)(*args)[0]
+    monkeypatch.delenv("TRIFLOW_NO_FOLDED")
+    return np.asarray(u_fold), np.asarray(u_node)
+
+
+@pytest.mark.parametrize("N,periodic", [
+    (4096, True),    # power-of-two C -> cyclic reduced PCR
+    (4096, False),   # edge clamp
+    (6144, True),    # C = 192 -> folded Woodbury correction
+])
+def test_folded_row_step_matches_node_path(interpret_pallas, monkeypatch,
+                                           N, periodic):
+    model = Model("-dxxU - dxxxxU - U * dxU", "U")
+    u_fold, u_node = _fixed_step_pair(model, N, periodic, monkeypatch)
+    assert np.allclose(u_fold, u_node, rtol=1e-11, atol=1e-11)
+
+
+def test_folded_two_variable_system(interpret_pallas, monkeypatch):
+    model = Model(["c2 * dxxu", "v"], ["v", "u"], ["c2"])
+    u_fold, u_node = _fixed_step_pair(model, 4096, True, monkeypatch)
+    assert np.allclose(u_fold, u_node, rtol=1e-11, atol=1e-11)
+
+
+def test_fold_unfold_roundtrip():
+    plan = folded.make_plan(4096, 1, 2, 5)
+    assert plan is not None
+    a = np.arange(3 * 4096, dtype=np.float64).reshape(3, 4096)
+    af = folded.fold(jnp.asarray(a), plan)
+    assert af.shape == (3, plan.K, plan.C)
+    # folded element (k, c) is node c*K + k
+    assert float(af[1, 3, 5]) == a[1, 5 * plan.K + 3]
+    assert np.array_equal(np.asarray(folded.unfold(af, plan)), a)
+
+
+def test_cyclic_pcr_matches_dense():
+    from triflow_tpu.ops.banded import _pcr_factor, _pcr_solve
+
+    rng = np.random.RandomState(0)
+    M, s = 16, 2
+    L = rng.randn(s, s, M) * 0.2
+    U = rng.randn(s, s, M) * 0.2
+    D = rng.randn(s, s, M) * 0.2 + np.eye(s)[:, :, None] * 3
+    b = rng.randn(s, M)
+    fact = _pcr_factor(jnp.asarray(L), jnp.asarray(D), jnp.asarray(U),
+                       cyclic=True)
+    x = np.asarray(_pcr_solve(fact, jnp.asarray(b)))
+    A = np.zeros((s * M, s * M))
+    for i in range(M):
+        A[i*s:(i+1)*s, i*s:(i+1)*s] = D[:, :, i]
+        A[i*s:(i+1)*s, ((i-1) % M)*s:((i-1) % M + 1)*s] += L[:, :, i]
+        A[i*s:(i+1)*s, ((i+1) % M)*s:((i+1) % M + 1)*s] += U[:, :, i]
+    bflat = np.concatenate([b[:, i] for i in range(M)])
+    xr = np.linalg.solve(A, bflat)
+    xr = np.stack([xr[i*s:(i+1)*s] for i in range(M)], axis=-1)
+    assert np.allclose(x, xr, rtol=1e-10, atol=1e-12)

@@ -174,6 +174,63 @@ class _SchemeBase:
 # Rosenbrock-Wanner family
 # ---------------------------------------------------------------------------
 
+def _row_folded_core(backend, plan, alpha, gamma, b, b_pred, s, periodic,
+                     uf, hf, pf, xf, dx, dt):
+    """One fixed ROW step on folded-layout state (nvar, K, C) — F/J/factor/
+    solve all run chunk-native with no layout transposes (ops/folded.py).
+    Returns (uf_new, err)."""
+    from ..ops import folded as fl
+
+    bands_f = fl.eval_J_folded(backend, uf, hf, pf, xf, dx, periodic, plan)
+    fact = fl.factor_folded(1.0, -gamma[0, 0] * dt, bands_f, periodic, plan)
+    ks = []
+    for i in range(s):
+        u_i = uf
+        for j in range(i):
+            if alpha[i, j]:
+                u_i = u_i + alpha[i, j] * ks[j]
+        F_i = fl.eval_F_folded(backend, u_i, hf, pf, xf, dx, periodic, plan)
+        rhs = dt * F_i
+        gsum = None
+        for j in range(i):
+            if gamma[i, j]:
+                gsum = (gamma[i, j] * ks[j] if gsum is None
+                        else gsum + gamma[i, j] * ks[j])
+        if gsum is not None:
+            rhs = rhs + dt * fl.matvec_folded(bands_f, gsum, periodic, plan)
+        ks.append(fact.solve(rhs))
+    u_new = uf
+    for i in range(s):
+        u_new = u_new + b[i] * ks[i]
+    if b_pred is not None:
+        diff = None
+        for i in range(s):
+            c = b[i] - b_pred[i]
+            if c:
+                diff = c * ks[i] if diff is None else diff + c * ks[i]
+        err = jnp.max(jnp.abs(diff))
+        err = jnp.where(jnp.isnan(err) | jnp.isinf(err), jnp.inf, err)
+    else:
+        err = jnp.asarray(jnp.inf, dtype=uf.dtype)
+    return u_new, err
+
+
+def _row_fixed_step_folded(backend, plan, alpha, gamma, b, b_pred, s,
+                           periodic, u, helpers, pstack, x, dt):
+    """Node-layout wrapper around the folded core: fold in, step, unfold."""
+    from ..ops import folded as fl
+
+    uf = fl.fold(u, plan)
+    hf = fl.fold(helpers, plan)
+    pf = fl.fold(pstack, plan)
+    xf = fl.fold(x, plan)
+    N = x.shape[-1]
+    dx = (x[..., -1] - x[..., 0]) / (N - 1)
+    u_new, err = _row_folded_core(backend, plan, alpha, gamma, b, b_pred, s,
+                                  periodic, uf, hf, pf, xf, dx, dt)
+    return fl.unfold(u_new, plan), helpers, pstack, x, err
+
+
 class ROW_general(_SchemeBase):
     """Generic s-stage Rosenbrock-Wanner solver with one banded factorization
     per step reused across all stages, embedded-order error estimate and an
@@ -213,6 +270,13 @@ class ROW_general(_SchemeBase):
 
         def fixed_step(t, u, helpers, pstack, x, dt):
             u, helpers, pstack, x = problem.apply_hook(t, u, helpers, pstack, x)
+            from ..ops import folded as _folded
+
+            plan = _folded.folded_plan_for(problem.backend, u, x)
+            if plan is not None:
+                return _row_fixed_step_folded(
+                    problem.backend, plan, alpha, gamma, b, b_pred, s,
+                    periodic, u, helpers, pstack, x, dt)
             J, Jg = problem.J_system(u, helpers, pstack, x)
             fact = factor_linearized(1.0, -gamma[0, 0] * dt, J, Jg, periodic)
             ks = []
@@ -248,6 +312,29 @@ class ROW_general(_SchemeBase):
             return u_new, helpers, pstack, x, err
 
         return fixed_step
+
+    def device_fixed_step_folded(self, N, periodic=True):
+        """Folded-native fixed step for scan-level stepping (the bench hot
+        loop keeps the state folded across steps instead of paying the
+        fold/unfold transpose per step).
+
+        Returns ``(plan, fixed_f)`` with
+        ``fixed_f(t, uf, hf, pf, xf, dx, dt) -> (uf', err)``, or ``None``
+        when the folded path does not apply."""
+        from ..ops import folded as fl
+
+        backend = self._model.backend
+        plan = fl.plan_for_backend(backend, N)
+        if plan is None:
+            return None
+        alpha, gamma, b = self._alpha, self._gamma, self._b
+        b_pred, s = self._b_pred, self._s
+
+        def fixed_f(t, uf, hf, pf, xf, dx, dt):
+            return _row_folded_core(backend, plan, alpha, gamma, b, b_pred,
+                                    s, periodic, uf, hf, pf, xf, dx, dt)
+
+        return plan, fixed_f
 
     def _build_stepper(self, problem):
         fixed_step = self._fixed_step_fn(problem)

@@ -328,9 +328,14 @@ class ChunkedFactor:
         return cls(*leaves, *aux)
 
 
-def _pcr_factor(L, D, U):
+def _pcr_factor(L, D, U, cyclic: bool = False):
     """Parallel-cyclic-reduction factorization of a block-tridiagonal system
     given as (..., s, s, M) stacks.
+
+    With ``cyclic=True`` (requires power-of-two M) the ring couplings are
+    kept: the rolls wrap naturally and after log2(M) levels the leftover
+    distance-M couplings ARE the diagonal (row i +- M = row i), absorbed into
+    the final block inverse — periodic closure with no Woodbury correction.
 
     PCR keeps all M equations at every level (no odd/even shrinking): level
     l eliminates the couplings at distance 2**l by combining each row with
@@ -345,6 +350,8 @@ def _pcr_factor(L, D, U):
     block-diagonal inverse; a solve is then log2(M) fused multiply-add
     passes over the RHS."""
     M = L.shape[-1]
+    if cyclic and M & (M - 1):
+        raise ValueError("cyclic PCR requires power-of-two M")
     idx = jnp.arange(M)
     levels = []
     d = 1
@@ -352,16 +359,20 @@ def _pcr_factor(L, D, U):
         Dinv = _small_inv(D)
         alpha = -_mm(L, _roll_blocks(Dinv, d))
         beta = -_mm(U, _roll_blocks(Dinv, -d))
-        # rows whose +-d neighbor falls outside the system keep no coupling
-        # (the rolled operands would be wrap-around junk)
-        alpha = jnp.where(idx >= d, alpha, 0.0)
-        beta = jnp.where(idx < M - d, beta, 0.0)
+        if not cyclic:
+            # rows whose +-d neighbor falls outside the system keep no
+            # coupling (the rolled operands would be wrap-around junk)
+            alpha = jnp.where(idx >= d, alpha, 0.0)
+            beta = jnp.where(idx < M - d, beta, 0.0)
         newD = D + _mm(alpha, _roll_blocks(U, d)) + _mm(beta, _roll_blocks(L, -d))
         newL = _mm(alpha, _roll_blocks(L, d))
         newU = _mm(beta, _roll_blocks(U, -d))
         levels.append((alpha, beta, d))
         L, D, U = newL, newD, newU
         d *= 2
+    if cyclic:
+        # the surviving couplings sit at distance M == 0 (mod M): diagonal
+        D = D + L + U
     return PcrFactor([a for a, _, _ in levels], [b for _, b, _ in levels],
                      _small_inv(D), [d for _, _, d in levels])
 

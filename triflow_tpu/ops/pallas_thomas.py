@@ -26,6 +26,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _pcall(*args, **kw):
+    """pallas_call with an env-controlled interpret switch (CPU testing)."""
+    import os
+    if os.environ.get("TRIFLOW_PALLAS_INTERPRET"):
+        kw.setdefault("interpret", True)
+    return pl.pallas_call(*args, **kw)
+
+
 def _mm(a, b):
     s = a.shape[-3]
     return jnp.stack(
@@ -89,14 +97,21 @@ def _inv(D):
 
 
 def row_block(Mc: int, row_bytes: int, budget: int = 4 * 1024 * 1024,
-              cap: int = 16) -> int:
+              cap: int = 16, sub_unit: int = 0) -> int:
     """Largest divisor of Mc that is <= cap and keeps one grid step's blocks
-    (row_bytes per row, double-buffered by pallas) within the VMEM budget."""
+    (row_bytes per row, double-buffered by pallas) within the VMEM budget.
+
+    With ``sub_unit`` the kernel blocks a (Mc*sub_unit, C) array with
+    (r*sub_unit, C) tiles, so Mosaic needs r*sub_unit to be a multiple of 8
+    (or the whole dimension, r == Mc)."""
     cap = max(1, min(cap, budget // max(row_bytes, 1), Mc))
     for cand in range(cap, 0, -1):
-        if Mc % cand == 0:
-            return cand
-    return 1
+        if Mc % cand:
+            continue
+        if sub_unit and (cand * sub_unit) % 8 and cand != Mc:
+            continue
+        return cand
+    return 1 if not sub_unit else 0
 
 
 # ---------------------------------------------------------------------------
@@ -186,7 +201,7 @@ def _bwd_factor_call(Dhinv, Uc, wt, Tr, Mc, s, C, dtype, r):
     def const3(j):
         return (0, 0, 0)
 
-    return pl.pallas_call(
+    return _pcall(
         _bwd_factor_kernel(r),
         grid=(Nb,),
         in_specs=[
@@ -232,7 +247,7 @@ def chunked_factor_sweeps(Lc, Dc, Uc, Tl, Tr):
     def const3(j):
         return (0, 0, 0)
 
-    fac, Dhinv, wt = pl.pallas_call(
+    fac, Dhinv, wt = _pcall(
         _fwd_factor_kernel(r),
         grid=(Nb,),
         in_specs=[
@@ -386,7 +401,7 @@ def fused_factor_sweeps(bands_c, alpha, beta):
 
     ab = jnp.stack([jnp.asarray(alpha, dtype),
                     jnp.asarray(beta, dtype)]).reshape(1, 2)
-    fac, Dhinv, wt, Uc, Tl, Tr = pl.pallas_call(
+    fac, Dhinv, wt, Uc, Tl, Tr = _pcall(
         fwd_kernel,
         grid=(Nb,),
         in_specs=[
@@ -526,7 +541,7 @@ def chunked_solve_sweeps(fac, Dhinv, DU, bc):
         def fwd_vec(j):
             return (j,) + (0,) * len(vec_shape)
 
-        bt = pl.pallas_call(
+        bt = _pcall(
             _fwd_solve_kernel(r),
             grid=(Nb,),
             in_specs=[
@@ -544,7 +559,7 @@ def chunked_solve_sweeps(fac, Dhinv, DU, bc):
         def bwd_vec(j):
             return (Nb - 1 - j,) + (0,) * len(vec_shape)
 
-        return pl.pallas_call(
+        return _pcall(
             _bwd_solve_kernel(r),
             grid=(Nb,),
             in_specs=[
@@ -579,7 +594,7 @@ def chunked_solve_sweeps(fac, Dhinv, DU, bc):
     def vec_bwd(jj):
         return (bwd_blk_idx(jj),) + (0,) * len(vec_shape)
 
-    y = pl.pallas_call(
+    y = _pcall(
         _solve_kernel(r),
         grid=(2 * Nb,),
         in_specs=[

@@ -174,40 +174,42 @@ class _SchemeBase:
 # Rosenbrock-Wanner family
 # ---------------------------------------------------------------------------
 
-def _row_folded_core(backend, plan, alpha, gamma, b, b_pred, s, periodic,
+def _row_folded_core(backend, plan, tables, s, periodic,
                      uf, hf, pf, xf, dx, dt):
     """One fixed ROW step on folded-layout state (nvar, K, C) — F/J/factor/
     solve all run chunk-native with no layout transposes (ops/folded.py).
+    Uses the Hairer-Wanner transformed stage equations: no banded matvec.
     Returns (uf_new, err)."""
     from ..ops import folded as fl
 
+    a_t, c_t, m_t, m_pred_t, g00 = tables
     bands_f = fl.eval_J_folded(backend, uf, hf, pf, xf, dx, periodic, plan)
-    fact = fl.factor_folded(1.0, -gamma[0, 0] * dt, bands_f, periodic, plan)
-    ks = []
+    fact = fl.factor_folded(1.0, -g00 * dt, bands_f, periodic, plan)
+    gdt = g00 * dt
+    us = []
     for i in range(s):
         u_i = uf
         for j in range(i):
-            if alpha[i, j]:
-                u_i = u_i + alpha[i, j] * ks[j]
-        F_i = fl.eval_F_folded(backend, u_i, hf, pf, xf, dx, periodic, plan)
-        rhs = dt * F_i
-        gsum = None
+            if a_t[i, j]:
+                u_i = u_i + a_t[i, j] * us[j]
+        csum = None
         for j in range(i):
-            if gamma[i, j]:
-                gsum = (gamma[i, j] * ks[j] if gsum is None
-                        else gsum + gamma[i, j] * ks[j])
-        if gsum is not None:
-            rhs = rhs + dt * fl.matvec_folded(bands_f, gsum, periodic, plan)
-        ks.append(fact.solve(rhs))
+            if c_t[i, j]:
+                term = (g00 * c_t[i, j]) * us[j]
+                csum = term if csum is None else csum + term
+        # rhs = gdt*F(u_i) + csum, emitted by the F kernel itself
+        rhs = fl.eval_F_folded(backend, u_i, hf, pf, xf, dx, periodic, plan,
+                               scale=gdt, bias=csum)
+        us.append(fact.solve(rhs))
     u_new = uf
     for i in range(s):
-        u_new = u_new + b[i] * ks[i]
-    if b_pred is not None:
+        u_new = u_new + m_t[i] * us[i]
+    if m_pred_t is not None:
         diff = None
         for i in range(s):
-            c = b[i] - b_pred[i]
+            c = m_t[i] - m_pred_t[i]
             if c:
-                diff = c * ks[i] if diff is None else diff + c * ks[i]
+                diff = c * us[i] if diff is None else diff + c * us[i]
         err = jnp.max(jnp.abs(diff))
         err = jnp.where(jnp.isnan(err) | jnp.isinf(err), jnp.inf, err)
     else:
@@ -215,7 +217,7 @@ def _row_folded_core(backend, plan, alpha, gamma, b, b_pred, s, periodic,
     return u_new, err
 
 
-def _row_fixed_step_folded(backend, plan, alpha, gamma, b, b_pred, s,
+def _row_fixed_step_folded(backend, plan, tables, s,
                            periodic, u, helpers, pstack, x, dt):
     """Node-layout wrapper around the folded core: fold in, step, unfold."""
     from ..ops import folded as fl
@@ -226,7 +228,7 @@ def _row_fixed_step_folded(backend, plan, alpha, gamma, b, b_pred, s,
     xf = fl.fold(x, plan)
     N = x.shape[-1]
     dx = (x[..., -1] - x[..., 0]) / (N - 1)
-    u_new, err = _row_folded_core(backend, plan, alpha, gamma, b, b_pred, s,
+    u_new, err = _row_folded_core(backend, plan, tables, s,
                                   periodic, uf, hf, pf, xf, dx, dt)
     return fl.unfold(u_new, plan), helpers, pstack, x, err
 
@@ -246,6 +248,23 @@ class ROW_general(_SchemeBase):
         self._b = np.asarray(b, dtype=np.float64)
         self._b_pred = None if b_pred is None else np.asarray(b_pred, np.float64)
         self._s = len(b)
+        # Hairer-Wanner transformed tables (Solving ODEs II, ch. IV.7): with
+        # u_tilde_i = sum_{j<=i} gamma_ij k_j the stage equations become
+        #   (I - g00*dt*J) ut_i = g00*dt*F(u + sum a_ij ut_j)
+        #                          + g00 * sum_{j<i} c_ij ut_j
+        # -- the per-stage banded matvec dt*J@(sum gamma_ij k_j) of the
+        # reference formulation (schemes.py:152-163) disappears entirely;
+        # only elementwise linear combinations remain.  Algebraically
+        # identical to the untransformed step.
+        s = self._s
+        g00 = self._gamma[0, 0]
+        G = np.tril(self._gamma, -1) + g00 * np.eye(s)
+        Ginv = np.linalg.inv(G)
+        self._a_t = self._alpha @ Ginv                  # strictly lower
+        self._c_t = -np.tril(Ginv, -1)                  # strictly lower
+        self._m_t = self._b @ Ginv
+        self._m_pred_t = (None if b_pred is None
+                          else np.asarray(b_pred, np.float64) @ Ginv)
         self._time_control = time_stepping
         self._tol = tol
         self._safety_factor = safety_factor
@@ -262,9 +281,14 @@ class ROW_general(_SchemeBase):
             raise ValueError("time_stepping=True requires a tolerance (tol)")
 
     # ---- traced pieces ----------------------------------------------------
+    @property
+    def _tables(self):
+        return (self._a_t, self._c_t, self._m_t, self._m_pred_t,
+                self._gamma[0, 0])
+
     def _fixed_step_fn(self, problem):
-        alpha, gamma, b = self._alpha, self._gamma, self._b
-        b_pred = self._b_pred
+        tables = self._tables
+        a_t, c_t, m_t, m_pred_t, g00 = tables
         s = self._s
         periodic = problem.periodic
 
@@ -275,36 +299,35 @@ class ROW_general(_SchemeBase):
             plan = _folded.folded_plan_for(problem.backend, u, x)
             if plan is not None:
                 return _row_fixed_step_folded(
-                    problem.backend, plan, alpha, gamma, b, b_pred, s,
+                    problem.backend, plan, tables, s,
                     periodic, u, helpers, pstack, x, dt)
             J, Jg = problem.J_system(u, helpers, pstack, x)
-            fact = factor_linearized(1.0, -gamma[0, 0] * dt, J, Jg, periodic)
-            ks = []
+            fact = factor_linearized(1.0, -g00 * dt, J, Jg, periodic)
+            # Hairer-Wanner transformed stages (see __init__): one banded
+            # factorization, s solves, NO per-stage banded matvec
+            gdt = g00 * dt
+            us = []
             for i in range(s):
                 u_i = u
                 for j in range(i):
-                    if alpha[i, j]:
-                        u_i = u_i + alpha[i, j] * ks[j]
+                    if a_t[i, j]:
+                        u_i = u_i + a_t[i, j] * us[j]
                 F_i = problem.F(u_i, helpers, pstack, x)
-                rhs = dt * F_i
-                gsum = None
+                rhs = gdt * F_i
                 for j in range(i):
-                    if gamma[i, j]:
-                        gsum = (gamma[i, j] * ks[j] if gsum is None
-                                else gsum + gamma[i, j] * ks[j])
-                if gsum is not None:
-                    rhs = rhs + dt * banded_matvec(J, gsum, periodic)
-                ks.append(fact.solve(rhs))
+                    if c_t[i, j]:
+                        rhs = rhs + (g00 * c_t[i, j]) * us[j]
+                us.append(fact.solve(rhs))
             u_new = u
             for i in range(s):
-                u_new = u_new + b[i] * ks[i]
-            if b_pred is not None:
+                u_new = u_new + m_t[i] * us[i]
+            if m_pred_t is not None:
                 # intended embedded error: ||sum((b - b_hat) k)||_inf
                 diff = None
                 for i in range(s):
-                    c = b[i] - b_pred[i]
+                    c = m_t[i] - m_pred_t[i]
                     if c:
-                        diff = c * ks[i] if diff is None else diff + c * ks[i]
+                        diff = c * us[i] if diff is None else diff + c * us[i]
                 err = jnp.max(jnp.abs(diff))
                 err = jnp.where(jnp.isnan(err) | jnp.isinf(err), jnp.inf, err)
             else:
@@ -327,11 +350,10 @@ class ROW_general(_SchemeBase):
         plan = fl.plan_for_backend(backend, N)
         if plan is None:
             return None
-        alpha, gamma, b = self._alpha, self._gamma, self._b
-        b_pred, s = self._b_pred, self._s
+        tables, s = self._tables, self._s
 
         def fixed_f(t, uf, hf, pf, xf, dx, dt):
-            return _row_folded_core(backend, plan, alpha, gamma, b, b_pred,
+            return _row_folded_core(backend, plan, tables,
                                     s, periodic, uf, hf, pf, xf, dx, dt)
 
         return plan, fixed_f

@@ -778,11 +778,16 @@ def _assemble_from_split(Jg_t, alpha, beta):
     return L, D, U
 
 
-def _fused_chunk_plan(M, cap_C=4096, max_Mc=1 << 16):
+def _fused_chunk_plan(M, cap_C=None, max_Mc=1 << 16):
     """Pick (C, Mc) with C * Mc == M minimizing the post-row-blocking
     sequential sweep depth Nb = Mc / row_block(Mc); ties broken by larger
     Mc (fewer chunks -> smaller reduced interface system)."""
+    import os
+
     from .pallas_thomas import row_block
+
+    if cap_C is None:
+        cap_C = int(os.environ.get("TRIFLOW_CHUNK_CAP", 4096))
 
     divs = set()
     d = 1

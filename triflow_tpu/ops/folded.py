@@ -224,19 +224,42 @@ class _FoldedStencilCall:
         return args
 
 
-def eval_F_folded(backend, uf, helpersf, pstackf, xf, dx, periodic, plan):
-    """F(u) in folded layout -> (nvar, K, C)."""
+def eval_F_folded(backend, uf, helpersf, pstackf, xf, dx, periodic, plan,
+                  scale=None, bias=None):
+    """F(u) in folded layout -> (nvar, K, C).
+
+    With ``scale``/``bias`` the kernel emits ``scale * F(u) + bias``
+    directly (the ROW stage RHS), fusing the stage-algebra axpy that would
+    otherwise re-read F from HBM."""
     call = _FoldedStencilCall(backend, periodic, plan)
     nvar, dtype, Kb, C = call.nvar, call.dtype, call.Kb, plan.C
+    has_scale = scale is not None
+    has_bias = bias is not None
 
     def kernel(*refs):
-        out_ref = refs[-1]
-        args = call.build_args(refs[:-1])
+        refs = list(refs)
+        out_ref = refs.pop()
+        bias_ref = refs.pop() if has_bias else None
+        scale_ref = refs.pop() if has_scale else None
+        args = call.build_args(refs)
         rows = [jnp.broadcast_to(jnp.asarray(fn(*args), dtype), (Kb, C))
                 for fn in backend._F_fns]
-        out_ref[...] = jnp.stack(rows)
+        out = jnp.stack(rows)
+        if has_scale:
+            out = scale_ref[0, 0] * out
+        if has_bias:
+            out = out + bias_ref[...]
+        out_ref[...] = out
 
     ops, specs = call.operands(uf, helpersf, pstackf, xf, dx)
+    if has_scale:
+        ops.append(jnp.asarray(scale, dtype).reshape(1, 1))
+        specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                  memory_space=pltpu.SMEM))
+    if has_bias:
+        ops.append(bias)
+        specs.append(pl.BlockSpec((nvar, Kb, C), lambda i: (0, i, 0),
+                                  memory_space=pltpu.VMEM))
     return _pcall(
         kernel,
         grid=(call.ntiles,),
@@ -536,10 +559,11 @@ def factor_sweeps_folded(bands_f, alpha, beta, plan: FoldPlan, cyclic: bool):
 
 @jax.tree_util.register_pytree_node_class
 class FoldedFactorization:
-    """Factorization of ``alpha*I + beta*J`` operating on folded-state RHS."""
+    """Factorization of ``alpha*I + beta*J`` operating on folded-state RHS.
+    ``wrap`` records whether the reduced interface system carries the
+    periodic closure (ring rolls in the interface gather)."""
 
-    def __init__(self, fac, Dhinv, DU, Wsp, Vsp, red, plan, cyclic,
-                 wood_Z=None, wood_cap_inv=None):
+    def __init__(self, fac, Dhinv, DU, Wsp, Vsp, red, plan, wrap):
         self.fac = fac
         self.Dhinv = Dhinv
         self.DU = DU
@@ -547,29 +571,69 @@ class FoldedFactorization:
         self.Vsp = Vsp
         self.red = red
         self.plan = plan
-        self.cyclic = cyclic
-        self.wood_Z = wood_Z
-        self.wood_cap_inv = wood_cap_inv
+        self.wrap = wrap
+
+    # kept for older call sites that still read .cyclic
+    @property
+    def cyclic(self):
+        return self.wrap
 
     def tree_flatten(self):
         return ((self.fac, self.Dhinv, self.DU, self.Wsp, self.Vsp,
-                 self.red, self.wood_Z, self.wood_cap_inv),
-                (self.plan, self.cyclic))
+                 self.red), (self.plan, self.wrap))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves[:6], *aux, wood_Z=leaves[6],
-                   wood_cap_inv=leaves[7])
+        return cls(*leaves, *aux)
 
     def solve(self, rhs_f):
         return solve_folded(self, rhs_f)
 
 
-def _reduced_factor(Wsp, Vsp, C, s, cyclic):
+@jax.tree_util.register_pytree_node_class
+class WrappedPcr:
+    """Acyclic PCR factorization of the reduced interface system plus a
+    rank-2s Woodbury correction restoring the periodic corner couplings —
+    the periodic closure for NON-power-of-two chunk counts, applied to the
+    (2s, C) interface system instead of the full (nvar, K, C) state (the
+    wrap couples only interface unknowns, so correcting the tiny reduced
+    system is equivalent to correcting the full one at ~Mc times less
+    work)."""
+
+    def __init__(self, red0, Z, cap_inv, s):
+        self.red0 = red0
+        self.Z = Z                    # (2s, 2s, C): A0^-1 @ Uw columns
+        self.cap_inv = cap_inv        # (2s, 2s)
+        self.s = s
+
+    def tree_flatten(self):
+        return ((self.red0, self.Z, self.cap_inv), (self.s,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, *aux)
+
+    def _vt(self, y):
+        # v_i^T y: i < s selects y[s+i] at lane C-1, i >= s selects y[i-s]
+        # at lane 0
+        s = self.s
+        return jnp.concatenate([y[..., s:, -1], y[..., :s, 0]], axis=-1)
+
+    def solve(self, b):
+        from .banded import _pcr_solve
+
+        y = _pcr_solve(self.red0, b)
+        coef = jnp.einsum("ij,...j->...i", self.cap_inv, self._vt(y))
+        return y - jnp.tensordot(coef, self.Z, axes=([-1], [0]))
+
+
+def _reduced_factor(Wsp, Vsp, C, s, cyclic, wrap=False):
     """PCR factorization of the chunk-interface system (supernode c =
     (x_c^top, x_c^bot), size 2s).  With ``cyclic`` the ring couplings stay
-    (block-cyclic PCR over power-of-two C)."""
-    from .banded import _pcr_factor
+    (block-cyclic PCR over power-of-two C).  With ``wrap`` (and not cyclic,
+    i.e. periodic closure at non-power-of-two C) the ring couplings are
+    restored by a rank-2s Woodbury correction on this reduced system."""
+    from .banded import _pcr_factor, _pcr_solve, _small_inv
 
     d2 = 2 * s
     dtype = Wsp.dtype
@@ -580,26 +644,42 @@ def _reduced_factor(Wsp, Vsp, C, s, cyclic):
     Lred = Lred.at[s:, s:, :].set(Wsp[-1])
     Ured = Ured.at[:s, :s, :].set(Vsp[0])
     Ured = Ured.at[s:, :s, :].set(Vsp[-1])
-    if not cyclic:
-        Lred = Lred.at[..., 0].set(0.0)
-        Ured = Ured.at[..., C - 1].set(0.0)
-    return _pcr_factor(Lred, Dred, Ured, cyclic=cyclic)
+    if cyclic:
+        return _pcr_factor(Lred, Dred, Ured, cyclic=True)
+    corner_L = Lred[..., 0]                      # only columns s: nonzero
+    corner_U = Ured[..., C - 1]                  # only columns :s nonzero
+    Lred = Lred.at[..., 0].set(0.0)
+    Ured = Ured.at[..., C - 1].set(0.0)
+    red0 = _pcr_factor(Lred, Dred, Ured, cyclic=False)
+    if not wrap:
+        return red0
+    # Woodbury columns: u_j = e_lane0 (x) corner_L[:, s+j]  (j <  s)
+    #                   u_j = e_laneE (x) corner_U[:, j-s]  (j >= s)
+    rhs = jnp.zeros((d2, d2, C), dtype)
+    rhs = rhs.at[:s, :, 0].set(jnp.moveaxis(corner_L[:, s:], -1, 0))
+    rhs = rhs.at[s:, :, C - 1].set(jnp.moveaxis(corner_U[:, :s], -1, 0))
+    Z = _pcr_solve(red0, rhs)                    # (2s, 2s, C)
+    # cap[i, j] = delta_ij + v_i^T Z_j
+    vtz = jnp.concatenate([Z[..., s:, -1], Z[..., :s, 0]], axis=-1)  # (j, i)
+    cap = jnp.eye(d2, dtype=dtype) + vtz.T
+    cap_inv = (_small_inv(cap[..., None])[..., 0]
+               if d2 in (2, 4, 8) else jnp.linalg.inv(cap))
+    return WrappedPcr(red0, Z, cap_inv, s)
 
 
 def factor_folded(alpha, beta, bands_f, periodic, plan: FoldPlan):
     """Factor ``alpha*I + beta*J`` from folded bands.
 
-    Periodic closure: cyclic reduced system when C is a power of two,
-    otherwise a Sherman-Morrison-Woodbury rank-2P correction (set up in the
-    folded layout)."""
-    cyclic = bool(periodic) and plan.cyclic_ok
+    Periodic closure lives entirely in the reduced interface system (the
+    wrap couples only interface unknowns): block-cyclic reduced PCR when C
+    is a power of two, else acyclic reduced PCR + rank-2s Woodbury on the
+    reduced system (WrappedPcr).  No full-state correction is ever needed."""
+    wrap = bool(periodic) and plan.halo > 0
     fac, Dhinv, Uc, Wsp, Vsp, DU, Tl, Tr = factor_sweeps_folded(
-        bands_f, alpha, beta, plan, cyclic)
-    red = _reduced_factor(Wsp, Vsp, plan.C, plan.s, cyclic)
-    fact = FoldedFactorization(fac, Dhinv, DU, Wsp, Vsp, red, plan, cyclic)
-    if not periodic or cyclic or plan.halo == 0:
-        return fact
-    return _attach_woodbury_folded(fact, bands_f, beta, plan)
+        bands_f, alpha, beta, plan, wrap)
+    cyclic = wrap and plan.cyclic_ok
+    red = _reduced_factor(Wsp, Vsp, plan.C, plan.s, cyclic, wrap=wrap)
+    return FoldedFactorization(fac, Dhinv, DU, Wsp, Vsp, red, plan, wrap)
 
 
 def solve_folded(fact: FoldedFactorization, bf):
@@ -621,9 +701,12 @@ def solve_folded(fact: FoldedFactorization, bf):
     y = chunked_solve_sweeps(fact.fac, fact.Dhinv, fact.DU, bc)
 
     yred = jnp.concatenate([y[0], y[-1]], axis=-2)
-    z = _pcr_solve(fact.red, yred)
+    if isinstance(fact.red, WrappedPcr):
+        z = fact.red.solve(yred)
+    else:
+        z = _pcr_solve(fact.red, yred)
     ztop, zbot = z[..., :s, :], z[..., s:, :]
-    if fact.cyclic:
+    if fact.wrap:
         xm1_bot = jnp.roll(zbot, 1, axis=-1)
         xp1_top = jnp.roll(ztop, -1, axis=-1)
     else:
@@ -646,81 +729,7 @@ def solve_folded(fact: FoldedFactorization, bf):
         x = jnp.moveaxis(x, -2, 1).reshape((Mc, g, nvar) + batch + (C,))
         x = jnp.moveaxis(x, (0, 1, 2), (-3, -2, -4))
         xf = x.reshape(batch + (nvar, K, C))
-    if getattr(fact, "wood_Z", None) is not None:
-        xf = _apply_woodbury_folded(fact, xf)
     return xf
-
-
-# ---------------------------------------------------------------------------
-# Woodbury periodic correction in folded layout (non-power-of-two C)
-# ---------------------------------------------------------------------------
-
-def _gather_top(yf, plan):
-    """y at global nodes 0..h-1 (rows 0..h-1 of lane 0) -> (..., P),
-    node-major ordering r = node*nvar + m."""
-    h, nvar = plan.halo, plan.nvar
-    vals = yf[..., :, :h, 0]                      # (..., nvar, h)
-    return jnp.moveaxis(vals, -2, -1).reshape(yf.shape[:-3] + (h * nvar,))
-
-
-def _gather_end(yf, plan):
-    """y at global nodes N-h..N-1 (last rows of lane C-1) -> (..., P)."""
-    h, nvar, K, C = plan.halo, plan.nvar, plan.K, plan.C
-    vals = yf[..., :, K - h:, C - 1]              # (..., nvar, h)
-    return jnp.moveaxis(vals, -2, -1).reshape(yf.shape[:-3] + (h * nvar,))
-
-
-def _attach_woodbury_folded(fact, bands_f, beta, plan):
-    """A_cyc = A_tri + E_top @ T @ E_end^T + E_end @ B @ E_top^T, with the
-    wrap blocks T (first h nodes <- last h nodes) and B (last <- first) read
-    off the folded bands at the global corners (rows 0..h-1 of lane 0 and
-    rows K-h..K-1 of lane C-1).  Mirrors ops.banded._extract_wrap /
-    _attach_woodbury in the folded layout."""
-    from .banded import _wrapped_indices, _small_inv
-
-    h, nvar, K, C = plan.halo, plan.nvar, plan.K, plan.C
-    P = nvar * h
-    dtype = bands_f.dtype
-    top, bottom = _wrapped_indices(plan.W, nvar, plan.N)
-
-    # Uw columns as folded vectors: cols[q] = Uw[:, q], q in [0, 2P)
-    cols = jnp.zeros((2 * P, nvar, K, C), dtype)
-    for (k, i, r, c) in top:
-        # T block at (row node r = i, col node c): value beta*bands[k,:,:,i]
-        # lives at folded (row i, lane 0); column q ranges over c*nvar+n
-        for m in range(nvar):
-            for n in range(nvar):
-                cols = cols.at[c * nvar + n, m, r, 0].set(
-                    beta * bands_f[k, m, n, i, 0])
-    for (k, i, r, c) in bottom:
-        # B block row node r (global node N-h+r -> folded row K-h+r,
-        # lane C-1), col node c in the FIRST h nodes
-        for m in range(nvar):
-            for n in range(nvar):
-                cols = cols.at[P + c * nvar + n, m, K - h + r, C - 1].set(
-                    beta * bands_f[k, m, n, K - h + r, C - 1])
-
-    Z = solve_folded(fact, cols)                  # (2P, nvar, K, C)
-    # capacity = I + Vw^T Z; Vw selects [E_end | E_top]
-    z_end = _gather_end(Z, plan)                  # (2P, P): [q, v]
-    z_top = _gather_top(Z, plan)
-    vtz = jnp.concatenate([z_end, z_top], axis=-1)  # (2P_q, 2P_v)
-    cap = jnp.eye(2 * P, dtype=dtype) + vtz.T
-    cap_inv = (_small_inv(cap[..., None])[..., 0]
-               if 2 * P in (2, 4, 8) else jnp.linalg.inv(cap))
-    return FoldedFactorization(fact.fac, fact.Dhinv, fact.DU, fact.Wsp,
-                               fact.Vsp, fact.red, plan, fact.cyclic,
-                               wood_Z=Z, wood_cap_inv=cap_inv)
-
-
-def _apply_woodbury_folded(fact, yf):
-    plan = fact.plan
-    y_end = _gather_end(yf, plan)
-    y_top = _gather_top(yf, plan)
-    vty = jnp.concatenate([y_end, y_top], axis=-1)            # (..., 2P)
-    coef = jnp.einsum("ij,...j->...i", fact.wood_cap_inv, vty)
-    corr = jnp.tensordot(coef, fact.wood_Z, axes=([-1], [0]))
-    return yf - corr
 
 
 # ---------------------------------------------------------------------------

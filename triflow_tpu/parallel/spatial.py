@@ -319,39 +319,38 @@ class SpatialModel:
         scheme_cls = scheme_cls or schemes_mod.RODASPR
         scheme = scheme_cls(self.model, time_stepping=False, tol=None,
                             **scheme_kwargs)
-        alpha, gamma, b = scheme._alpha, scheme._gamma, scheme._b
+        a_t, c_t, m_t, _m_pred_t, g00 = scheme._tables
         s = scheme._s
         ndev, axis, h = self.ndev, self.axis, self.h
         periodic = self.periodic
 
         def local_step(t, u, helpers, pstack, x, dt):
+            # Hairer-Wanner transformed stages (core/schemes.py): no banded
+            # matvec and no extra halo exchange for the gamma-sum — one
+            # ppermute ring per stage (for u_i) instead of two.
             J, u_ext, helpers_ext = self._local_J(u, helpers, pstack, x)
-            A = axpy_bands(1.0, -gamma[0, 0] * dt, J)
+            A = axpy_bands(1.0, -g00 * dt, J)
             fact = spike_factor(A, axis, ndev)
             dx = x[..., 1] - x[..., 0]
-            ks = []
+            gdt = g00 * dt
+            us = []
             for i in range(s):
                 u_i = u
                 for j in range(i):
-                    if alpha[i, j]:
-                        u_i = u_i + alpha[i, j] * ks[j]
+                    if a_t[i, j]:
+                        u_i = u_i + a_t[i, j] * us[j]
                 u_i_ext = halo_extend(u_i, h, axis, ndev, periodic)
                 F_i = self.backend.F_ext_impl(
                     u_i_ext, helpers_ext, pstack, x, dx
                 )
-                rhs = dt * F_i
-                gsum = None
+                rhs = gdt * F_i
                 for j in range(i):
-                    if gamma[i, j]:
-                        gsum = (gamma[i, j] * ks[j] if gsum is None
-                                else gsum + gamma[i, j] * ks[j])
-                if gsum is not None:
-                    gsum_ext = halo_extend(gsum, h, axis, ndev, periodic)
-                    rhs = rhs + dt * banded_matvec_ext(J, gsum_ext)
-                ks.append(fact.solve(rhs))
+                    if c_t[i, j]:
+                        rhs = rhs + (g00 * c_t[i, j]) * us[j]
+                us.append(fact.solve(rhs))
             u_new = u
             for i in range(s):
-                u_new = u_new + b[i] * ks[i]
+                u_new = u_new + m_t[i] * us[i]
             return t + dt, u_new
 
         return self._wrap(local_step)

@@ -142,6 +142,12 @@ def test_model_api(compiler, periodic):
         Model("dxxxxxU", "U")
     with pytest.raises(ValueError):
         Model("dxxx(dx)", "U")
+    # stray symbols fail fast: a token past the order-9 namespace and an
+    # undeclared parameter are both unknown symbols, not silent no-ops
+    with pytest.raises(ValueError):
+        Model("dxxxxxxxxxxU", "U")
+    with pytest.raises(ValueError):
+        Model("k * dxxU + q", "U", "k")
     x, dx = np.linspace(0, 10, 100, retstep=True, endpoint=False)
     U = np.cos(x * 2 * np.pi / 10)
     s = np.zeros_like(x)

@@ -308,6 +308,32 @@ def build_discrete_system(equations, dep_vars, pars, help_funcs,
     if simplify:
         F_exprs = tuple(eq.simplify() for eq in F_exprs)
 
+    # reject stray symbols (typos like "dxxxxxxxxxxU" beyond the order-9
+    # token namespace, or undeclared parameters): the reference surfaces
+    # these as compile-time failures when lambdify hits an unbound input;
+    # we fail fast with a clear message instead.
+    import re as _re
+
+    discretized_vars = set(dep_vars) | set(help_funcs)
+    known_names = discretized_vars | set(pars)
+    offset_pat = _re.compile(r"^(.+)_(?:m|p)\d+$")
+    stray = set()
+    for eq in F_exprs:
+        for sym in eq.free_symbols:
+            name = str(sym)
+            if name in known_names or name in (indep_var, "dx"):
+                continue
+            mo = offset_pat.match(name)
+            if mo and mo.group(1) in discretized_vars:
+                continue
+            stray.add(name)
+    if stray:
+        raise ValueError(
+            "unknown symbol(s) %s in the differential equations: not a "
+            "dependent variable, parameter, helper function or derivative "
+            "token (dx...%s, orders 1-9)" % (sorted(stray), indep_var)
+        )
+
     J_band_exprs = {}
     for m, eq in enumerate(F_exprs):
         for off in range(lo, hi + 1):

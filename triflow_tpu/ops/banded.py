@@ -329,6 +329,27 @@ class ChunkedFactor:
 
 
 def _pcr_factor(L, D, U, cyclic: bool = False):
+    """PCR factorization of a block-tridiagonal system given as
+    (..., s, s, M) stacks — dispatches to the single-launch Pallas kernel
+    (ops/pallas_pcr.py) when it applies, else the XLA level-loop below."""
+    from . import pallas_pcr
+
+    if L.ndim == 3 and pallas_pcr.applicable(L.shape[-3], L.shape[-1],
+                                             L.dtype):
+        return pallas_pcr.pcr_factor_fused(L, D, U, cyclic)
+    return _pcr_factor_xla(L, D, U, cyclic)
+
+
+def _pcr_solve(fact, b):
+    """Solve with a _pcr_factor result; b has shape (..., s, M)."""
+    from . import pallas_pcr
+
+    if isinstance(fact, pallas_pcr.FusedPcrFactor):
+        return pallas_pcr.pcr_solve_fused(fact, b)
+    return _pcr_solve_xla(fact, b)
+
+
+def _pcr_factor_xla(L, D, U, cyclic: bool = False):
     """Parallel-cyclic-reduction factorization of a block-tridiagonal system
     given as (..., s, s, M) stacks.
 
@@ -377,8 +398,8 @@ def _pcr_factor(L, D, U, cyclic: bool = False):
                      _small_inv(D), [d for _, _, d in levels])
 
 
-def _pcr_solve(fact, b):
-    """Solve with a _pcr_factor result; b has shape (..., s, M)."""
+def _pcr_solve_xla(fact, b):
+    """Level-loop solve with a PcrFactor; b has shape (..., s, M)."""
     for alpha, beta, d in zip(fact.alphas, fact.betas, fact.ds):
         b = (
             b

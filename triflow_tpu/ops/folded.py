@@ -444,7 +444,11 @@ def factor_sweeps_folded(bands_f, alpha, beta, plan: FoldPlan, cyclic: bool):
     item = jnp.dtype(dtype).itemsize
     band_bytes = W * nvar * nvar * g * C * item
     blk_bytes = s * s * C * item
-    r = row_block(Mc, band_bytes + 4 * blk_bytes, sub_unit=g)
+    # generous VMEM budget: the factor sweep is launch/latency-bound, so
+    # bigger row blocks (fewer sequential grid steps) win as long as the
+    # double-buffered blocks still fit VMEM (~16MB)
+    r = row_block(Mc, band_bytes + 4 * blk_bytes, budget=6 * 1024 * 1024,
+                  sub_unit=g)
     if not r:
         raise ValueError(
             f"no Mosaic-alignable row block for Mc={Mc}, g={g}")
@@ -549,8 +553,29 @@ def factor_sweeps_folded(bands_f, alpha, beta, plan: FoldPlan, cyclic: bool):
         ],
     )(ab, bands_f)
 
+    if flat_solve_ok(plan, dtype):
+        from .pallas_thomas import _bwd_factor_call_cols
+
+        W_, V_, DU = _bwd_factor_call_cols(Dhinv, Uc, wt, Tr, Mc, s, C,
+                                           dtype, r)
+        return fac, Dhinv, Uc, W_, V_, DU, Tl, Tr
     W_, V_, DU = _bwd_factor_call(Dhinv, Uc, wt, Tr, Mc, s, C, dtype, r)
     return fac, Dhinv, Uc, W_, V_, DU, Tl, Tr
+
+
+def flat_solve_ok(plan: FoldPlan, dtype) -> bool:
+    """True when the nvar==1 flat-RHS solve path applies: spikes are stored
+    column-split (s, K, C) and the per-stage solves run on (K, C) arrays
+    with no relayout (pallas_thomas.chunked_solve_flat)."""
+    if plan.nvar != 1:
+        return False
+    item = jnp.dtype(dtype).itemsize
+    if plan.Mc * plan.s * plan.C * item > 6 * 1024 * 1024:
+        return False
+    blk_bytes = plan.s * plan.s * plan.C * item
+    vec_bytes = plan.s * plan.C * item
+    return bool(row_block(plan.Mc, 3 * blk_bytes + 2 * vec_bytes,
+                          sub_unit=plan.s))
 
 
 # ---------------------------------------------------------------------------
@@ -563,15 +588,17 @@ class FoldedFactorization:
     ``wrap`` records whether the reduced interface system carries the
     periodic closure (ring rolls in the interface gather)."""
 
-    def __init__(self, fac, Dhinv, DU, Wsp, Vsp, red, plan, wrap):
+    def __init__(self, fac, Dhinv, DU, Wsp, Vsp, red, plan, wrap,
+                 col_split=False):
         self.fac = fac
         self.Dhinv = Dhinv
         self.DU = DU
-        self.Wsp = Wsp
+        self.Wsp = Wsp                # (Mc,s,s,C), or (s,K,C) if col_split
         self.Vsp = Vsp
         self.red = red
         self.plan = plan
         self.wrap = wrap
+        self.col_split = col_split
 
     # kept for older call sites that still read .cyclic
     @property
@@ -580,7 +607,7 @@ class FoldedFactorization:
 
     def tree_flatten(self):
         return ((self.fac, self.Dhinv, self.DU, self.Wsp, self.Vsp,
-                 self.red), (self.plan, self.wrap))
+                 self.red), (self.plan, self.wrap, self.col_split))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -627,23 +654,38 @@ class WrappedPcr:
         return y - jnp.tensordot(coef, self.Z, axes=([-1], [0]))
 
 
-def _reduced_factor(Wsp, Vsp, C, s, cyclic, wrap=False):
+def _spike_corner_blocks(Wsp, Vsp, plan: FoldPlan, col_split: bool):
+    """First/last supernode spike blocks (s, s, C) in (row a, col b) order,
+    for either spike representation."""
+    s = plan.s
+    if not col_split:
+        return Wsp[0], Wsp[-1], Vsp[0], Vsp[-1]
+    W0 = jnp.moveaxis(Wsp[:, :s, :], 0, 1)
+    Wl = jnp.moveaxis(Wsp[:, -s:, :], 0, 1)
+    V0 = jnp.moveaxis(Vsp[:, :s, :], 0, 1)
+    Vl = jnp.moveaxis(Vsp[:, -s:, :], 0, 1)
+    return W0, Wl, V0, Vl
+
+
+def _reduced_factor(corners, C, s, cyclic, wrap=False):
     """PCR factorization of the chunk-interface system (supernode c =
-    (x_c^top, x_c^bot), size 2s).  With ``cyclic`` the ring couplings stay
+    (x_c^top, x_c^bot), size 2s) from the 4 corner spike blocks
+    (W0, Wlast, V0, Vlast).  With ``cyclic`` the ring couplings stay
     (block-cyclic PCR over power-of-two C).  With ``wrap`` (and not cyclic,
     i.e. periodic closure at non-power-of-two C) the ring couplings are
     restored by a rank-2s Woodbury correction on this reduced system."""
     from .banded import _pcr_factor, _pcr_solve, _small_inv
 
+    W0, Wl, V0, Vl = corners
     d2 = 2 * s
-    dtype = Wsp.dtype
+    dtype = W0.dtype
     Lred = jnp.zeros((d2, d2, C), dtype=dtype)
     Ured = jnp.zeros_like(Lred)
     Dred = jnp.broadcast_to(jnp.eye(d2, dtype=dtype)[..., None], Lred.shape)
-    Lred = Lred.at[:s, s:, :].set(Wsp[0])
-    Lred = Lred.at[s:, s:, :].set(Wsp[-1])
-    Ured = Ured.at[:s, :s, :].set(Vsp[0])
-    Ured = Ured.at[s:, :s, :].set(Vsp[-1])
+    Lred = Lred.at[:s, s:, :].set(W0)
+    Lred = Lred.at[s:, s:, :].set(Wl)
+    Ured = Ured.at[:s, :s, :].set(V0)
+    Ured = Ured.at[s:, :s, :].set(Vl)
     if cyclic:
         return _pcr_factor(Lred, Dred, Ured, cyclic=True)
     corner_L = Lred[..., 0]                      # only columns s: nonzero
@@ -678,8 +720,11 @@ def factor_folded(alpha, beta, bands_f, periodic, plan: FoldPlan):
     fac, Dhinv, Uc, Wsp, Vsp, DU, Tl, Tr = factor_sweeps_folded(
         bands_f, alpha, beta, plan, wrap)
     cyclic = wrap and plan.cyclic_ok
-    red = _reduced_factor(Wsp, Vsp, plan.C, plan.s, cyclic, wrap=wrap)
-    return FoldedFactorization(fac, Dhinv, DU, Wsp, Vsp, red, plan, wrap)
+    col_split = flat_solve_ok(plan, bands_f.dtype)
+    corners = _spike_corner_blocks(Wsp, Vsp, plan, col_split)
+    red = _reduced_factor(corners, plan.C, plan.s, cyclic, wrap=wrap)
+    return FoldedFactorization(fac, Dhinv, DU, Wsp, Vsp, red, plan, wrap,
+                               col_split)
 
 
 def solve_folded(fact: FoldedFactorization, bf):
@@ -691,6 +736,8 @@ def solve_folded(fact: FoldedFactorization, bf):
     from .pallas_thomas import chunked_solve_sweeps
 
     batch = bf.shape[:-3]
+    if fact.col_split and bf.ndim == 3:
+        return _solve_folded_flat(fact, bf)
     # folded -> chunk rows: (..., nvar, Mc, g, C) -> (Mc, ..., s, C)
     bc = bf.reshape(batch + (nvar, Mc, g, C))
     if nvar == 1:
@@ -715,6 +762,10 @@ def solve_folded(fact: FoldedFactorization, bf):
         xp1_top = jnp.concatenate(
             [ztop[..., 1:], jnp.zeros_like(ztop[..., :1])], axis=-1)
     Wb, Vb = fact.Wsp, fact.Vsp
+    if fact.col_split:
+        # batched fallback through col-split spikes: rebuild block form
+        Wb = jnp.moveaxis(Wb.reshape(s, Mc, s, C), 0, 2)
+        Vb = jnp.moveaxis(Vb.reshape(s, Mc, s, C), 0, 2)
     extra = y.ndim - 3
     if extra > 0:
         expand = (slice(None),) + (None,) * extra
@@ -730,6 +781,37 @@ def solve_folded(fact: FoldedFactorization, bf):
         x = jnp.moveaxis(x, (0, 1, 2), (-3, -2, -4))
         xf = x.reshape(batch + (nvar, K, C))
     return xf
+
+
+def _solve_folded_flat(fact: FoldedFactorization, bf):
+    """nvar==1 fast path: the Thomas sweeps, interface gather and spike
+    correction all run on the (K, C) folded layout directly — no
+    (Mc, s, C) relayout of the RHS or solution."""
+    from .banded import _pcr_solve
+    from .pallas_thomas import chunked_solve_flat
+
+    plan = fact.plan
+    s = plan.s
+    y = chunked_solve_flat(fact.fac, fact.Dhinv, fact.DU, bf[0])
+    yred = jnp.concatenate([y[:s], y[-s:]], axis=-2)       # (2s, C)
+    if isinstance(fact.red, WrappedPcr):
+        z = fact.red.solve(yred)
+    else:
+        z = _pcr_solve(fact.red, yred)
+    ztop, zbot = z[:s], z[s:]
+    if fact.wrap:
+        xm1_bot = jnp.roll(zbot, 1, axis=-1)
+        xp1_top = jnp.roll(ztop, -1, axis=-1)
+    else:
+        xm1_bot = jnp.concatenate(
+            [jnp.zeros_like(zbot[..., :1]), zbot[..., :-1]], axis=-1)
+        xp1_top = jnp.concatenate(
+            [ztop[..., 1:], jnp.zeros_like(ztop[..., :1])], axis=-1)
+    corr = None
+    for b in range(s):
+        t = fact.Wsp[b] * xm1_bot[b] + fact.Vsp[b] * xp1_top[b]
+        corr = t if corr is None else corr + t
+    return (y - corr)[None]
 
 
 # ---------------------------------------------------------------------------

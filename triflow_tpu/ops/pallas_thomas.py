@@ -227,6 +227,87 @@ def _bwd_factor_call(Dhinv, Uc, wt, Tr, Mc, s, C, dtype, r):
     )(Dhinv, Uc, wt, Tr)
 
 
+def _bwd_factor_kernel_cols(r, s):
+    """Backward spike sweep writing W/V **column-split**: W_ref[b] is the
+    b-th spike column as a flat (Mc*s, C) array (row k = m*s + a holds
+    W[m, a, b]).  This is the layout the flat-RHS solve consumes, so the
+    spike correction runs on (K, C) tiles with no (Mc, s, C) relayout."""
+
+    def kernel(Dhinv_ref, U_ref, wt_ref, Tr_ref,
+               W_ref, V_ref, DU_ref,
+               w_c, v_c):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            w_c[...] = jnp.zeros_like(w_c)
+            v_c[...] = jnp.zeros_like(v_c)
+
+        w = w_c[...]
+        v = v_c[...]
+        for i in reversed(range(r)):
+            Dhinv = Dhinv_ref[i]
+            DU = _mm(Dhinv, U_ref[i])
+            if i == r - 1:
+                bV = jnp.where(j == 0, Tr_ref[...],
+                               jnp.zeros_like(Tr_ref[...]))
+            else:
+                bV = jnp.zeros_like(Tr_ref[...])
+            w_new = _mm(Dhinv, wt_ref[i]) - _mm(DU, w)
+            v_new = _mm(Dhinv, bV) - _mm(DU, v)
+            for b in range(s):
+                W_ref[b, i * s:(i + 1) * s] = w_new[:, b, :]
+                V_ref[b, i * s:(i + 1) * s] = v_new[:, b, :]
+            DU_ref[i] = DU
+            w = w_new
+            v = v_new
+        w_c[...] = w
+        v_c[...] = v
+
+    return kernel
+
+
+def _bwd_factor_call_cols(Dhinv, Uc, wt, Tr, Mc, s, C, dtype, r):
+    """Column-split spike construction: returns Wc, Vc (s, Mc*s, C) and DU
+    (Mc, s, s, C)."""
+    Nb = Mc // r
+    blk = (r, s, s, C)
+
+    def bwd_spec(j):
+        return (Nb - 1 - j, 0, 0, 0)
+
+    def bwd_flat(j):
+        return (0, Nb - 1 - j, 0)
+
+    def const3(j):
+        return (0, 0, 0)
+
+    return _pcall(
+        _bwd_factor_kernel_cols(r, s),
+        grid=(Nb,),
+        in_specs=[
+            pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, s, C), const3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((s, r * s, C), bwd_flat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, r * s, C), bwd_flat, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((s, Mc * s, C), dtype),
+            jax.ShapeDtypeStruct((s, Mc * s, C), dtype),
+            jax.ShapeDtypeStruct((Mc, s, s, C), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((s, s, C), dtype),
+            pltpu.VMEM((s, s, C), dtype),
+        ],
+    )(Dhinv, Uc, wt, Tr)
+
+
 def chunked_factor_sweeps(Lc, Dc, Uc, Tl, Tr):
     """Run the factor sweeps (forward Thomas elimination + backward spike
     construction) as two row-blocked pallas_calls.
@@ -510,6 +591,100 @@ def _solve_kernel(r):
             bt_c[...] = y
 
     return kernel
+
+
+def _solve_kernel_flat(r, s):
+    """Single-launch fwd+bwd Thomas solve with FLAT (r*s, C) vector blocks
+    on (K = Mc*s, C) arrays — the folded nvar==1 state layout, so the RHS
+    and solution never pass through the (Mc, s, C) relayout."""
+
+    def kernel(fac_ref, Dhinv_ref, DU_ref, b_ref, y_ref, bt_c, bt_all):
+        jj = pl.program_id(0)
+        Nb2 = pl.num_programs(0)
+        Nb = Nb2 // 2
+
+        @pl.when(jj == 0)
+        def _():
+            bt_c[...] = jnp.zeros_like(bt_c)
+
+        @pl.when(jj < Nb)
+        def _():
+            bt = bt_c[...]
+            for i in range(r):
+                bt = b_ref[i * s:(i + 1) * s] - _mv(fac_ref[i], bt)
+                bt_all[jj * r + i] = bt
+            bt_c[...] = bt
+
+        @pl.when(jj == Nb)
+        def _():
+            bt_c[...] = jnp.zeros_like(bt_c)
+
+        @pl.when(jj >= Nb)
+        def _():
+            j = 2 * Nb - 1 - jj
+            y = bt_c[...]
+            for i in reversed(range(r)):
+                y = _mv(Dhinv_ref[i], bt_all[j * r + i]) - _mv(DU_ref[i], y)
+                y_ref[i * s:(i + 1) * s] = y
+            bt_c[...] = y
+
+    return kernel
+
+
+def chunked_solve_flat(fac, Dhinv, DU, bK):
+    """Thomas solve with a flat (Mc*s, C) right-hand side -> same shape.
+
+    Single-launch only: the forward intermediate lives in a VMEM scratch
+    spanning the whole chunk depth, so Mc*s*C*itemsize must fit (~6MB);
+    returns None when it doesn't and the caller falls back to the blocked
+    (Mc, s, C) path."""
+    Mc, s, _, C = fac.shape
+    dtype = bK.dtype
+    blk_bytes = s * s * C * dtype.itemsize
+    vec_bytes = s * C * dtype.itemsize
+    if Mc * vec_bytes > 6 * 1024 * 1024:
+        return None
+    r = row_block(Mc, 3 * blk_bytes + 2 * vec_bytes, sub_unit=s)
+    if not r:
+        return None
+    Nb = Mc // r
+    mat_blk = (r, s, s, C)
+    vec_blk = (r * s, C)
+
+    def fwd_blk_idx(jj):
+        return jnp.minimum(jj, Nb - 1)
+
+    def bwd_blk_idx(jj):
+        return jnp.clip(2 * Nb - 1 - jj, 0, Nb - 1)
+
+    def mat_fwd(jj):
+        return (fwd_blk_idx(jj), 0, 0, 0)
+
+    def mat_bwd(jj):
+        return (bwd_blk_idx(jj), 0, 0, 0)
+
+    def vec_fwd(jj):
+        return (fwd_blk_idx(jj), 0)
+
+    def vec_bwd(jj):
+        return (bwd_blk_idx(jj), 0)
+
+    return _pcall(
+        _solve_kernel_flat(r, s),
+        grid=(2 * Nb,),
+        in_specs=[
+            pl.BlockSpec(mat_blk, mat_fwd, memory_space=pltpu.VMEM),
+            pl.BlockSpec(mat_blk, mat_bwd, memory_space=pltpu.VMEM),
+            pl.BlockSpec(mat_blk, mat_bwd, memory_space=pltpu.VMEM),
+            pl.BlockSpec(vec_blk, vec_fwd, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(vec_blk, vec_bwd, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mc * s, C), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((s, C), dtype),
+            pltpu.VMEM((Mc, s, C), dtype),
+        ],
+    )(fac, Dhinv, DU, bK)
 
 
 def chunked_solve_sweeps(fac, Dhinv, DU, bc):

@@ -335,7 +335,7 @@ def _pcr_factor(L, D, U, cyclic: bool = False):
     from . import pallas_pcr
 
     if L.ndim == 3 and pallas_pcr.applicable(L.shape[-3], L.shape[-1],
-                                             L.dtype):
+                                             L.dtype, cyclic=cyclic):
         return pallas_pcr.pcr_factor_fused(L, D, U, cyclic)
     return _pcr_factor_xla(L, D, U, cyclic)
 

@@ -654,52 +654,71 @@ class WrappedPcr:
         return y - jnp.tensordot(coef, self.Z, axes=([-1], [0]))
 
 
-def _spike_corner_blocks(Wsp, Vsp, plan: FoldPlan, col_split: bool):
-    """First/last supernode spike blocks (s, s, C) in (row a, col b) order,
-    for either spike representation."""
-    s = plan.s
-    if not col_split:
-        return Wsp[0], Wsp[-1], Vsp[0], Vsp[-1]
-    W0 = jnp.moveaxis(Wsp[:, :s, :], 0, 1)
-    Wl = jnp.moveaxis(Wsp[:, -s:, :], 0, 1)
-    V0 = jnp.moveaxis(Vsp[:, :s, :], 0, 1)
-    Vl = jnp.moveaxis(Vsp[:, -s:, :], 0, 1)
-    return W0, Wl, V0, Vl
+def _reduced_LU(Wsp, Vsp, plan: FoldPlan, col_split: bool):
+    """Assemble the reduced-system L/U blocks (2s, 2s, C) by stacking lane
+    rows straight off the spike arrays.  No transposes, no scatter updates:
+    transpose-fed dynamic-update-slices made XLA pick a lanes-last layout
+    for these tiny arrays, costing ~2.6ms/step in relayouts."""
+    s, C, K = plan.s, plan.C, plan.K
+    d2 = 2 * s
+    dtype = Wsp.dtype
+    zero = jnp.zeros((C,), dtype)
+
+    def w_entry(first, a, b):
+        if col_split:
+            return Wsp[b, a] if first else Wsp[b, K - s + a]
+        return Wsp[0, a, b] if first else Wsp[-1, a, b]
+
+    def v_entry(first, a, b):
+        if col_split:
+            return Vsp[b, a] if first else Vsp[b, K - s + a]
+        return Vsp[0, a, b] if first else Vsp[-1, a, b]
+
+    Lred = jnp.stack([
+        jnp.stack([w_entry(a < s, a % s, b - s) if b >= s else zero
+                   for b in range(d2)])
+        for a in range(d2)
+    ])
+    Ured = jnp.stack([
+        jnp.stack([v_entry(a < s, a % s, b) if b < s else zero
+                   for b in range(d2)])
+        for a in range(d2)
+    ])
+    return Lred, Ured
 
 
-def _reduced_factor(corners, C, s, cyclic, wrap=False):
+def _reduced_factor(Lred, Ured, C, s, cyclic, wrap=False):
     """PCR factorization of the chunk-interface system (supernode c =
-    (x_c^top, x_c^bot), size 2s) from the 4 corner spike blocks
-    (W0, Wlast, V0, Vlast).  With ``cyclic`` the ring couplings stay
-    (block-cyclic PCR over power-of-two C).  With ``wrap`` (and not cyclic,
-    i.e. periodic closure at non-power-of-two C) the ring couplings are
-    restored by a rank-2s Woodbury correction on this reduced system."""
+    (x_c^top, x_c^bot), size 2s) from the assembled L/U blocks.  With
+    ``cyclic`` the ring couplings stay (block-cyclic PCR over power-of-two
+    C).  With ``wrap`` (and not cyclic, i.e. periodic closure at
+    non-power-of-two C) the ring couplings are restored by a rank-2s
+    Woodbury correction on this reduced system."""
     from .banded import _pcr_factor, _pcr_solve, _small_inv
 
-    W0, Wl, V0, Vl = corners
     d2 = 2 * s
-    dtype = W0.dtype
-    Lred = jnp.zeros((d2, d2, C), dtype=dtype)
-    Ured = jnp.zeros_like(Lred)
+    dtype = Lred.dtype
     Dred = jnp.broadcast_to(jnp.eye(d2, dtype=dtype)[..., None], Lred.shape)
-    Lred = Lred.at[:s, s:, :].set(W0)
-    Lred = Lred.at[s:, s:, :].set(Wl)
-    Ured = Ured.at[:s, :s, :].set(V0)
-    Ured = Ured.at[s:, :s, :].set(Vl)
     if cyclic:
         return _pcr_factor(Lred, Dred, Ured, cyclic=True)
+    lane = jnp.arange(C)
     corner_L = Lred[..., 0]                      # only columns s: nonzero
     corner_U = Ured[..., C - 1]                  # only columns :s nonzero
-    Lred = Lred.at[..., 0].set(0.0)
-    Ured = Ured.at[..., C - 1].set(0.0)
+    Lred = jnp.where(lane == 0, 0.0, Lred)
+    Ured = jnp.where(lane == C - 1, 0.0, Ured)
     red0 = _pcr_factor(Lred, Dred, Ured, cyclic=False)
     if not wrap:
         return red0
     # Woodbury columns: u_j = e_lane0 (x) corner_L[:, s+j]  (j <  s)
     #                   u_j = e_laneE (x) corner_U[:, j-s]  (j >= s)
-    rhs = jnp.zeros((d2, d2, C), dtype)
-    rhs = rhs.at[:s, :, 0].set(jnp.moveaxis(corner_L[:, s:], -1, 0))
-    rhs = rhs.at[s:, :, C - 1].set(jnp.moveaxis(corner_U[:, :s], -1, 0))
+    top = jnp.concatenate(
+        [jnp.moveaxis(corner_L[:, s:], -1, 0),            # (s, d2)
+         jnp.zeros((s, d2), dtype)], axis=0)              # -> (d2, d2)
+    bot = jnp.concatenate(
+        [jnp.zeros((s, d2), dtype),
+         jnp.moveaxis(corner_U[:, :s], -1, 0)], axis=0)
+    rhs = (jnp.where(lane == 0, top[:, :, None], 0.0)
+           + jnp.where(lane == C - 1, bot[:, :, None], 0.0))
     Z = _pcr_solve(red0, rhs)                    # (2s, 2s, C)
     # cap[i, j] = delta_ij + v_i^T Z_j
     vtz = jnp.concatenate([Z[..., s:, -1], Z[..., :s, 0]], axis=-1)  # (j, i)
@@ -721,8 +740,8 @@ def factor_folded(alpha, beta, bands_f, periodic, plan: FoldPlan):
         bands_f, alpha, beta, plan, wrap)
     cyclic = wrap and plan.cyclic_ok
     col_split = flat_solve_ok(plan, bands_f.dtype)
-    corners = _spike_corner_blocks(Wsp, Vsp, plan, col_split)
-    red = _reduced_factor(corners, plan.C, plan.s, cyclic, wrap=wrap)
+    Lred, Ured = _reduced_LU(Wsp, Vsp, plan, col_split)
+    red = _reduced_factor(Lred, Ured, plan.C, plan.s, cyclic, wrap=wrap)
     return FoldedFactorization(fac, Dhinv, DU, Wsp, Vsp, red, plan, wrap,
                                col_split)
 
@@ -794,19 +813,25 @@ def _solve_folded_flat(fact: FoldedFactorization, bf):
     s = plan.s
     y = chunked_solve_flat(fact.fac, fact.Dhinv, fact.DU, bf[0])
     yred = jnp.concatenate([y[:s], y[-s:]], axis=-2)       # (2s, C)
-    if isinstance(fact.red, WrappedPcr):
-        z = fact.red.solve(yred)
+    from . import pallas_pcr
+
+    shifted = pallas_pcr.interface_shift_solve(fact.red, yred, fact.wrap)
+    if shifted is not None:
+        xm1_bot, xp1_top = shifted
     else:
-        z = _pcr_solve(fact.red, yred)
-    ztop, zbot = z[:s], z[s:]
-    if fact.wrap:
-        xm1_bot = jnp.roll(zbot, 1, axis=-1)
-        xp1_top = jnp.roll(ztop, -1, axis=-1)
-    else:
-        xm1_bot = jnp.concatenate(
-            [jnp.zeros_like(zbot[..., :1]), zbot[..., :-1]], axis=-1)
-        xp1_top = jnp.concatenate(
-            [ztop[..., 1:], jnp.zeros_like(ztop[..., :1])], axis=-1)
+        if isinstance(fact.red, WrappedPcr):
+            z = fact.red.solve(yred)
+        else:
+            z = _pcr_solve(fact.red, yred)
+        ztop, zbot = z[:s], z[s:]
+        if fact.wrap:
+            xm1_bot = jnp.roll(zbot, 1, axis=-1)
+            xp1_top = jnp.roll(ztop, -1, axis=-1)
+        else:
+            xm1_bot = jnp.concatenate(
+                [jnp.zeros_like(zbot[..., :1]), zbot[..., :-1]], axis=-1)
+            xp1_top = jnp.concatenate(
+                [ztop[..., 1:], jnp.zeros_like(ztop[..., :1])], axis=-1)
     corr = None
     for b in range(s):
         t = fact.Wsp[b] * xm1_bot[b] + fact.Vsp[b] * xp1_top[b]

@@ -69,9 +69,10 @@ def test_fold_unfold_roundtrip():
     assert plan is not None
     a = np.arange(3 * 4096, dtype=np.float64).reshape(3, 4096)
     af = folded.fold(jnp.asarray(a), plan)
-    assert af.shape == (3, plan.K, plan.C)
-    # folded element (k, c) is node c*K + k
-    assert float(af[1, 3, 5]) == a[1, 5 * plan.K + 3]
+    assert af.shape == (3, plan.K, 8, plan.C8)
+    # folded element (k, sub, lane) is node (sub*C8 + lane)*K + k
+    if plan.C8 > 5:
+        assert float(af[1, 3, 2, 5]) == a[1, (2 * plan.C8 + 5) * plan.K + 3]
     assert np.array_equal(np.asarray(folded.unfold(af, plan)), a)
 
 

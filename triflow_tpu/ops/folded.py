@@ -52,14 +52,29 @@ class FoldPlan(NamedTuple):
     halo: int
     g: int          # nodes per supernode = max(halo, 1)
     W: int          # band window
-    C: int          # chunks (lane dim)
+    C: int          # real chunks; chunk index c = sub * C8 + lane
     Mc: int         # supernode rows per chunk
     K: int          # nodes per chunk = Mc * g
-    cyclic_ok: bool  # C is a power of two -> periodic via cyclic reduced PCR
+    cyclic_ok: bool  # C is a power of two >= 8 -> cyclic reduced PCR
 
     @property
     def s(self):
         return self.nvar * self.g
+
+    @property
+    def C8(self):
+        """Lane count of the sublane-packed chunk axis (C padded to 8*C8
+        with dead chunks; c = sub * C8 + lane)."""
+        return -(-self.C // 8)
+
+    @property
+    def Cp(self):
+        return 8 * self.C8
+
+    @property
+    def last(self):
+        """(sub, lane) coordinates of the last REAL chunk c = C - 1."""
+        return divmod(self.C - 1, self.C8)
 
 
 def make_plan(N: int, nvar: int, halo: int, window: int):
@@ -77,21 +92,29 @@ def make_plan(N: int, nvar: int, halo: int, window: int):
         return None
     C, Mc = plan
     return FoldPlan(N, nvar, halo, g, window, C, Mc, Mc * g,
-                    C & (C - 1) == 0)
+                    C & (C - 1) == 0 and C >= 8)
 
 
 def fold(a, plan: FoldPlan):
-    """(..., N) -> (..., K, C): lane dim = chunk index."""
+    """(..., N) -> (..., K, 8, C8): the sublane-packed chunk-native layout.
+
+    Chunk c = sub * C8 + lane owns nodes [c*K, (c+1)*K); chunks past C-1
+    are dead zero padding (masked out of F/J, decoupled in the solver)."""
     a = jnp.asarray(a)
-    new = a.reshape(a.shape[:-1] + (plan.C, plan.K))
-    return jnp.swapaxes(new, -1, -2)
+    C8, K = plan.C8, plan.K
+    pad = plan.Cp * K - plan.N
+    if pad:
+        a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+    new = a.reshape(a.shape[:-1] + (8, C8, K))
+    return jnp.moveaxis(new, -1, -3)
 
 
 def unfold(af, plan: FoldPlan):
-    """(..., K, C) -> (..., N)."""
+    """(..., K, 8, C8) -> (..., N)."""
     af = jnp.asarray(af)
-    a = jnp.swapaxes(af, -1, -2)
-    return a.reshape(a.shape[:-2] + (plan.N,))
+    a = jnp.moveaxis(af, -3, -1)
+    flat = a.reshape(a.shape[:-3] + (plan.Cp * plan.K,))
+    return flat[..., :plan.N]
 
 
 # ---------------------------------------------------------------------------
@@ -111,36 +134,66 @@ def _pick_kb(K: int, per_row_bytes: int, budget: int = 2 << 20) -> int:
     return best
 
 
-def _lane_halo_window(cur, prev, nxt, h, periodic, tid, ntiles, C):
-    """Assemble the (rows, Kb + 2h, C) haloed window of a (rows, Kb, C) tile.
+def _ring_shift(x, d, plan: FoldPlan):
+    """Shift a (..., 8, C8) slab by one chunk around the REAL C-ring:
+    d=+1 -> out[c] = x[c-1] (with out[0] = x[C-1]); d=-1 -> out[c] = x[c+1]
+    (with out[C-1] = x[0]).  Rolls over the padded Cp ring, then patches the
+    real-ring boundary chunk with a SECOND roll that skips the dead tail
+    (Mosaic can't broadcast a single element over sublanes and lanes at
+    once, so the patch value is produced by a roll, not a gather).
+    Dead-tail chunks receive garbage; every consumer masks them."""
+    from .pallas_pcr import _roll_c
+
+    C8 = plan.C8
+    sub_e, lane_e = plan.last
+    rolled = _roll_c(x, d, C8)
+    if plan.Cp == plan.C:
+        return rolled
+    dead = plan.Cp - plan.C
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, C8), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, C8), 1)
+    if d == 1:
+        first = (sub == 0) & (lane == 0)
+        alt = _roll_c(x, 1 + dead, C8)       # alt[0] = x[C-1]
+        return jnp.where(first, alt, rolled)
+    last = (sub == sub_e) & (lane == lane_e)
+    alt = _roll_c(x, -1 - dead, C8)          # alt[C-1] = x[0]
+    return jnp.where(last, alt, rolled)
+
+
+def _chunk_halo_window(cur, prev, nxt, h, periodic, tid, ntiles,
+                      plan: FoldPlan):
+    """Assemble the (rows, Kb + 2h, 8, C8) haloed window of a
+    (rows, Kb, 8, C8) tile.
 
     prev/nxt are the +-1 K-tiles (modular index maps).  On the first/last
-    tile the out-of-chunk rows come from the neighboring LANE (the chunk
-    boundary): roll the slab by one lane, which is exactly the periodic
-    closure at the domain ends; edge mode clamps lane 0 / C-1 instead."""
+    K-tile the out-of-chunk rows come from the neighboring CHUNK: a ring
+    shift by one chunk, which is exactly the periodic closure at the domain
+    ends; edge mode clamps chunk 0 / C-1 instead."""
     if h == 0:
         return cur
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)[0]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, plan.C8), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, plan.C8), 1)
+    sub_e, lane_e = plan.last
+    first = (sub == 0) & (lane == 0)
+    last = (sub == sub_e) & (lane == lane_e)
 
-    prev_tail = prev[..., -h:, :]
-    # chunk-boundary variant: lane c reads lane c-1's last rows
-    prev_wrap = jnp.roll(prev_tail, 1, axis=-1)
+    prev_tail = prev[..., -h:, :, :]
+    # chunk-boundary variant: chunk c reads chunk c-1's last rows
+    prev_wrap = _ring_shift(prev_tail, 1, plan)
     if not periodic:
-        # sublane-only broadcast of the first row; the where() reads it only
-        # at lane 0, where it equals global node 0 (Mosaic cannot broadcast
-        # in sublanes and lanes at once)
-        edge = jnp.broadcast_to(cur[..., :1, :], prev_wrap.shape)
-        prev_wrap = jnp.where(lane == 0, edge, prev_wrap)
+        edge = jnp.broadcast_to(cur[..., :1, :, :], prev_wrap.shape)
+        prev_wrap = jnp.where(first, edge, prev_wrap)
     prev_tail = jnp.where(tid == 0, prev_wrap, prev_tail)
 
-    nxt_head = nxt[..., :h, :]
-    nxt_wrap = jnp.roll(nxt_head, -1, axis=-1)
+    nxt_head = nxt[..., :h, :, :]
+    nxt_wrap = _ring_shift(nxt_head, -1, plan)
     if not periodic:
-        edge = jnp.broadcast_to(cur[..., -1:, :], nxt_wrap.shape)
-        nxt_wrap = jnp.where(lane == C - 1, edge, nxt_wrap)
+        edge = jnp.broadcast_to(cur[..., -1:, :, :], nxt_wrap.shape)
+        nxt_wrap = jnp.where(last, edge, nxt_wrap)
     nxt_head = jnp.where(tid == ntiles - 1, nxt_wrap, nxt_head)
 
-    return jnp.concatenate([prev_tail, cur, nxt_head], axis=-2)
+    return jnp.concatenate([prev_tail, cur, nxt_head], axis=-3)
 
 
 class _FoldedStencilCall:
@@ -158,20 +211,20 @@ class _FoldedStencilCall:
         self.dtype = backend.dtype
         item = jnp.dtype(self.dtype).itemsize
         rows = 4 * self.nvar + 3 * self.nhelp + self.npar + 1 + per_row_extra
-        self.Kb = _pick_kb(plan.K, rows * plan.C * item)
+        self.Kb = _pick_kb(plan.K, rows * plan.Cp * item)
         self.ntiles = None if self.Kb is None else plan.K // self.Kb
 
     def applicable(self):
         return self.Kb is not None and self.h < self.Kb
 
     def operands(self, uf, helpersf, pstackf, xf, dx):
-        Kb, C = self.Kb, self.plan.C
+        Kb, C8 = self.Kb, self.plan.C8
         nt = self.ntiles
 
         def shifted(rows, s):
             return pl.BlockSpec(
-                (rows, Kb, C),
-                lambda i, s=s: (0, (i + s) % nt, 0),
+                (rows, Kb, 8, C8),
+                lambda i, s=s: (0, (i + s) % nt, 0, 0),
                 memory_space=pltpu.VMEM,
             )
 
@@ -186,7 +239,7 @@ class _FoldedStencilCall:
             ops.append(pstackf)
             specs.append(shifted(self.npar, 0))
         ops.append(xf)
-        specs.append(pl.BlockSpec((Kb, C), lambda i: (i, 0),
+        specs.append(pl.BlockSpec((Kb, 8, C8), lambda i: (i, 0, 0),
                                   memory_space=pltpu.VMEM))
         ops.append(jnp.asarray(dx, self.dtype).reshape(1, 1))
         specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
@@ -196,13 +249,14 @@ class _FoldedStencilCall:
     def build_args(self, refs):
         it = iter(refs)
         tid = pl.program_id(0)
-        h, C, nt = self.h, self.plan.C, self.ntiles
+        h, nt = self.h, self.ntiles
         u_l, u_c, u_r = next(it)[...], next(it)[...], next(it)[...]
-        u_win = _lane_halo_window(u_c, u_l, u_r, h, self.periodic, tid, nt, C)
+        u_win = _chunk_halo_window(u_c, u_l, u_r, h, self.periodic, tid, nt,
+                                   self.plan)
         if self.nhelp:
             he_l, he_c, he_r = next(it)[...], next(it)[...], next(it)[...]
-            he_win = _lane_halo_window(he_c, he_l, he_r, h, self.periodic,
-                                       tid, nt, C)
+            he_win = _chunk_halo_window(he_c, he_l, he_r, h, self.periodic,
+                                        tid, nt, self.plan)
         else:
             he_win = None
         ps = next(it)[...] if self.npar else None
@@ -217,22 +271,31 @@ class _FoldedStencilCall:
         Kb = self.Kb
         args = [x_blk]
         for var, off in self.backend._offset_args:
-            args.append(named[var][h + off: h + off + Kb, :])
+            args.append(named[var][h + off: h + off + Kb, :, :])
         for idx in range(self.npar):
             args.append(ps[idx])
         args.append(dx)
         return args
 
+    def dead_mask(self):
+        """(8, C8) boolean mask of the dead padding chunks (c >= C)."""
+        plan = self.plan
+        if plan.Cp == plan.C:
+            return None
+        sub = jax.lax.broadcasted_iota(jnp.int32, (8, plan.C8), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, plan.C8), 1)
+        return (sub * plan.C8 + lane) >= plan.C
+
 
 def eval_F_folded(backend, uf, helpersf, pstackf, xf, dx, periodic, plan,
                   scale=None, bias=None):
-    """F(u) in folded layout -> (nvar, K, C).
+    """F(u) in folded layout -> (nvar, K, 8, C8); dead chunks emit 0.
 
     With ``scale``/``bias`` the kernel emits ``scale * F(u) + bias``
     directly (the ROW stage RHS), fusing the stage-algebra axpy that would
     otherwise re-read F from HBM."""
     call = _FoldedStencilCall(backend, periodic, plan)
-    nvar, dtype, Kb, C = call.nvar, call.dtype, call.Kb, plan.C
+    nvar, dtype, Kb, C8 = call.nvar, call.dtype, call.Kb, plan.C8
     has_scale = scale is not None
     has_bias = bias is not None
 
@@ -242,11 +305,17 @@ def eval_F_folded(backend, uf, helpersf, pstackf, xf, dx, periodic, plan,
         bias_ref = refs.pop() if has_bias else None
         scale_ref = refs.pop() if has_scale else None
         args = call.build_args(refs)
-        rows = [jnp.broadcast_to(jnp.asarray(fn(*args), dtype), (Kb, C))
+        rows = [jnp.broadcast_to(jnp.asarray(fn(*args), dtype), (Kb, 8, C8))
                 for fn in backend._F_fns]
         out = jnp.stack(rows)
         if has_scale:
             out = scale_ref[0, 0] * out
+        dead = call.dead_mask()
+        if dead is not None:
+            # dead chunks run the stencil on zero padding (which can produce
+            # inf/nan for e.g. 1/h**3 terms): mask them out so the error
+            # estimate and stage algebra stay finite
+            out = jnp.where(dead, 0.0, out)
         if has_bias:
             out = out + bias_ref[...]
         out_ref[...] = out
@@ -258,53 +327,59 @@ def eval_F_folded(backend, uf, helpersf, pstackf, xf, dx, periodic, plan,
                                   memory_space=pltpu.SMEM))
     if has_bias:
         ops.append(bias)
-        specs.append(pl.BlockSpec((nvar, Kb, C), lambda i: (0, i, 0),
+        specs.append(pl.BlockSpec((nvar, Kb, 8, C8), lambda i: (0, i, 0, 0),
                                   memory_space=pltpu.VMEM))
     return _pcall(
         kernel,
         grid=(call.ntiles,),
         in_specs=specs,
-        out_specs=pl.BlockSpec((nvar, Kb, C), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((nvar, Kb, 8, C8), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nvar, plan.K, C), dtype),
+        out_shape=jax.ShapeDtypeStruct((nvar, plan.K, 8, C8), dtype),
     )(*ops)
 
 
 def eval_J_folded(backend, uf, helpersf, pstackf, xf, dx, periodic, plan):
-    """Banded Jacobian in folded layout -> (W, nvar, nvar, K, C).
+    """Banded Jacobian in folded layout -> (W, nvar, nvar, K, 8, C8).
 
-    ``bands[kb, m, n, k, c] = dF_m(node c*K+k)/du_n(node c*K+k + kb - h)``.
+    ``bands[kb, m, n, k, (sub,lane)] = dF_m/du_n`` at the stencil offset
+    kb - h; dead chunks are zeroed (their factor rows reduce to alpha*I).
     Edge mode folds out-of-domain dependencies onto the boundary columns
-    (global nodes live at (rows 0..h-1, lane 0) and (rows K-h.., lane C-1))."""
+    (global node 0 lives at (row 0, chunk 0); node N-1 at (row K-1,
+    chunk C-1))."""
     call = _FoldedStencilCall(backend, periodic, plan,
                               per_row_extra=plan.W * backend.system.nvar ** 2)
-    nvar, dtype, Kb, C = call.nvar, call.dtype, call.Kb, plan.C
+    nvar, dtype, Kb, C8 = call.nvar, call.dtype, call.Kb, plan.C8
     W = plan.W
     h = plan.halo
     nt = call.ntiles
+    sub_e, lane_e = plan.last
 
     def kernel(*refs):
         out_ref = refs[-1]
         args = call.build_args(refs[:-1])
         tid = pl.program_id(0)
-        krow = jax.lax.broadcasted_iota(jnp.int32, (Kb, C), 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (Kb, C), 1)
-        zero = jnp.zeros((Kb, C), dtype)
+        krow = jax.lax.broadcasted_iota(jnp.int32, (Kb, 8, C8), 0)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (Kb, 8, C8), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Kb, 8, C8), 2)
+        first = (sub == 0) & (lane == 0)
+        last = (sub == sub_e) & (lane == lane_e)
+        zero = jnp.zeros((Kb, 8, C8), dtype)
         rows = {}
         for (m, n, kb), fn in backend._J_fns.items():
             rows[(kb, m, n)] = jnp.broadcast_to(
-                jnp.asarray(fn(*args), dtype), (Kb, C))
+                jnp.asarray(fn(*args), dtype), (Kb, 8, C8))
 
         def get(kb, m, n):
             return rows.get((kb, m, n), zero)
 
         if not periodic:
-            # left edge: global node i = k (row i, lane 0) on tile 0
+            # left edge: global node i = k (row i, chunk 0) on tile 0
             for m in range(nvar):
                 for n in range(nvar):
                     for i in range(h):
                         for kb in range(h - i):
-                            mask = (tid == 0) & (krow == i) & (lane == 0)
+                            mask = (tid == 0) & (krow == i) & first
                             src = get(kb, m, n)
                             rows[(h - i, m, n)] = jnp.where(
                                 mask, get(h - i, m, n) + src,
@@ -314,12 +389,16 @@ def eval_J_folded(backend, uf, helpersf, pstackf, xf, dx, periodic, plan):
                         for kb in range(h - i):
                             koff = W - 1 - kb
                             mask = ((tid == nt - 1) & (krow == Kb - 1 - i)
-                                    & (lane == C - 1))
+                                    & last)
                             src = get(koff, m, n)
                             rows[(h + i, m, n)] = jnp.where(
                                 mask, get(h + i, m, n) + src,
                                 get(h + i, m, n))
                             rows[(koff, m, n)] = jnp.where(mask, 0.0, src)
+
+        dead = call.dead_mask()
+        if dead is not None:
+            rows = {k: jnp.where(dead, 0.0, v) for k, v in rows.items()}
 
         out_ref[...] = jnp.stack(
             [
@@ -338,28 +417,32 @@ def eval_J_folded(backend, uf, helpersf, pstackf, xf, dx, periodic, plan):
         kernel,
         grid=(nt,),
         in_specs=specs,
-        out_specs=pl.BlockSpec((W, nvar, nvar, Kb, C),
-                               lambda i: (0, 0, 0, i, 0),
+        out_specs=pl.BlockSpec((W, nvar, nvar, Kb, 8, C8),
+                               lambda i: (0, 0, 0, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((W, nvar, nvar, plan.K, C), dtype),
+        out_shape=jax.ShapeDtypeStruct((W, nvar, nvar, plan.K, 8, C8),
+                                       dtype),
     )(*ops)
 
 
 def matvec_folded(bands_f, vf, periodic, plan):
-    """(J @ v) with both operands in folded layout."""
+    """(J @ v) with both operands in folded layout (..., K, 8, C8)."""
     W, nvar = plan.W, plan.nvar
     h = plan.halo
-    C = plan.C
+    C8 = plan.C8
     dtype = vf.dtype
     item = jnp.dtype(dtype).itemsize
-    Kb = _pick_kb(plan.K, (4 * nvar + W * nvar * nvar) * C * item)
+    Kb = _pick_kb(plan.K, (4 * nvar + W * nvar * nvar) * plan.Cp * item)
     nt = plan.K // Kb
+    sub_e, lane_e = plan.last
 
     def shifted(rows, s):
-        return pl.BlockSpec((rows, Kb, C), lambda i, s=s: (0, (i + s) % nt, 0),
+        return pl.BlockSpec((rows, Kb, 8, C8),
+                            lambda i, s=s: (0, (i + s) % nt, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    bspec = pl.BlockSpec((W, nvar, nvar, Kb, C), lambda i: (0, 0, 0, i, 0),
+    bspec = pl.BlockSpec((W, nvar, nvar, Kb, 8, C8),
+                         lambda i: (0, 0, 0, i, 0, 0),
                          memory_space=pltpu.VMEM)
 
     def kernel(b_ref, v_l, v_c, v_r, out_ref):
@@ -367,24 +450,27 @@ def matvec_folded(bands_f, vf, periodic, plan):
         if h == 0:
             v_win = v_c[...]
         else:
-            v_win = _lane_halo_window(v_c[...], v_l[...], v_r[...], h,
-                                      periodic, tid, nt, C)
+            v_win = _chunk_halo_window(v_c[...], v_l[...], v_r[...], h,
+                                       periodic, tid, nt, plan)
             if not periodic:
                 # ghost columns contribute zero (edge-folded bands), so mask
                 # the clamped window copies back to zero
-                lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)[0]
-                head = jnp.where((tid == 0) & (lane == 0), 0.0,
-                                 v_win[..., :h, :])
-                tail = jnp.where((tid == nt - 1) & (lane == C - 1), 0.0,
-                                 v_win[..., -h:, :])
+                sub = jax.lax.broadcasted_iota(jnp.int32, (8, C8), 0)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (8, C8), 1)
+                first = (sub == 0) & (lane == 0)
+                last = (sub == sub_e) & (lane == lane_e)
+                head = jnp.where((tid == 0) & first, 0.0,
+                                 v_win[..., :h, :, :])
+                tail = jnp.where((tid == nt - 1) & last, 0.0,
+                                 v_win[..., -h:, :, :])
                 v_win = jnp.concatenate(
-                    [head, v_win[..., h:-h, :], tail], axis=-2)
+                    [head, v_win[..., h:-h, :, :], tail], axis=-3)
         rows = []
         for m in range(nvar):
             acc = None
             for kb in range(W):
                 for n in range(nvar):
-                    term = b_ref[kb, m, n] * v_win[n, kb: kb + Kb, :]
+                    term = b_ref[kb, m, n] * v_win[n, kb: kb + Kb, :, :]
                     acc = term if acc is None else acc + term
             rows.append(acc)
         out_ref[...] = jnp.stack(rows)
@@ -394,9 +480,9 @@ def matvec_folded(bands_f, vf, periodic, plan):
         grid=(nt,),
         in_specs=[bspec, shifted(nvar, -1), shifted(nvar, 0),
                   shifted(nvar, 1)],
-        out_specs=pl.BlockSpec((nvar, Kb, C), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((nvar, Kb, 8, C8), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nvar, plan.K, C), dtype),
+        out_shape=jax.ShapeDtypeStruct((nvar, plan.K, 8, C8), dtype),
     )(bands_f, vf, vf, vf)
 
 
@@ -405,11 +491,11 @@ def matvec_folded(bands_f, vf, periodic, plan):
 # ---------------------------------------------------------------------------
 
 def _row_from_folded_bands(b_blk, alpha, beta, g, nvar, h, W, i, dblock,
-                           C, dtype):
-    """One supernode block row (s, s, C) from a (W, nvar, nvar, r*g, C) band
-    tile at in-block row i: entry [a*nvar+m, b*nvar+n] =
-    beta * band[h + (b-a) + dblock*g, m, n, i*g + a] (+ alpha on the diagonal
-    for dblock == 0)."""
+                           space, dtype):
+    """One supernode block row (s, s, 8, C8) from a
+    (W, nvar, nvar, r*g, 8, C8) band tile at in-block row i: entry
+    [a*nvar+m, b*nvar+n] = beta * band[h + (b-a) + dblock*g, m, n, i*g + a]
+    (+ alpha on the diagonal for dblock == 0)."""
     rows = []
     for a in range(g):
         for m in range(nvar):
@@ -418,9 +504,9 @@ def _row_from_folded_bands(b_blk, alpha, beta, g, nvar, h, W, i, dblock,
                 for n in range(nvar):
                     delta = (bb - a) + dblock * g
                     if abs(delta) > h:
-                        row.append(jnp.zeros((C,), dtype))
+                        row.append(jnp.zeros(space, dtype))
                     else:
-                        val = beta * b_blk[h + delta, m, n, i * g + a, :]
+                        val = beta * b_blk[h + delta, m, n, i * g + a]
                         if dblock == 0 and a == bb and m == n:
                             val = val + alpha
                         row.append(val)
@@ -430,31 +516,36 @@ def _row_from_folded_bands(b_blk, alpha, beta, g, nvar, h, W, i, dblock,
 
 def factor_sweeps_folded(bands_f, alpha, beta, plan: FoldPlan, cyclic: bool):
     """Factor sweeps reading the folded band array directly (no HBM-level
-    chunk transpose).  With ``cyclic`` the wrap couplings of lane 0 / C-1
+    chunk transpose).  With ``cyclic`` the wrap couplings of chunk 0 / C-1
     stay in Tl/Tr so the reduced interface system is block-cyclic (periodic
     closure without any Woodbury correction; requires power-of-two C).
 
-    Returns fac, Dhinv, Uc, W, V, DU (all (Mc, s, s, C)) plus Tl, Tr."""
-    from .pallas_thomas import _bwd_factor_call
+    Dead padding chunks have zero bands (eval_J_folded masks them), so
+    their factor rows reduce to alpha*I — decoupled and invertible.
+
+    Returns fac, Dhinv, Uc, W, V, DU (all (Mc, s, s, 8, C8)) plus Tl, Tr."""
+    from .pallas_thomas import _bwd_factor_call, _inv_t, _mm_t
 
     W, nvar, g, C, Mc = plan.W, plan.nvar, plan.g, plan.C, plan.Mc
+    C8 = plan.C8
     h = plan.halo
     s = plan.s
     dtype = bands_f.dtype
     item = jnp.dtype(dtype).itemsize
-    band_bytes = W * nvar * nvar * g * C * item
-    blk_bytes = s * s * C * item
+    band_bytes = W * nvar * nvar * g * plan.Cp * item
+    blk_bytes = s * s * plan.Cp * item
     # generous VMEM budget: the factor sweep is launch/latency-bound, so
     # bigger row blocks (fewer sequential grid steps) win as long as the
     # double-buffered blocks still fit VMEM (~16MB)
-    r = row_block(Mc, band_bytes + 4 * blk_bytes, budget=6 * 1024 * 1024,
-                  sub_unit=g)
+    r = row_block(Mc, band_bytes + 4 * blk_bytes, budget=6 * 1024 * 1024)
     if not r:
         raise ValueError(
-            f"no Mosaic-alignable row block for Mc={Mc}, g={g}")
+            f"no workable row block for Mc={Mc}, g={g}")
     Nb = Mc // r
-    band_blk = (W, nvar, nvar, r * g, C)
-    blk = (r, s, s, C)
+    band_blk = (W, nvar, nvar, r * g, 8, C8)
+    blk = (r, s, s, 8, C8)
+    space = (8, C8)
+    sub_e, lane_e = plan.last
 
     def fwd_kernel(ab_ref, b_ref, fac_ref, Dhinv_ref, wt_ref, U_ref,
                    Tl_ref, Tr_ref, dhinv_c, uprev_c, wt_c):
@@ -462,7 +553,10 @@ def factor_sweeps_folded(bands_f, alpha, beta, plan: FoldPlan, cyclic: bool):
         Nb_n = pl.num_programs(0)
         alpha_v = ab_ref[0, 0]
         beta_v = ab_ref[0, 1]
-        iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)[0]
+        sub = jax.lax.broadcasted_iota(jnp.int32, space, 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, space, 1)
+        first = (sub == 0) & (lane == 0)
+        last = (sub == sub_e) & (lane == lane_e)
 
         @pl.when(j == 0)
         def _():
@@ -476,13 +570,13 @@ def factor_sweeps_folded(bands_f, alpha, beta, plan: FoldPlan, cyclic: bool):
         wt = wt_c[...]
         for i in range(r):
             L_row = _row_from_folded_bands(b_blk, alpha_v, beta_v, g, nvar,
-                                           h, W, i, -1, C, dtype)
+                                           h, W, i, -1, space, dtype)
             D_row = _row_from_folded_bands(b_blk, alpha_v, beta_v, g, nvar,
-                                           h, W, i, 0, C, dtype)
+                                           h, W, i, 0, space, dtype)
             U_row = _row_from_folded_bands(b_blk, alpha_v, beta_v, g, nvar,
-                                           h, W, i, 1, C, dtype)
+                                           h, W, i, 1, space, dtype)
             if i == 0:
-                Tl = L_row if cyclic else jnp.where(iota_c == 0, 0.0, L_row)
+                Tl = L_row if cyclic else jnp.where(first, 0.0, L_row)
 
                 @pl.when(j == 0)
                 def _(Tl=Tl):
@@ -490,8 +584,7 @@ def factor_sweeps_folded(bands_f, alpha, beta, plan: FoldPlan, cyclic: bool):
 
                 L_row = jnp.where(j == 0, 0.0, L_row)
             if i == r - 1:
-                Tr = U_row if cyclic else jnp.where(iota_c == C - 1, 0.0,
-                                                    U_row)
+                Tr = U_row if cyclic else jnp.where(last, 0.0, U_row)
 
                 @pl.when(j == Nb_n - 1)
                 def _(Tr=Tr):
@@ -499,12 +592,12 @@ def factor_sweeps_folded(bands_f, alpha, beta, plan: FoldPlan, cyclic: bool):
 
                 U_row = jnp.where(j == Nb_n - 1, 0.0, U_row)
 
-            fac = _mm(L_row, dhinv)
-            dhinv = _inv(D_row - _mm(fac, uprev))
+            fac = _mm_t(L_row, dhinv, 2)
+            dhinv = _inv_t(D_row - _mm_t(fac, uprev, 2), 2)
             if i == 0:
-                wt = jnp.where(j == 0, Tl, -_mm(fac, wt))
+                wt = jnp.where(j == 0, Tl, -_mm_t(fac, wt, 2))
             else:
-                wt = -_mm(fac, wt)
+                wt = -_mm_t(fac, wt, 2)
             fac_ref[i] = fac
             Dhinv_ref[i] = dhinv
             wt_ref[i] = wt
@@ -521,35 +614,35 @@ def factor_sweeps_folded(bands_f, alpha, beta, plan: FoldPlan, cyclic: bool):
         grid=(Nb,),
         in_specs=[
             pl.BlockSpec((1, 2), lambda j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(band_blk, lambda j: (0, 0, 0, j, 0),
+            pl.BlockSpec(band_blk, lambda j: (0, 0, 0, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec(blk, lambda j: (j, 0, 0, 0),
+            pl.BlockSpec(blk, lambda j: (j, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk, lambda j: (j, 0, 0, 0),
+            pl.BlockSpec(blk, lambda j: (j, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk, lambda j: (j, 0, 0, 0),
+            pl.BlockSpec(blk, lambda j: (j, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk, lambda j: (j, 0, 0, 0),
+            pl.BlockSpec(blk, lambda j: (j, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, s, C), lambda j: (0, 0, 0),
+            pl.BlockSpec((s, s) + space, lambda j: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, s, C), lambda j: (0, 0, 0),
+            pl.BlockSpec((s, s) + space, lambda j: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Mc, s, s, C), dtype),
-            jax.ShapeDtypeStruct((Mc, s, s, C), dtype),
-            jax.ShapeDtypeStruct((Mc, s, s, C), dtype),
-            jax.ShapeDtypeStruct((Mc, s, s, C), dtype),
-            jax.ShapeDtypeStruct((s, s, C), dtype),
-            jax.ShapeDtypeStruct((s, s, C), dtype),
+            jax.ShapeDtypeStruct((Mc, s, s) + space, dtype),
+            jax.ShapeDtypeStruct((Mc, s, s) + space, dtype),
+            jax.ShapeDtypeStruct((Mc, s, s) + space, dtype),
+            jax.ShapeDtypeStruct((Mc, s, s) + space, dtype),
+            jax.ShapeDtypeStruct((s, s) + space, dtype),
+            jax.ShapeDtypeStruct((s, s) + space, dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((s, s, C), dtype),
-            pltpu.VMEM((s, s, C), dtype),
-            pltpu.VMEM((s, s, C), dtype),
+            pltpu.VMEM((s, s) + space, dtype),
+            pltpu.VMEM((s, s) + space, dtype),
+            pltpu.VMEM((s, s) + space, dtype),
         ],
     )(ab, bands_f)
 
@@ -565,17 +658,16 @@ def factor_sweeps_folded(bands_f, alpha, beta, plan: FoldPlan, cyclic: bool):
 
 def flat_solve_ok(plan: FoldPlan, dtype) -> bool:
     """True when the nvar==1 flat-RHS solve path applies: spikes are stored
-    column-split (s, K, C) and the per-stage solves run on (K, C) arrays
-    with no relayout (pallas_thomas.chunked_solve_flat)."""
+    column-split (s, K, 8, C8) and the per-stage solves run on (K, 8, C8)
+    arrays with no relayout (pallas_thomas.chunked_solve_flat)."""
     if plan.nvar != 1:
         return False
     item = jnp.dtype(dtype).itemsize
-    if plan.Mc * plan.s * plan.C * item > 6 * 1024 * 1024:
+    if plan.Mc * plan.s * plan.Cp * item > 6 * 1024 * 1024:
         return False
-    blk_bytes = plan.s * plan.s * plan.C * item
-    vec_bytes = plan.s * plan.C * item
-    return bool(row_block(plan.Mc, 3 * blk_bytes + 2 * vec_bytes,
-                          sub_unit=plan.s))
+    blk_bytes = plan.s * plan.s * plan.Cp * item
+    vec_bytes = plan.s * plan.Cp * item
+    return bool(row_block(plan.Mc, 3 * blk_bytes + 2 * vec_bytes))
 
 
 # ---------------------------------------------------------------------------
@@ -622,47 +714,93 @@ class WrappedPcr:
     """Acyclic PCR factorization of the reduced interface system plus a
     rank-2s Woodbury correction restoring the periodic corner couplings —
     the periodic closure for NON-power-of-two chunk counts, applied to the
-    (2s, C) interface system instead of the full (nvar, K, C) state (the
-    wrap couples only interface unknowns, so correcting the tiny reduced
-    system is equivalent to correcting the full one at ~Mc times less
-    work)."""
+    sublane-packed (2s, 8, C8) interface system instead of the full state
+    (the wrap couples only interface unknowns, so correcting the tiny
+    reduced system is equivalent to correcting the full one at ~Mc times
+    less work)."""
 
-    def __init__(self, red0, Z, cap_inv, s):
+    def __init__(self, red0, Z, cap_inv, s, C):
         self.red0 = red0
-        self.Z = Z                    # (2s, 2s, C): A0^-1 @ Uw columns
+        self.Z = Z                    # (2s, 2s, 8, C8): A0^-1 @ Uw columns
         self.cap_inv = cap_inv        # (2s, 2s)
         self.s = s
+        self.C = C
 
     def tree_flatten(self):
-        return ((self.red0, self.Z, self.cap_inv), (self.s,))
+        return ((self.red0, self.Z, self.cap_inv), (self.s, self.C))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         return cls(*leaves, *aux)
 
     def _vt(self, y):
-        # v_i^T y: i < s selects y[s+i] at lane C-1, i >= s selects y[i-s]
-        # at lane 0
+        # v_i^T y: i < s selects y[s+i] at chunk C-1, i >= s selects y[i-s]
+        # at chunk 0
         s = self.s
-        return jnp.concatenate([y[..., s:, -1], y[..., :s, 0]], axis=-1)
+        C8 = self.Z.shape[-1]
+        sub_e, lane_e = divmod(self.C - 1, C8)
+        return jnp.concatenate(
+            [y[..., s:, sub_e, lane_e], y[..., :s, 0, 0]], axis=-1)
 
     def solve(self, b):
-        from .banded import _pcr_solve
-
-        y = _pcr_solve(self.red0, b)
+        y = _red_solve(self.red0, b)
         coef = jnp.einsum("ij,...j->...i", self.cap_inv, self._vt(y))
         return y - jnp.tensordot(coef, self.Z, axes=([-1], [0]))
 
 
+@jax.tree_util.register_pytree_node_class
+class _RedXla:
+    """XLA level-loop fallback for the reduced factorization when the fused
+    PCR kernel doesn't apply (e.g. supernode size 16): unfolds the
+    sublane-packed operands, runs banded's XLA PCR, refolds."""
+
+    def __init__(self, fact, C):
+        self.fact = fact
+        self.C = C
+
+    def tree_flatten(self):
+        return (self.fact,), (self.C,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(leaves[0], aux[0])
+
+
+def _red_factor_sub(Lp, Dp, Up, C, cyclic):
+    """Factor the subfolded reduced system: fused PCR kernel, or the XLA
+    fallback behind an unfold/refold shim."""
+    from . import pallas_pcr
+    from .banded import _pcr_factor_xla
+
+    s2 = Lp.shape[-4]
+    if pallas_pcr.applicable(s2, C, Lp.dtype, cyclic=cyclic):
+        return pallas_pcr.pcr_factor_fused_sub(Lp, Dp, Up, C, cyclic)
+    unf = lambda a: pallas_pcr._subunfold(a, C)
+    return _RedXla(_pcr_factor_xla(unf(Lp), unf(Dp), unf(Up), cyclic), C)
+
+
+def _red_solve(red, b):
+    """Solve the subfolded reduced system with b (..., s2, 8, C8)."""
+    from . import pallas_pcr
+    from .banded import _pcr_solve_xla
+
+    if isinstance(red, _RedXla):
+        C8 = b.shape[-1]
+        y = _pcr_solve_xla(red.fact, pallas_pcr._subunfold(b, red.C))
+        return pallas_pcr._subfold(y, C8)
+    return pallas_pcr.pcr_solve_fused_sub(red, b)
+
+
 def _reduced_LU(Wsp, Vsp, plan: FoldPlan, col_split: bool):
-    """Assemble the reduced-system L/U blocks (2s, 2s, C) by stacking lane
-    rows straight off the spike arrays.  No transposes, no scatter updates:
-    transpose-fed dynamic-update-slices made XLA pick a lanes-last layout
-    for these tiny arrays, costing ~2.6ms/step in relayouts."""
-    s, C, K = plan.s, plan.C, plan.K
+    """Assemble the reduced-system L/U blocks (2s, 2s, 8, C8) by stacking
+    tile rows straight off the spike arrays.  No transposes, no scatter
+    updates: transpose-fed dynamic-update-slices once made XLA pick a
+    lanes-last layout for these tiny arrays, costing ~2.6ms/step in
+    relayouts."""
+    s, K = plan.s, plan.K
     d2 = 2 * s
     dtype = Wsp.dtype
-    zero = jnp.zeros((C,), dtype)
+    zero = jnp.zeros((8, plan.C8), dtype)
 
     def w_entry(first, a, b):
         if col_split:
@@ -687,45 +825,52 @@ def _reduced_LU(Wsp, Vsp, plan: FoldPlan, col_split: bool):
     return Lred, Ured
 
 
-def _reduced_factor(Lred, Ured, C, s, cyclic, wrap=False):
+def _reduced_factor(Lred, Ured, plan: FoldPlan, cyclic, wrap=False):
     """PCR factorization of the chunk-interface system (supernode c =
-    (x_c^top, x_c^bot), size 2s) from the assembled L/U blocks.  With
-    ``cyclic`` the ring couplings stay (block-cyclic PCR over power-of-two
-    C).  With ``wrap`` (and not cyclic, i.e. periodic closure at
-    non-power-of-two C) the ring couplings are restored by a rank-2s
+    (x_c^top, x_c^bot), size 2s) from the assembled subfolded L/U blocks.
+    With ``cyclic`` the ring couplings stay (block-cyclic PCR over
+    power-of-two C).  With ``wrap`` (and not cyclic, i.e. periodic closure
+    at non-power-of-two C) the ring couplings are restored by a rank-2s
     Woodbury correction on this reduced system."""
-    from .banded import _pcr_factor, _pcr_solve, _small_inv
+    from .banded import _small_inv
 
+    C, C8, s = plan.C, plan.C8, plan.s
     d2 = 2 * s
     dtype = Lred.dtype
-    Dred = jnp.broadcast_to(jnp.eye(d2, dtype=dtype)[..., None], Lred.shape)
+    Dred = jnp.broadcast_to(jnp.eye(d2, dtype=dtype)[..., None, None],
+                            Lred.shape)
     if cyclic:
-        return _pcr_factor(Lred, Dred, Ured, cyclic=True)
-    lane = jnp.arange(C)
-    corner_L = Lred[..., 0]                      # only columns s: nonzero
-    corner_U = Ured[..., C - 1]                  # only columns :s nonzero
-    Lred = jnp.where(lane == 0, 0.0, Lred)
-    Ured = jnp.where(lane == C - 1, 0.0, Ured)
-    red0 = _pcr_factor(Lred, Dred, Ured, cyclic=False)
+        return _red_factor_sub(Lred, Dred, Ured, C, True)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, C8), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, C8), 1)
+    sub_e, lane_e = plan.last
+    first = (sub == 0) & (lane == 0)
+    last = (sub == sub_e) & (lane == lane_e)
+    corner_L = Lred[..., 0, 0]                   # only columns s: nonzero
+    corner_U = Ured[..., sub_e, lane_e]          # only columns :s nonzero
+    Lred = jnp.where(first, 0.0, Lred)
+    Ured = jnp.where(last, 0.0, Ured)
+    red0 = _red_factor_sub(Lred, Dred, Ured, C, False)
     if not wrap:
         return red0
-    # Woodbury columns: u_j = e_lane0 (x) corner_L[:, s+j]  (j <  s)
-    #                   u_j = e_laneE (x) corner_U[:, j-s]  (j >= s)
+    # Woodbury columns: u_j = e_chunk0 (x) corner_L[:, s+j]  (j <  s)
+    #                   u_j = e_chunkE (x) corner_U[:, j-s]  (j >= s)
     top = jnp.concatenate(
         [jnp.moveaxis(corner_L[:, s:], -1, 0),            # (s, d2)
          jnp.zeros((s, d2), dtype)], axis=0)              # -> (d2, d2)
     bot = jnp.concatenate(
         [jnp.zeros((s, d2), dtype),
          jnp.moveaxis(corner_U[:, :s], -1, 0)], axis=0)
-    rhs = (jnp.where(lane == 0, top[:, :, None], 0.0)
-           + jnp.where(lane == C - 1, bot[:, :, None], 0.0))
-    Z = _pcr_solve(red0, rhs)                    # (2s, 2s, C)
+    rhs = (jnp.where(first, top[:, :, None, None], 0.0)
+           + jnp.where(last, bot[:, :, None, None], 0.0))
+    Z = _red_solve(red0, rhs)                    # (2s, 2s, 8, C8)
     # cap[i, j] = delta_ij + v_i^T Z_j
-    vtz = jnp.concatenate([Z[..., s:, -1], Z[..., :s, 0]], axis=-1)  # (j, i)
+    vtz = jnp.concatenate([Z[..., s:, sub_e, lane_e], Z[..., :s, 0, 0]],
+                          axis=-1)               # (j, i)
     cap = jnp.eye(d2, dtype=dtype) + vtz.T
     cap_inv = (_small_inv(cap[..., None])[..., 0]
                if d2 in (2, 4, 8) else jnp.linalg.inv(cap))
-    return WrappedPcr(red0, Z, cap_inv, s)
+    return WrappedPcr(red0, Z, cap_inv, s, C)
 
 
 def factor_folded(alpha, beta, bands_f, periodic, plan: FoldPlan):
@@ -741,97 +886,94 @@ def factor_folded(alpha, beta, bands_f, periodic, plan: FoldPlan):
     cyclic = wrap and plan.cyclic_ok
     col_split = flat_solve_ok(plan, bands_f.dtype)
     Lred, Ured = _reduced_LU(Wsp, Vsp, plan, col_split)
-    red = _reduced_factor(Lred, Ured, plan.C, plan.s, cyclic, wrap=wrap)
+    red = _reduced_factor(Lred, Ured, plan, cyclic, wrap=wrap)
     return FoldedFactorization(fac, Dhinv, DU, Wsp, Vsp, red, plan, wrap,
                                col_split)
 
 
-def solve_folded(fact: FoldedFactorization, bf):
-    """Solve with folded RHS bf (..., nvar, K, C) -> same shape."""
+def _interface_shifts(fact, yred):
+    """Reduced solve + neighbor shifts from the subfolded interface RHS
+    yred (..., 2s, 8, C8) -> (xm1_bot, xp1_top), each (..., s, 8, C8)."""
+    from . import pallas_pcr
+
     plan = fact.plan
-    nvar, g, s, Mc, C, K = (plan.nvar, plan.g, plan.s, plan.Mc, plan.C,
-                            plan.K)
-    from .banded import _pcr_solve
-    from .pallas_thomas import chunked_solve_sweeps
-
-    batch = bf.shape[:-3]
-    if fact.col_split and bf.ndim == 3:
-        return _solve_folded_flat(fact, bf)
-    # folded -> chunk rows: (..., nvar, Mc, g, C) -> (Mc, ..., s, C)
-    bc = bf.reshape(batch + (nvar, Mc, g, C))
-    if nvar == 1:
-        bc = jnp.moveaxis(bc[..., 0, :, :, :], -3, 0)  # (Mc, ..., g(=s), C)
-    else:
-        bc = jnp.moveaxis(bc, (-3, -2, -4), (0, 1, 2))  # (Mc, g, nvar, ...)
-        bc = jnp.moveaxis(bc.reshape((Mc, s) + batch + (C,)), 1, -2)
-    y = chunked_solve_sweeps(fact.fac, fact.Dhinv, fact.DU, bc)
-
-    yred = jnp.concatenate([y[0], y[-1]], axis=-2)
+    s = plan.s
+    if yred.ndim == 3:
+        shifted = pallas_pcr.interface_shift_solve(fact.red, yred, fact.wrap)
+        if shifted is not None:
+            return shifted
     if isinstance(fact.red, WrappedPcr):
         z = fact.red.solve(yred)
     else:
-        z = _pcr_solve(fact.red, yred)
-    ztop, zbot = z[..., :s, :], z[..., s:, :]
-    if fact.wrap:
-        xm1_bot = jnp.roll(zbot, 1, axis=-1)
-        xp1_top = jnp.roll(ztop, -1, axis=-1)
+        z = _red_solve(fact.red, yred)
+    sp = (slice(None),) * 2
+    ztop, zbot = z[(..., slice(None, s)) + sp], z[(..., slice(s, None)) + sp]
+    xm1_bot = _ring_shift(zbot, 1, plan)
+    xp1_top = _ring_shift(ztop, -1, plan)
+    if not fact.wrap:
+        sub = jax.lax.broadcasted_iota(jnp.int32, (8, plan.C8), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, plan.C8), 1)
+        sub_e, lane_e = plan.last
+        xm1_bot = jnp.where((sub == 0) & (lane == 0), 0.0, xm1_bot)
+        xp1_top = jnp.where((sub == sub_e) & (lane == lane_e), 0.0, xp1_top)
+    return xm1_bot, xp1_top
+
+
+def solve_folded(fact: FoldedFactorization, bf):
+    """Solve with folded RHS bf (..., nvar, K, 8, C8) -> same shape."""
+    plan = fact.plan
+    nvar, g, s, Mc, K = plan.nvar, plan.g, plan.s, plan.Mc, plan.K
+    C8 = plan.C8
+    from .pallas_thomas import _mv_t, chunked_solve_sweeps
+
+    batch = bf.shape[:-4]
+    if fact.col_split and bf.ndim == 4:
+        return _solve_folded_flat(fact, bf)
+    # folded -> chunk rows: (..., nvar, Mc, g, 8, C8) -> (Mc, ..., s, 8, C8)
+    bc = bf.reshape(batch + (nvar, Mc, g, 8, C8))
+    if nvar == 1:
+        bc = jnp.moveaxis(bc[..., 0, :, :, :, :], -4, 0)
     else:
-        xm1_bot = jnp.concatenate(
-            [jnp.zeros_like(zbot[..., :1]), zbot[..., :-1]], axis=-1)
-        xp1_top = jnp.concatenate(
-            [ztop[..., 1:], jnp.zeros_like(ztop[..., :1])], axis=-1)
+        # (Mc, g, nvar, ..., 8, C8) -> (Mc, ..., s, 8, C8)
+        bc = jnp.moveaxis(bc, (-4, -3, -5), (0, 1, 2))
+        bc = jnp.moveaxis(bc.reshape((Mc, s) + batch + (8, C8)), 1, -3)
+    y = chunked_solve_sweeps(fact.fac, fact.Dhinv, fact.DU, bc)
+
+    yred = jnp.concatenate([y[0], y[-1]], axis=-3)
+    xm1_bot, xp1_top = _interface_shifts(fact, yred)
     Wb, Vb = fact.Wsp, fact.Vsp
     if fact.col_split:
         # batched fallback through col-split spikes: rebuild block form
-        Wb = jnp.moveaxis(Wb.reshape(s, Mc, s, C), 0, 2)
-        Vb = jnp.moveaxis(Vb.reshape(s, Mc, s, C), 0, 2)
-    extra = y.ndim - 3
+        Wb = jnp.moveaxis(Wb.reshape(s, Mc, s, 8, C8), 0, 2)
+        Vb = jnp.moveaxis(Vb.reshape(s, Mc, s, 8, C8), 0, 2)
+    extra = y.ndim - 4
     if extra > 0:
         expand = (slice(None),) + (None,) * extra
         Wb = Wb[expand]
         Vb = Vb[expand]
-    x = y - _mv(Wb, xm1_bot) - _mv(Vb, xp1_top)
+    x = y - _mv_t(Wb, xm1_bot, 2) - _mv_t(Vb, xp1_top, 2)
 
     # chunk rows -> folded
     if nvar == 1:
-        xf = jnp.moveaxis(x, 0, -3).reshape(batch + (1, K, C))
+        xf = jnp.moveaxis(x, 0, -4).reshape(batch + (1, K, 8, C8))
     else:
-        x = jnp.moveaxis(x, -2, 1).reshape((Mc, g, nvar) + batch + (C,))
-        x = jnp.moveaxis(x, (0, 1, 2), (-3, -2, -4))
-        xf = x.reshape(batch + (nvar, K, C))
+        x = jnp.moveaxis(x, -3, 1).reshape((Mc, g, nvar) + batch + (8, C8))
+        x = jnp.moveaxis(x, (0, 1, 2), (-4, -3, -5))
+        xf = x.reshape(batch + (nvar, K, 8, C8))
     return xf
 
 
 def _solve_folded_flat(fact: FoldedFactorization, bf):
     """nvar==1 fast path: the Thomas sweeps, interface gather and spike
-    correction all run on the (K, C) folded layout directly — no
-    (Mc, s, C) relayout of the RHS or solution."""
-    from .banded import _pcr_solve
+    correction all run on the (K, 8, C8) folded layout directly — no
+    per-supernode relayout of the RHS or solution."""
     from .pallas_thomas import chunked_solve_flat
 
     plan = fact.plan
     s = plan.s
     y = chunked_solve_flat(fact.fac, fact.Dhinv, fact.DU, bf[0])
-    yred = jnp.concatenate([y[:s], y[-s:]], axis=-2)       # (2s, C)
-    from . import pallas_pcr
-
-    shifted = pallas_pcr.interface_shift_solve(fact.red, yred, fact.wrap)
-    if shifted is not None:
-        xm1_bot, xp1_top = shifted
-    else:
-        if isinstance(fact.red, WrappedPcr):
-            z = fact.red.solve(yred)
-        else:
-            z = _pcr_solve(fact.red, yred)
-        ztop, zbot = z[:s], z[s:]
-        if fact.wrap:
-            xm1_bot = jnp.roll(zbot, 1, axis=-1)
-            xp1_top = jnp.roll(ztop, -1, axis=-1)
-        else:
-            xm1_bot = jnp.concatenate(
-                [jnp.zeros_like(zbot[..., :1]), zbot[..., :-1]], axis=-1)
-            xp1_top = jnp.concatenate(
-                [ztop[..., 1:], jnp.zeros_like(ztop[..., :1])], axis=-1)
+    yred = jnp.concatenate([y[:s], y[-s:]], axis=-3)       # (2s, 8, C8)
+    xm1_bot, xp1_top = _interface_shifts(fact, yred)
     corr = None
     for b in range(s):
         t = fact.Wsp[b] * xm1_bot[b] + fact.Vsp[b] * xp1_top[b]
@@ -872,11 +1014,13 @@ def plan_for_backend(backend, N):
                               per_row_extra=plan.W * plan.nvar ** 2)
     if not call.applicable():
         return None
-    # the factor kernel blocks the folded bands with (r*g, C) tiles: an
-    # 8-aligned row block must exist
+    # the factor kernel blocks the folded bands with (r*g, 8, C8) tiles: a
+    # workable row block must exist (rows sit on a non-minor dim, so no
+    # sublane-alignment constraint)
     item = jnp.dtype(backend.dtype).itemsize
-    band_bytes = plan.W * plan.nvar ** 2 * plan.g * plan.C * item
-    blk_bytes = plan.s * plan.s * plan.C * item
-    if not row_block(plan.Mc, band_bytes + 4 * blk_bytes, sub_unit=plan.g):
+    band_bytes = plan.W * plan.nvar ** 2 * plan.g * plan.Cp * item
+    blk_bytes = plan.s * plan.s * plan.Cp * item
+    if not row_block(plan.Mc, band_bytes + 4 * blk_bytes,
+                     budget=6 * 1024 * 1024):
         return None
     return plan

@@ -214,12 +214,7 @@ def pcr_factor_fused(L, D, U, cyclic: bool = False):
     (cyclic C is a power of two >= 8, hence never padded)."""
     s2, C = L.shape[-3], L.shape[-1]
     dtype = L.dtype
-    ds = _levels(C)
-    nlev = len(ds)
     C8 = -(-C // 8)
-    if cyclic and C % 8:
-        raise ValueError("cyclic fused PCR requires C % 8 == 0")
-
     Lp = _subfold(L, C8)
     Up = _subfold(U, C8)
     Dp = _subfold(D, C8)
@@ -227,6 +222,19 @@ def pcr_factor_fused(L, D, U, cyclic: bool = False):
         # decoupled identity padding keeps every padded block invertible
         eye = jnp.eye(s2, dtype=dtype)[..., None, None]
         Dp = jnp.where(_c_iota(C8) >= C, eye, Dp)
+    return pcr_factor_fused_sub(Lp, Dp, Up, C, cyclic)
+
+
+def pcr_factor_fused_sub(Lp, Dp, Up, C, cyclic: bool = False):
+    """Fused PCR factor on PRE-subfolded (s2, s2, 8, C8) operands (the
+    folded solver's native layout); dead chunks must carry identity D and
+    zero L/U."""
+    s2, C8 = Lp.shape[-4], Lp.shape[-1]
+    dtype = Lp.dtype
+    ds = _levels(C)
+    nlev = len(ds)
+    if cyclic and C % 8:
+        raise ValueError("cyclic fused PCR requires C % 8 == 0")
 
     def kernel(L_ref, D_ref, U_ref, alphas_ref, betas_ref, Dinv_ref):
         Lv, Dv, Uv = L_ref[...], D_ref[...], U_ref[...]
@@ -265,8 +273,9 @@ def pcr_factor_fused(L, D, U, cyclic: bool = False):
 def interface_shift_solve(red, yred, wrap):
     """Per-stage interface work in ONE kernel: reduced PCR solve, optional
     Woodbury wrap correction, and the neighbor shifts of the interface
-    unknowns.  Returns (xm1_bot, xp1_top), each (s, C) — the constants the
-    spike correction broadcasts over each chunk.
+    unknowns.  yred is the subfolded interface RHS (2s, 8, C8); returns
+    (xm1_bot, xp1_top), each (s, 8, C8) — the constants the spike
+    correction broadcasts over each chunk.
 
     ``red`` is a FusedPcrFactor (acyclic or block-cyclic), or a
     folded.WrappedPcr whose ``red0`` is a FusedPcrFactor.  Returns None when
@@ -280,13 +289,11 @@ def interface_shift_solve(red, yred, wrap):
     s = s2 // 2
     dtype = yred.dtype
     ds = fact.ds
-    yb = _subfold(yred, C8)                       # (2s, 8, C8)
+    yb = yred                                     # (2s, 8, C8)
     sub_e, lane_e = divmod(C - 1, C8)
 
     if wood:
-        Zb = _subfold(red.Z, C8)                  # (2s, 2s, 8, C8)
-        cap = red.cap_inv                         # (2s, 2s)
-        extra = [Zb, cap]
+        extra = [red.Z, red.cap_inv]              # (2s, 2s, 8, C8), (2s, 2s)
     else:
         extra = []
 
@@ -356,16 +363,25 @@ def interface_shift_solve(red, yred, wrap):
             jax.ShapeDtypeStruct((s, 8, C8), dtype),
         ],
     )(fact.alphas, fact.betas, fact.Dinv, yb, *extra)
-    return _subunfold(xm1, C), _subunfold(xp1, C)
+    return xm1, xp1
 
 
 def pcr_solve_fused(fact: FusedPcrFactor, b):
     """Pallas twin of banded._pcr_solve_xla; b is (..., s2, C)."""
     s2, C8 = fact.Dinv.shape[-4], fact.Dinv.shape[-1]
     C = fact.C
-    dtype = b.dtype
     batch = b.shape[:-2]
-    bflat = _subfold(b.reshape((-1, s2, C)), C8)
+    bsub = _subfold(b.reshape((-1, s2, C)), C8)
+    out = pcr_solve_fused_sub(fact, bsub)
+    return _subunfold(out, C).reshape(batch + (s2, C))
+
+
+def pcr_solve_fused_sub(fact: FusedPcrFactor, b):
+    """Fused PCR solve on PRE-subfolded b (..., s2, 8, C8) -> same shape."""
+    s2, C8 = fact.Dinv.shape[-4], fact.Dinv.shape[-1]
+    dtype = b.dtype
+    batch = b.shape[:-3]
+    bflat = b.reshape((-1, s2, 8, C8))
     B = bflat.shape[0]
     ds = fact.ds
 
@@ -384,4 +400,4 @@ def pcr_solve_fused(fact: FusedPcrFactor, b):
         out_specs=vspec,
         out_shape=jax.ShapeDtypeStruct((B, s2, 8, C8), dtype),
     )(fact.alphas, fact.betas, fact.Dinv, bflat)
-    return _subunfold(out, C).reshape(batch + (s2, C))
+    return out.reshape(batch + (s2, 8, C8))

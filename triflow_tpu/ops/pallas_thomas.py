@@ -34,66 +34,86 @@ def _pcall(*args, **kw):
     return pl.pallas_call(*args, **kw)
 
 
-def _mm(a, b):
-    s = a.shape[-3]
+def _mm_t(a, b, tail):
+    """Block matmul with ``tail`` trailing space dims: block dims sit at
+    (-2-tail, -1-tail); tail=1 for a lanes-only chunk axis (..., s, s, C),
+    tail=2 for the sublane-packed chunk axis (..., s, s, 8, C8)."""
+    s = a.shape[-2 - tail]
+    sp = (slice(None),) * tail
     return jnp.stack(
         [
             jnp.stack(
                 [
-                    sum(a[..., i, k, :] * b[..., k, j, :] for k in range(s))
+                    sum(a[(..., i, k) + sp] * b[(..., k, j) + sp]
+                        for k in range(s))
                     for j in range(s)
                 ],
-                axis=-2,
+                axis=-1 - tail,
             )
             for i in range(s)
         ],
-        axis=-3,
+        axis=-2 - tail,
     )
 
 
-def _mv(a, b):
-    s = a.shape[-3]
+def _mv_t(a, b, tail):
+    s = a.shape[-2 - tail]
+    sp = (slice(None),) * tail
     return jnp.stack(
         [
-            sum(a[..., i, k, :] * b[..., k, :] for k in range(s))
+            sum(a[(..., i, k) + sp] * b[(..., k) + sp] for k in range(s))
             for i in range(s)
         ],
-        axis=-2,
+        axis=-1 - tail,
     )
 
 
-def _inv(D):
-    """Closed-form / block-Schur inverse of (s, s, C) blocks (mirrors
-    ops/banded.py _small_inv; duplicated here so the kernel has no module
-    interdependency at trace time)."""
-    s = D.shape[-3]
+def _inv_t(D, tail):
+    """Closed-form / block-Schur inverse of small blocks with ``tail``
+    trailing space dims (mirrors ops/banded.py _small_inv)."""
+    s = D.shape[-2 - tail]
+    sp = (slice(None),) * tail
     if s == 1:
         return 1.0 / D
     if s == 2:
-        a = D[..., 0, 0, :]
-        b = D[..., 0, 1, :]
-        c = D[..., 1, 0, :]
-        d = D[..., 1, 1, :]
+        a = D[(..., 0, 0) + sp]
+        b = D[(..., 0, 1) + sp]
+        c = D[(..., 1, 0) + sp]
+        d = D[(..., 1, 1) + sp]
         inv_det = 1.0 / (a * d - b * c)
-        r0 = jnp.stack([d * inv_det, -b * inv_det], axis=-2)
-        r1 = jnp.stack([-c * inv_det, a * inv_det], axis=-2)
-        return jnp.stack([r0, r1], axis=-3)
+        r0 = jnp.stack([d * inv_det, -b * inv_det], axis=-1 - tail)
+        r1 = jnp.stack([-c * inv_det, a * inv_det], axis=-1 - tail)
+        return jnp.stack([r0, r1], axis=-2 - tail)
     p = s // 2
     if s % 2 == 0:
-        A = D[..., :p, :p, :]
-        B = D[..., :p, p:, :]
-        C = D[..., p:, :p, :]
-        Dd = D[..., p:, p:, :]
-        Ainv = _inv(A)
-        Sinv = _inv(Dd - _mm(C, _mm(Ainv, B)))
-        AinvB = _mm(Ainv, B)
-        CAinv = _mm(C, Ainv)
+        A = D[(..., slice(None, p), slice(None, p)) + sp]
+        B = D[(..., slice(None, p), slice(p, None)) + sp]
+        C = D[(..., slice(p, None), slice(None, p)) + sp]
+        Dd = D[(..., slice(p, None), slice(p, None)) + sp]
+        Ainv = _inv_t(A, tail)
+        Sinv = _inv_t(Dd - _mm_t(C, _mm_t(Ainv, B, tail), tail), tail)
+        AinvB = _mm_t(Ainv, B, tail)
+        CAinv = _mm_t(C, Ainv, tail)
         top = jnp.concatenate(
-            [Ainv + _mm(AinvB, _mm(Sinv, CAinv)), -_mm(AinvB, Sinv)], axis=-2
+            [Ainv + _mm_t(AinvB, _mm_t(Sinv, CAinv, tail), tail),
+             -_mm_t(AinvB, Sinv, tail)], axis=-1 - tail
         )
-        bot = jnp.concatenate([-_mm(Sinv, CAinv), Sinv], axis=-2)
-        return jnp.concatenate([top, bot], axis=-3)
+        bot = jnp.concatenate([-_mm_t(Sinv, CAinv, tail), Sinv],
+                              axis=-1 - tail)
+        return jnp.concatenate([top, bot], axis=-2 - tail)
     raise NotImplementedError(f"odd block size {s} not supported in kernel")
+
+
+def _mm(a, b):
+    return _mm_t(a, b, 1)
+
+
+def _mv(a, b):
+    return _mv_t(a, b, 1)
+
+
+def _inv(D):
+    return _inv_t(D, 1)
 
 
 def row_block(Mc: int, row_bytes: int, budget: int = 4 * 1024 * 1024,
@@ -153,7 +173,7 @@ def _fwd_factor_kernel(r):
     return kernel
 
 
-def _bwd_factor_kernel(r):
+def _bwd_factor_kernel(r, tail=1):
     """Backward spike-construction sweep over r-row blocks (block index map
     is reversed; rows are processed descending inside the block, so grid step
     j == 0 / row i == r-1 is the globally LAST sweep row)."""
@@ -172,14 +192,14 @@ def _bwd_factor_kernel(r):
         v = v_c[...]
         for i in reversed(range(r)):
             Dhinv = Dhinv_ref[i]
-            DU = _mm(Dhinv, U_ref[i])
+            DU = _mm_t(Dhinv, U_ref[i], tail)
             if i == r - 1:
                 bV = jnp.where(j == 0, Tr_ref[...],
                                jnp.zeros_like(Tr_ref[...]))
             else:
                 bV = jnp.zeros_like(Tr_ref[...])
-            w_new = _mm(Dhinv, wt_ref[i]) - _mm(DU, w)
-            v_new = _mm(Dhinv, bV) - _mm(DU, v)
+            w_new = _mm_t(Dhinv, wt_ref[i], tail) - _mm_t(DU, w, tail)
+            v_new = _mm_t(Dhinv, bV, tail) - _mm_t(DU, v, tail)
             W_ref[i] = w_new
             V_ref[i] = v_new
             DU_ref[i] = DU
@@ -192,23 +212,26 @@ def _bwd_factor_kernel(r):
 
 
 def _bwd_factor_call(Dhinv, Uc, wt, Tr, Mc, s, C, dtype, r):
+    space = Dhinv.shape[3:]
+    tail = len(space)
     Nb = Mc // r
-    blk = (r, s, s, C)
+    blk = (r, s, s) + space
+    z = (0,) * tail
 
     def bwd_spec(j):
-        return (Nb - 1 - j, 0, 0, 0)
+        return (Nb - 1 - j, 0, 0) + z
 
     def const3(j):
-        return (0, 0, 0)
+        return (0, 0) + z
 
     return _pcall(
-        _bwd_factor_kernel(r),
+        _bwd_factor_kernel(r, tail),
         grid=(Nb,),
         in_specs=[
             pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
             pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
             pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, s, C), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, s) + space, const3, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
@@ -216,22 +239,22 @@ def _bwd_factor_call(Dhinv, Uc, wt, Tr, Mc, s, C, dtype, r):
             pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Mc, s, s, C), dtype),
-            jax.ShapeDtypeStruct((Mc, s, s, C), dtype),
-            jax.ShapeDtypeStruct((Mc, s, s, C), dtype),
+            jax.ShapeDtypeStruct((Mc, s, s) + space, dtype),
+            jax.ShapeDtypeStruct((Mc, s, s) + space, dtype),
+            jax.ShapeDtypeStruct((Mc, s, s) + space, dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((s, s, C), dtype),
-            pltpu.VMEM((s, s, C), dtype),
+            pltpu.VMEM((s, s) + space, dtype),
+            pltpu.VMEM((s, s) + space, dtype),
         ],
     )(Dhinv, Uc, wt, Tr)
 
 
-def _bwd_factor_kernel_cols(r, s):
+def _bwd_factor_kernel_cols(r, s, tail=1):
     """Backward spike sweep writing W/V **column-split**: W_ref[b] is the
-    b-th spike column as a flat (Mc*s, C) array (row k = m*s + a holds
+    b-th spike column as a flat (Mc*s, *space) array (row k = m*s + a holds
     W[m, a, b]).  This is the layout the flat-RHS solve consumes, so the
-    spike correction runs on (K, C) tiles with no (Mc, s, C) relayout."""
+    spike correction runs on (K, *space) tiles with no (Mc, s, …) relayout."""
 
     def kernel(Dhinv_ref, U_ref, wt_ref, Tr_ref,
                W_ref, V_ref, DU_ref,
@@ -245,19 +268,20 @@ def _bwd_factor_kernel_cols(r, s):
 
         w = w_c[...]
         v = v_c[...]
+        sp = (slice(None),) * tail
         for i in reversed(range(r)):
             Dhinv = Dhinv_ref[i]
-            DU = _mm(Dhinv, U_ref[i])
+            DU = _mm_t(Dhinv, U_ref[i], tail)
             if i == r - 1:
                 bV = jnp.where(j == 0, Tr_ref[...],
                                jnp.zeros_like(Tr_ref[...]))
             else:
                 bV = jnp.zeros_like(Tr_ref[...])
-            w_new = _mm(Dhinv, wt_ref[i]) - _mm(DU, w)
-            v_new = _mm(Dhinv, bV) - _mm(DU, v)
+            w_new = _mm_t(Dhinv, wt_ref[i], tail) - _mm_t(DU, w, tail)
+            v_new = _mm_t(Dhinv, bV, tail) - _mm_t(DU, v, tail)
             for b in range(s):
-                W_ref[b, i * s:(i + 1) * s] = w_new[:, b, :]
-                V_ref[b, i * s:(i + 1) * s] = v_new[:, b, :]
+                W_ref[(b, slice(i * s, (i + 1) * s))] = w_new[(slice(None), b) + sp]
+                V_ref[(b, slice(i * s, (i + 1) * s))] = v_new[(slice(None), b) + sp]
             DU_ref[i] = DU
             w = w_new
             v = v_new
@@ -268,42 +292,47 @@ def _bwd_factor_kernel_cols(r, s):
 
 
 def _bwd_factor_call_cols(Dhinv, Uc, wt, Tr, Mc, s, C, dtype, r):
-    """Column-split spike construction: returns Wc, Vc (s, Mc*s, C) and DU
-    (Mc, s, s, C)."""
+    """Column-split spike construction: returns Wc, Vc (s, Mc*s, *space) and
+    DU (Mc, s, s, *space)."""
+    space = Dhinv.shape[3:]
+    tail = len(space)
     Nb = Mc // r
-    blk = (r, s, s, C)
+    blk = (r, s, s) + space
+    z = (0,) * tail
 
     def bwd_spec(j):
-        return (Nb - 1 - j, 0, 0, 0)
+        return (Nb - 1 - j, 0, 0) + z
 
     def bwd_flat(j):
-        return (0, Nb - 1 - j, 0)
+        return (0, Nb - 1 - j) + z
 
     def const3(j):
-        return (0, 0, 0)
+        return (0, 0) + z
 
     return _pcall(
-        _bwd_factor_kernel_cols(r, s),
+        _bwd_factor_kernel_cols(r, s, tail),
         grid=(Nb,),
         in_specs=[
             pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
             pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
             pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, s, C), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, s) + space, const3, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((s, r * s, C), bwd_flat, memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, r * s, C), bwd_flat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, r * s) + space, bwd_flat,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, r * s) + space, bwd_flat,
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(blk, bwd_spec, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((s, Mc * s, C), dtype),
-            jax.ShapeDtypeStruct((s, Mc * s, C), dtype),
-            jax.ShapeDtypeStruct((Mc, s, s, C), dtype),
+            jax.ShapeDtypeStruct((s, Mc * s) + space, dtype),
+            jax.ShapeDtypeStruct((s, Mc * s) + space, dtype),
+            jax.ShapeDtypeStruct((Mc, s, s) + space, dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((s, s, C), dtype),
-            pltpu.VMEM((s, s, C), dtype),
+            pltpu.VMEM((s, s) + space, dtype),
+            pltpu.VMEM((s, s) + space, dtype),
         ],
     )(Dhinv, Uc, wt, Tr)
 
@@ -520,7 +549,7 @@ def fused_factor_sweeps(bands_c, alpha, beta):
 # solve kernels
 # ---------------------------------------------------------------------------
 
-def _fwd_solve_kernel(r):
+def _fwd_solve_kernel(r, tail=1):
     def kernel(fac_ref, b_ref, bt_ref, bt_c):
         j = pl.program_id(0)
 
@@ -530,14 +559,14 @@ def _fwd_solve_kernel(r):
 
         bt = bt_c[...]
         for i in range(r):
-            bt = b_ref[i] - _mv(fac_ref[i], bt)
+            bt = b_ref[i] - _mv_t(fac_ref[i], bt, tail)
             bt_ref[i] = bt
         bt_c[...] = bt
 
     return kernel
 
 
-def _bwd_solve_kernel(r):
+def _bwd_solve_kernel(r, tail=1):
     def kernel(Dhinv_ref, DU_ref, bt_ref, y_ref, y_c):
         j = pl.program_id(0)
 
@@ -547,14 +576,15 @@ def _bwd_solve_kernel(r):
 
         y = y_c[...]
         for i in reversed(range(r)):
-            y = _mv(Dhinv_ref[i], bt_ref[i]) - _mv(DU_ref[i], y)
+            y = (_mv_t(Dhinv_ref[i], bt_ref[i], tail)
+                 - _mv_t(DU_ref[i], y, tail))
             y_ref[i] = y
         y_c[...] = y
 
     return kernel
 
 
-def _solve_kernel(r):
+def _solve_kernel(r, tail=1):
     """Both Thomas solve sweeps in ONE sequential grid of 2*Nb steps: the
     forward pass stores the reduced RHS in a VMEM scratch spanning the whole
     chunk depth; the backward pass reads it back — one kernel launch, no HBM
@@ -573,7 +603,7 @@ def _solve_kernel(r):
         def _():
             bt = bt_c[...]
             for i in range(r):
-                bt = b_ref[i] - _mv(fac_ref[i], bt)
+                bt = b_ref[i] - _mv_t(fac_ref[i], bt, tail)
                 bt_all[jj * r + i] = bt
             bt_c[...] = bt
 
@@ -586,17 +616,18 @@ def _solve_kernel(r):
             j = 2 * Nb - 1 - jj  # block Nb-1 ... 0
             y = bt_c[...]
             for i in reversed(range(r)):
-                y = _mv(Dhinv_ref[i], bt_all[j * r + i]) - _mv(DU_ref[i], y)
+                y = (_mv_t(Dhinv_ref[i], bt_all[j * r + i], tail)
+                     - _mv_t(DU_ref[i], y, tail))
                 y_ref[i] = y
             bt_c[...] = y
 
     return kernel
 
 
-def _solve_kernel_flat(r, s):
-    """Single-launch fwd+bwd Thomas solve with FLAT (r*s, C) vector blocks
-    on (K = Mc*s, C) arrays — the folded nvar==1 state layout, so the RHS
-    and solution never pass through the (Mc, s, C) relayout."""
+def _solve_kernel_flat(r, s, tail=1):
+    """Single-launch fwd+bwd Thomas solve with FLAT (r*s, *space) vector
+    blocks on (K = Mc*s, *space) arrays — the folded nvar==1 state layout,
+    so the RHS and solution never pass through a per-supernode relayout."""
 
     def kernel(fac_ref, Dhinv_ref, DU_ref, b_ref, y_ref, bt_c, bt_all):
         jj = pl.program_id(0)
@@ -611,7 +642,7 @@ def _solve_kernel_flat(r, s):
         def _():
             bt = bt_c[...]
             for i in range(r):
-                bt = b_ref[i * s:(i + 1) * s] - _mv(fac_ref[i], bt)
+                bt = b_ref[i * s:(i + 1) * s] - _mv_t(fac_ref[i], bt, tail)
                 bt_all[jj * r + i] = bt
             bt_c[...] = bt
 
@@ -624,7 +655,8 @@ def _solve_kernel_flat(r, s):
             j = 2 * Nb - 1 - jj
             y = bt_c[...]
             for i in reversed(range(r)):
-                y = _mv(Dhinv_ref[i], bt_all[j * r + i]) - _mv(DU_ref[i], y)
+                y = (_mv_t(Dhinv_ref[i], bt_all[j * r + i], tail)
+                     - _mv_t(DU_ref[i], y, tail))
                 y_ref[i * s:(i + 1) * s] = y
             bt_c[...] = y
 
@@ -632,24 +664,31 @@ def _solve_kernel_flat(r, s):
 
 
 def chunked_solve_flat(fac, Dhinv, DU, bK):
-    """Thomas solve with a flat (Mc*s, C) right-hand side -> same shape.
+    """Thomas solve with a flat (Mc*s, *space) right-hand side -> same shape.
 
     Single-launch only: the forward intermediate lives in a VMEM scratch
-    spanning the whole chunk depth, so Mc*s*C*itemsize must fit (~6MB);
+    spanning the whole chunk depth, so Mc*s*spacebytes must fit (~6MB);
     returns None when it doesn't and the caller falls back to the blocked
-    (Mc, s, C) path."""
-    Mc, s, _, C = fac.shape
+    (Mc, s, …) path."""
+    import numpy as _np
+
+    Mc, s = fac.shape[:2]
+    space = fac.shape[3:]
+    tail = len(space)
     dtype = bK.dtype
-    blk_bytes = s * s * C * dtype.itemsize
-    vec_bytes = s * C * dtype.itemsize
+    space_n = int(_np.prod(space))
+    blk_bytes = s * s * space_n * dtype.itemsize
+    vec_bytes = s * space_n * dtype.itemsize
     if Mc * vec_bytes > 6 * 1024 * 1024:
         return None
-    r = row_block(Mc, 3 * blk_bytes + 2 * vec_bytes, sub_unit=s)
+    r = row_block(Mc, 3 * blk_bytes + 2 * vec_bytes,
+                  sub_unit=s if tail == 1 else 0)
     if not r:
         return None
     Nb = Mc // r
-    mat_blk = (r, s, s, C)
-    vec_blk = (r * s, C)
+    mat_blk = (r, s, s) + space
+    vec_blk = (r * s,) + space
+    z = (0,) * tail
 
     def fwd_blk_idx(jj):
         return jnp.minimum(jj, Nb - 1)
@@ -658,19 +697,19 @@ def chunked_solve_flat(fac, Dhinv, DU, bK):
         return jnp.clip(2 * Nb - 1 - jj, 0, Nb - 1)
 
     def mat_fwd(jj):
-        return (fwd_blk_idx(jj), 0, 0, 0)
+        return (fwd_blk_idx(jj), 0, 0) + z
 
     def mat_bwd(jj):
-        return (bwd_blk_idx(jj), 0, 0, 0)
+        return (bwd_blk_idx(jj), 0, 0) + z
 
     def vec_fwd(jj):
-        return (fwd_blk_idx(jj), 0)
+        return (fwd_blk_idx(jj),) + z
 
     def vec_bwd(jj):
-        return (bwd_blk_idx(jj), 0)
+        return (bwd_blk_idx(jj),) + z
 
     return _pcall(
-        _solve_kernel_flat(r, s),
+        _solve_kernel_flat(r, s, tail),
         grid=(2 * Nb,),
         in_specs=[
             pl.BlockSpec(mat_blk, mat_fwd, memory_space=pltpu.VMEM),
@@ -679,10 +718,10 @@ def chunked_solve_flat(fac, Dhinv, DU, bK):
             pl.BlockSpec(vec_blk, vec_fwd, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(vec_blk, vec_bwd, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Mc * s, C), dtype),
+        out_shape=jax.ShapeDtypeStruct((Mc * s,) + space, dtype),
         scratch_shapes=[
-            pltpu.VMEM((s, C), dtype),
-            pltpu.VMEM((Mc, s, C), dtype),
+            pltpu.VMEM((s,) + space, dtype),
+            pltpu.VMEM((Mc, s) + space, dtype),
         ],
     )(fac, Dhinv, DU, bK)
 
@@ -690,34 +729,37 @@ def chunked_solve_flat(fac, Dhinv, DU, bK):
 def chunked_solve_sweeps(fac, Dhinv, DU, bc):
     """Thomas solve (forward + backward) as one fused pallas_call.
 
-    bc has shape (Mc, s, C) or (Mc, R, s, C) for R simultaneous right-hand
-    sides (the Woodbury / SPIKE coupling columns) — the kernels broadcast
-    over the extra axis."""
+    bc has shape (Mc, …, s, *space) with optional extra leading batch axes
+    for R simultaneous right-hand sides (the Woodbury / SPIKE coupling
+    columns) — the kernels broadcast over the extra axes.  *space is (C,)
+    or the sublane-packed (8, C8)."""
     import numpy as _np
 
-    Mc = bc.shape[0]
-    s, C = bc.shape[-2:]
+    Mc, s = fac.shape[:2]
+    space = fac.shape[3:]
+    tail = len(space)
     dtype = bc.dtype
     vec_shape = bc.shape[1:]
     vec_bytes = int(_np.prod(vec_shape)) * bc.dtype.itemsize
-    blk_bytes = s * s * C * bc.dtype.itemsize
+    blk_bytes = s * s * int(_np.prod(space)) * bc.dtype.itemsize
     r = row_block(Mc, 3 * blk_bytes + 2 * vec_bytes)
     Nb = Mc // r
-    mat_blk = (r, s, s, C)
+    mat_blk = (r, s, s) + space
     vec_blk = (r,) + vec_shape
+    mz = (0,) * tail
 
     # the fused single-launch variant keeps the intermediate in VMEM: only
     # usable when it fits alongside the pipeline buffers
     bt_bytes = Mc * vec_bytes
     if bt_bytes > 6 * 1024 * 1024:
         def fwd_mat(j):
-            return (j, 0, 0, 0)
+            return (j, 0, 0) + mz
 
         def fwd_vec(j):
             return (j,) + (0,) * len(vec_shape)
 
         bt = _pcall(
-            _fwd_solve_kernel(r),
+            _fwd_solve_kernel(r, tail),
             grid=(Nb,),
             in_specs=[
                 pl.BlockSpec(mat_blk, fwd_mat, memory_space=pltpu.VMEM),
@@ -729,13 +771,13 @@ def chunked_solve_sweeps(fac, Dhinv, DU, bc):
         )(fac, bc)
 
         def bwd_mat(j):
-            return (Nb - 1 - j, 0, 0, 0)
+            return (Nb - 1 - j, 0, 0) + mz
 
         def bwd_vec(j):
             return (Nb - 1 - j,) + (0,) * len(vec_shape)
 
         return _pcall(
-            _bwd_solve_kernel(r),
+            _bwd_solve_kernel(r, tail),
             grid=(Nb,),
             in_specs=[
                 pl.BlockSpec(mat_blk, bwd_mat, memory_space=pltpu.VMEM),
@@ -758,10 +800,10 @@ def chunked_solve_sweeps(fac, Dhinv, DU, bc):
         return jnp.clip(2 * Nb - 1 - jj, 0, Nb - 1)
 
     def mat_fwd(jj):
-        return (fwd_blk_idx(jj), 0, 0, 0)
+        return (fwd_blk_idx(jj), 0, 0) + mz
 
     def mat_bwd(jj):
-        return (bwd_blk_idx(jj), 0, 0, 0)
+        return (bwd_blk_idx(jj), 0, 0) + mz
 
     def vec_fwd(jj):
         return (fwd_blk_idx(jj),) + (0,) * len(vec_shape)
@@ -770,7 +812,7 @@ def chunked_solve_sweeps(fac, Dhinv, DU, bc):
         return (bwd_blk_idx(jj),) + (0,) * len(vec_shape)
 
     y = _pcall(
-        _solve_kernel(r),
+        _solve_kernel(r, tail),
         grid=(2 * Nb,),
         in_specs=[
             pl.BlockSpec(mat_blk, mat_fwd, memory_space=pltpu.VMEM),

@@ -99,3 +99,31 @@ def test_ensemble_sharded_over_mesh(burgers):
                        rtol=1e-12, atol=1e-14)
     # the state must actually live distributed over the mesh
     assert len(ens_sharded.u.sharding.device_set) == 8
+
+
+def test_ensemble_scanned_steps_match_loop(burgers):
+    """steps(n, dt) — the production scanned driver — must match n
+    individual step() calls exactly."""
+    N, B = 64, 4
+    x = np.linspace(0, 10, N, endpoint=False)
+    rng = np.random.RandomState(3)
+    u0 = np.stack([np.cos(2 * np.pi * x / 10 + p) for p in rng.rand(B)])
+
+    ens_a = Ensemble(burgers, u0, dict(k=1.0, periodic=True), x,
+                     scheme=schemes.ROS2)
+    ens_b = Ensemble(burgers, u0, dict(k=1.0, periodic=True), x,
+                     scheme=schemes.ROS2)
+    for _ in range(3):
+        ens_a.step(0.1)
+    ens_b.steps(3, 0.1)
+    assert np.isclose(ens_a.t, ens_b.t)
+    assert np.allclose(np.asarray(ens_a.u), np.asarray(ens_b.u),
+                       rtol=1e-12, atol=1e-14)
+
+    # run() with steps_per_call takes the scanned path end-to-end
+    ens_c = Ensemble(burgers, u0, dict(k=1.0, periodic=True), x,
+                     scheme=schemes.ROS2)
+    ens_c.run(tmax=0.3, dt=0.1, steps_per_call=2)
+    assert np.isclose(ens_c.t, ens_a.t)
+    assert np.allclose(np.asarray(ens_c.u), np.asarray(ens_a.u),
+                       rtol=1e-12, atol=1e-14)

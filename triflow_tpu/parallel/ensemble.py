@@ -117,6 +117,7 @@ class Ensemble:
         )
         self._hook = hook
         self._internal_dt = None
+        self._scan_stepper = None
         self._stepper = self._build(mesh, mesh_axis)
 
     # ------------------------------------------------------------------
@@ -219,7 +220,58 @@ class Ensemble:
         self._internal_dt = float(dt_i)
         return self.t, self.u
 
-    def run(self, tmax, dt):
-        while self.t < tmax - 1e-12 * max(1.0, abs(tmax)):
+    def steps(self, n, dt):
+        """Advance every member by n output steps of dt in ONE device call
+        (a lax.scan over the stepper).  Dispatch through the host costs
+        tens of milliseconds per call on a tunneled device — scanning many
+        steps per call is how production runs amortize it (same pattern as
+        the Simulation driver's device loop)."""
+        backend = self.model.backend
+        internal_dt = self._internal_dt
+        if internal_dt is None:
+            internal_dt = 1e-6 if self._adaptive else dt
+        if self._scan_stepper is None:
+            stepper = self._stepper
+
+            def scan_run(t, u, h, p, x, dt, internal_dt, n):
+                def body(carry, _):
+                    t, u, h, p, dt_i, status = carry
+                    t2, u2, h2, p2, dt_i2, st2 = stepper(
+                        t, u, h, p, x, dt, dt_i)
+                    return (t2, u2, h2, p2, dt_i2,
+                            jnp.maximum(status, st2)), ()
+                carry = (t, u, h, p, internal_dt, jnp.int32(0))
+                return jax.lax.scan(body, carry, length=n)[0]
+
+            self._scan_stepper = jax.jit(scan_run, static_argnums=(7,))
+        t2, u2, h2, p2, dt_i, status = self._scan_stepper(
+            jnp.asarray(self.t, backend.dtype), self.u, self.helpers,
+            self.pstack, self.x, jnp.asarray(dt, backend.dtype),
+            jnp.asarray(internal_dt, backend.dtype), int(n),
+        )
+        status = int(status)
+        if status == 1:
+            raise RuntimeError(
+                "Rosenbrock internal iteration above max iterations authorized"
+            )
+        if status == 2:
+            raise RuntimeError(
+                "Rosenbrock internal time step less than authorized")
+        self.t, self.u, self.helpers, self.pstack = float(t2), u2, h2, p2
+        self._internal_dt = float(dt_i)
+        return self.t, self.u
+
+    def run(self, tmax, dt, steps_per_call=None):
+        """Run to tmax.  With ``steps_per_call`` the loop scans that many
+        steps per device call (recommended for production: amortizes the
+        per-call dispatch)."""
+        eps = 1e-12 * max(1.0, abs(tmax))
+        if steps_per_call and steps_per_call > 1:
+            while self.t < tmax - eps:
+                n = min(steps_per_call,
+                        max(1, int(round((tmax - self.t) / dt))))
+                self.steps(n, dt)
+            return self.t, self.u
+        while self.t < tmax - eps:
             self.step(min(dt, tmax - self.t))
         return self.t, self.u

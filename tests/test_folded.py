@@ -97,3 +97,37 @@ def test_cyclic_pcr_matches_dense():
     xr = np.linalg.solve(A, bflat)
     xr = np.stack([xr[i*s:(i+1)*s] for i in range(M)], axis=-1)
     assert np.allclose(x, xr, rtol=1e-10, atol=1e-12)
+
+
+def test_folded_adaptive_loop_matches_node_path(interpret_pallas,
+                                                monkeypatch):
+    """The adaptive while_loop carries folded state when no hook is set;
+    the trajectory must match the node-layout adaptive path."""
+    model = Model("-dxxU - dxxxxU - U * dxU", "U")
+    be = model.backend
+    N = 4096
+    dtype = be.dtype
+    x = np.arange(N) * 0.5
+    rng = np.random.RandomState(5)
+    u0 = (np.cos(2 * np.pi * np.arange(N) / N * 7)
+          + 0.05 * rng.randn(N))[None]
+    helpers = jnp.zeros((0, N), dtype)
+    pstack = jnp.zeros((0, N), dtype)
+    args = (jnp.asarray(0.0, dtype), jnp.asarray(u0, dtype), helpers,
+            pstack, jnp.asarray(x, dtype), jnp.asarray(0.3, dtype),
+            jnp.asarray(0.05, dtype))
+
+    scheme = schemes.RODASPR(model, tol=1e-5)
+    out_f = scheme.device_stepper(periodic=True)(*args)
+
+    monkeypatch.setenv("TRIFLOW_NO_FOLDED", "1")
+    scheme2 = schemes.RODASPR(model, tol=1e-5)
+    out_n = scheme2.device_stepper(periodic=True)(*args)
+    monkeypatch.delenv("TRIFLOW_NO_FOLDED")
+
+    # same final time, same accepted-step count, same state
+    assert np.isclose(float(out_f[0]), float(out_n[0]))
+    assert int(out_f[6]) == int(out_n[6])          # niter
+    assert int(out_f[7]) == int(out_n[7]) == 0     # status
+    assert np.allclose(np.asarray(out_f[1]), np.asarray(out_n[1]),
+                       rtol=1e-11, atol=1e-11)

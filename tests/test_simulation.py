@@ -211,3 +211,30 @@ def test_wave_system_two_vars():
         np.asarray(fields["u"]).sum(), u0.sum(), rtol=1e-6
     )
     assert np.abs(np.asarray(fields["u"])).max() > 0.1
+
+
+def test_run_device_chunk_matches_stepwise(heat_model):
+    """run(device_chunk=n) scans n output steps per device call; the
+    trajectory, step count and stream emissions must match the stepwise
+    run exactly."""
+    initial = make_fields(heat_model)
+    pars = dict(k=1.0, periodic=True)
+
+    sim_a = Simulation(heat_model, initial.copy(), pars, dt=0.5, tmax=5.2,
+                       tol=1e-2)
+    seen_a = []
+    sim_a.stream.sink(lambda s: seen_a.append(float(s.t)))
+    ta, fa = sim_a.run(progress=False)
+
+    sim_b = Simulation(heat_model, initial.copy(), pars, dt=0.5, tmax=5.2,
+                       tol=1e-2)
+    seen_b = []
+    sim_b.stream.sink(lambda s: seen_b.append(float(s.t)))
+    tb, fb = sim_b.run(progress=False, device_chunk=4)
+
+    assert np.isclose(ta, tb)
+    assert sim_a.i == sim_b.i
+    assert np.allclose(seen_a, seen_b)
+    assert np.allclose(np.asarray(fa["T"]), np.asarray(fb["T"]),
+                       rtol=1e-10, atol=1e-12)
+    assert sim_b.status == "finished"

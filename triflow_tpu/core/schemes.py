@@ -149,6 +149,48 @@ class _SchemeBase:
         problem = _DeviceProblem(self._model, hook, periodic)
         return self._fixed_step_fn(problem)
 
+    def device_steps(self, t, fields, n, dt, pars, hook=null_hook):
+        """Advance ``n`` output steps of ``dt`` in ONE device call (a
+        lax.scan over the stepper) and return ``(t_final, snapshots,
+        status)`` where snapshots is a list of (t_i, fields_i), one per
+        output step.  Dispatching through the host costs tens of
+        milliseconds per call on a tunneled device; this is the
+        amortization primitive behind ``Simulation.run(device_chunk=...)``
+        (hooks run traced inside the step, exactly as in the adaptive
+        inner loop)."""
+        periodic = bool(pars.get("periodic", False))
+        stepper = self._get_stepper(hook, periodic)
+        key = (hook, periodic, "scan")
+        if key not in self._steppers:
+            def scan_run(t, u, h, p, x, dt, internal_dt, n):
+                def body(carry, _):
+                    t_, u_, h_, p_, x_, dti, status = carry
+                    t2, u2, h2, p2, x2, dti2, _ni, st2 = stepper(
+                        t_, u_, h_, p_, x_, dt, dti)
+                    return ((t2, u2, h2, p2, x2, dti2,
+                             jnp.maximum(status, st2)), (t2, u2, h2))
+                carry = (t, u, h, p, x, internal_dt, jnp.int32(0))
+                return jax.lax.scan(body, carry, length=n)
+            self._steppers[key] = jax.jit(scan_run, static_argnums=(7,))
+        u, helpers, pstack, x = self._split(fields, pars)
+        internal_dt = getattr(self, "_internal_dt", None)
+        if internal_dt is None:
+            internal_dt = (1e-6 if getattr(self, "_time_control", False)
+                           else dt)
+        carry, (ts, us, hs) = self._steppers[key](
+            jnp.asarray(t, u.dtype), u, helpers, pstack, x,
+            jnp.asarray(dt, u.dtype), jnp.asarray(internal_dt, u.dtype),
+            int(n))
+        t2, _u2, _h2, _p2, x2, dt_i, status = carry
+        if hasattr(self, "_internal_dt"):
+            self._internal_dt = float(dt_i)
+        ts = np.asarray(ts)
+        snapshots = [
+            (float(ts[i]), self._rebuild(fields, us[i], hs[i], x2))
+            for i in range(int(n))
+        ]
+        return float(t2), snapshots, int(status)
+
     def _fixed_step_fn(self, problem):
         raise NotImplementedError(
             f"{type(self).__name__} does not expose a single fixed step"
@@ -375,9 +417,68 @@ class ROW_general(_SchemeBase):
         max_iter = self._max_iter
         dt_min = self._dt_min
 
+        tables, s = self._tables, self._s
+
         def stepper(t, u, helpers, pstack, x, dt, internal_dt):
             next_t = t + dt
             eps = 1e-12 * jnp.maximum(jnp.abs(next_t), 1.0)
+
+            # folded-carry variant: with no hook the entire adaptive loop
+            # runs on the chunk-native layout — fold once, unfold once,
+            # instead of a fold/unfold transpose per internal attempt
+            from ..ops import folded as _folded
+
+            plan = (_folded.folded_plan_for(problem.backend, u, x)
+                    if problem.hook is null_hook else None)
+            if plan is not None:
+                uf = _folded.fold(u, plan)
+                hf = _folded.fold(helpers, plan)
+                pf = _folded.fold(pstack, plan)
+                xf = _folded.fold(x, plan)
+                N = x.shape[-1]
+                dx = (x[..., -1] - x[..., 0]) / (N - 1)
+
+                def fixed_f(t, uf_, dt_):
+                    return _row_folded_core(
+                        problem.backend, plan, tables, s, problem.periodic,
+                        uf_, hf, pf, xf, dx, dt_)
+
+                def cond_f(carry):
+                    t_, _uf, dt_i, niter, status = carry
+                    return (t_ < next_t - eps) & (status == 0)
+
+                def body_f(carry):
+                    t_, uf_, dt_i, niter, status = carry
+                    remaining = next_t - t_
+                    clamped = dt_i >= remaining
+                    dt_eff = jnp.minimum(dt_i, remaining)
+                    u2f, err = fixed_f(t_, uf_, dt_eff)
+                    accept = err <= tol
+                    err_safe = jnp.maximum(err,
+                                           jnp.finfo(dt_eff.dtype).tiny)
+                    dt_next = safety * dt_eff * jnp.sqrt(tol / err_safe)
+                    dt_next = jnp.clip(dt_next, 0.1 * dt_eff, 10.0 * dt_eff)
+                    dt_i_new = jnp.where(accept & clamped, dt_i, dt_next)
+                    t_ = jnp.where(accept, t_ + dt_eff, t_)
+                    uf_ = jnp.where(accept, u2f, uf_)
+                    niter = niter + jnp.int32(1)
+                    if max_iter is not None:
+                        status = jnp.where(niter > jnp.int32(max_iter),
+                                           jnp.int32(1), status)
+                    dt_floor = dt_min if dt_min is not None else (
+                        1e3 * jnp.finfo(dt_eff.dtype).tiny
+                        + 2.0 * jnp.finfo(dt_eff.dtype).eps
+                        * jnp.abs(next_t))
+                    status = jnp.where(dt_i_new < dt_floor, jnp.int32(2),
+                                       status)
+                    return (t_, uf_, dt_i_new, niter, status)
+
+                carry = (t, uf, jnp.minimum(internal_dt, dt),
+                         jnp.int32(0), jnp.int32(0))
+                t2, uf2, dt_i, niter, status = jax.lax.while_loop(
+                    cond_f, body_f, carry)
+                return (next_t, _folded.unfold(uf2, plan), helpers, pstack,
+                        x, dt_i, niter, status)
 
             def cond(carry):
                 t, u, h, p, x_, dt_i, niter, status = carry

@@ -127,3 +127,69 @@ def test_ensemble_scanned_steps_match_loop(burgers):
     assert np.isclose(ens_c.t, ens_a.t)
     assert np.allclose(np.asarray(ens_c.u), np.asarray(ens_a.u),
                        rtol=1e-12, atol=1e-14)
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+def test_ensemble_merged_members_as_chunks(monkeypatch, periodic):
+    """The members-as-chunks folded ensemble (ops/folded.py
+    make_ensemble_plan) must match the vmapped node-layout path: member
+    halo rings, solver decoupling and the periodic closure are member-local."""
+    monkeypatch.setenv("TRIFLOW_PALLAS_INTERPRET", "1")
+    from triflow_tpu.ops import folded
+
+    model = Model("-dxxU - dxxxxU - U * dxU", "U")
+    N, B = 1024, 4
+    assert folded.plan_for_ensemble(model.backend, N, B) is not None
+    x = np.arange(N) * 0.5
+    rng = np.random.RandomState(7)
+    u0 = np.stack([np.cos(2 * np.pi * np.arange(N) / N * (3 + m))
+                   + 0.05 * rng.randn(N) for m in range(B)])
+
+    ens_m = Ensemble(model, u0, dict(periodic=periodic), x,
+                     scheme=schemes.RODASPR, time_stepping=False, tol=None)
+    assert ens_m._merged_plan is not None, "merged path must be active"
+    ens_m.step(0.02)
+
+    monkeypatch.setenv("TRIFLOW_NO_FOLDED", "1")
+    ens_v = Ensemble(model, u0, dict(periodic=periodic), x,
+                     scheme=schemes.RODASPR, time_stepping=False, tol=None)
+    ens_v.step(0.02)
+    monkeypatch.delenv("TRIFLOW_NO_FOLDED")
+
+    assert np.allclose(np.asarray(ens_m.u), np.asarray(ens_v.u),
+                       rtol=1e-10, atol=1e-10)
+
+
+def test_ensemble_merged_adaptive(monkeypatch):
+    """Merged adaptive: shared dt controlled by the max error over the
+    whole merged grid == max over members."""
+    monkeypatch.setenv("TRIFLOW_PALLAS_INTERPRET", "1")
+    model = Model("-dxxU - dxxxxU - U * dxU", "U")
+    N, B = 1024, 4
+    x = np.arange(N) * 0.5
+    rng = np.random.RandomState(9)
+    u0 = np.stack([np.cos(2 * np.pi * np.arange(N) / N * (3 + m))
+                   + 0.05 * rng.randn(N) for m in range(B)])
+
+    ens_m = Ensemble(model, u0, dict(periodic=True), x,
+                     scheme=schemes.RODASPR, tol=1e-4)
+    assert ens_m._merged_plan is not None
+    ens_m.step(0.1)
+
+    # the scanned merged driver (fold once per call) must match step()
+    ens_s = Ensemble(model, u0, dict(periodic=True), x,
+                     scheme=schemes.RODASPR, tol=1e-4)
+    ens_s.steps(1, 0.1)
+    assert np.isclose(ens_s.t, ens_m.t)
+    assert np.allclose(np.asarray(ens_s.u), np.asarray(ens_m.u),
+                       rtol=1e-11, atol=1e-12)
+
+    monkeypatch.setenv("TRIFLOW_NO_FOLDED", "1")
+    ens_v = Ensemble(model, u0, dict(periodic=True), x,
+                     scheme=schemes.RODASPR, tol=1e-4)
+    ens_v.step(0.1)
+    monkeypatch.delenv("TRIFLOW_NO_FOLDED")
+
+    assert np.isclose(ens_m.t, ens_v.t)
+    assert np.allclose(np.asarray(ens_m.u), np.asarray(ens_v.u),
+                       rtol=1e-9, atol=1e-9)

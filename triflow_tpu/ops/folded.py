@@ -47,19 +47,31 @@ from .pallas_thomas import _inv, _mm, _mv, row_block
 
 
 class FoldPlan(NamedTuple):
-    N: int
+    N: int          # nodes per MEMBER (= the grid size)
     nvar: int
     halo: int
     g: int          # nodes per supernode = max(halo, 1)
     W: int          # band window
-    C: int          # real chunks; chunk index c = sub * C8 + lane
+    C: int          # real chunks TOTAL (= B * Cm); c = sub * C8 + lane
     Mc: int         # supernode rows per chunk
     K: int          # nodes per chunk = Mc * g
-    cyclic_ok: bool  # C is a power of two >= 8 -> cyclic reduced PCR
+    cyclic_ok: bool  # single member, C a power of two >= 8 -> cyclic PCR
+    Cm: int = 0     # chunks per member (0 -> C: single member)
 
     @property
     def s(self):
         return self.nvar * self.g
+
+    @property
+    def B(self):
+        """Independent members folded into the chunk axis (ensembles):
+        member m owns chunks [m*Cm, (m+1)*Cm)."""
+        return 1 if not self.Cm else self.C // self.Cm
+
+    @property
+    def Cmm(self):
+        """Chunks per member (== C for a single member)."""
+        return self.Cm or self.C
 
     @property
     def C8(self):
@@ -95,6 +107,81 @@ def make_plan(N: int, nvar: int, halo: int, window: int):
                     C & (C - 1) == 0 and C >= 8)
 
 
+def make_ensemble_plan(N: int, B: int, nvar: int, halo: int, window: int):
+    """Fold B independent members (each an N-node grid) into ONE chunk
+    axis: member m owns chunks [m*Cm, (m+1)*Cm).  Every kernel treats the
+    members uniformly — halo rings, solver decoupling and the periodic
+    closure are member-local via the plan's Cm masks — so an ensemble runs
+    at single-grid efficiency instead of a vmap-serialized batch.
+
+    Returns a FoldPlan with ``N = B*n`` total nodes and ``Cm`` chunks per
+    member, or None when the shape doesn't fold."""
+    g = max(halo, 1)
+    if B < 2 or N % g or nvar * g not in (1, 2, 4, 8):
+        return None
+    M = N // g                       # supernode rows per member
+    if M < 16:
+        return None
+    divs = []
+    d = 1
+    while d * d <= M:
+        if M % d == 0:
+            divs += [d, M // d]
+        d += 1
+    out = []
+    for Cm in sorted(set(divs), reverse=True):
+        if Cm < 2 or M // Cm < 2:
+            continue
+        C = B * Cm
+        if C > 65536:
+            continue
+        Mc = M // Cm
+        out.append(FoldPlan(B * N, nvar, halo, g, window, C, Mc, Mc * g,
+                            False, Cm))
+    return out or None
+
+
+def plan_for_ensemble(backend, N, B):
+    """Member-merged FoldPlan when the folded ensemble path applies (same
+    gates as plan_for_backend plus fused-PCR applicability for the
+    member-partitioned reduced system), else None.  Candidates are tried
+    largest-C first: more chunks means shallower (faster) Thomas sweeps,
+    bounded above by the reduced system's VMEM budget."""
+    import os
+
+    if os.environ.get("TRIFLOW_NO_PALLAS") or os.environ.get(
+            "TRIFLOW_NO_FOLDED"):
+        return None
+    if not os.environ.get("TRIFLOW_PALLAS_INTERPRET"):
+        try:
+            if jax.default_backend() != "tpu":
+                return None
+        except RuntimeError:  # pragma: no cover
+            return None
+    plans = make_ensemble_plan(N, B, backend.system.nvar, backend.halo,
+                               backend.window)
+    if not plans:
+        return None
+    from . import pallas_pcr
+
+    item = jnp.dtype(backend.dtype).itemsize
+    for plan in plans:
+        if not pallas_pcr.applicable(2 * plan.s, plan.C, backend.dtype,
+                                     Cm=plan.Cm):
+            continue
+        call = _FoldedStencilCall(backend, True, plan,
+                                  per_row_extra=plan.W * plan.nvar ** 2)
+        if not call.applicable():
+            continue
+        band_bytes = plan.W * plan.nvar ** 2 * plan.g * plan.Cp * item
+        blk_bytes = plan.s * plan.s * plan.Cp * item
+        if not row_block(plan.Mc, band_bytes + 4 * blk_bytes,
+                         budget=6 * 1024 * 1024):
+            continue
+        return plan
+    return None
+
+
 def fold(a, plan: FoldPlan):
     """(..., N) -> (..., K, 8, C8): the sublane-packed chunk-native layout.
 
@@ -122,42 +209,61 @@ def unfold(af, plan: FoldPlan):
 # ---------------------------------------------------------------------------
 
 def _pick_kb(K: int, per_row_bytes: int, budget: int = 2 << 20) -> int:
-    """Largest divisor of K that is a multiple of 8 (or K itself) within the
-    VMEM budget."""
-    cap = max(8, budget // max(per_row_bytes, 1))
+    """Largest divisor of K within the VMEM budget (K rows sit on a
+    non-minor dim in the subfolded layout, so no sublane alignment is
+    required; multiples of 8 are preferred when available)."""
+    cap = max(1, budget // max(per_row_bytes, 1))
     if K <= cap:
         return K
     best = None
     for d in range(8, cap + 1, 8):
         if K % d == 0:
             best = d
-    return best
+    if best is not None:
+        return best
+    for d in range(cap, 0, -1):
+        if K % d == 0:
+            return d
+    return None
+
+
+def _member_masks(plan: FoldPlan):
+    """(first, last): boolean (8, C8) masks of every member's first / last
+    REAL chunk (exactly chunk 0 / C-1 for a single member)."""
+    C8 = plan.C8
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, C8), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, C8), 1)
+    if plan.B == 1:
+        sub_e, lane_e = plan.last
+        return ((sub == 0) & (lane == 0),
+                (sub == sub_e) & (lane == lane_e))
+    c = sub * C8 + lane
+    cm = c % plan.Cmm
+    real = c < plan.C
+    return (cm == 0) & real, (cm == plan.Cmm - 1) & real
 
 
 def _ring_shift(x, d, plan: FoldPlan):
-    """Shift a (..., 8, C8) slab by one chunk around the REAL C-ring:
-    d=+1 -> out[c] = x[c-1] (with out[0] = x[C-1]); d=-1 -> out[c] = x[c+1]
-    (with out[C-1] = x[0]).  Rolls over the padded Cp ring, then patches the
-    real-ring boundary chunk with a SECOND roll that skips the dead tail
-    (Mosaic can't broadcast a single element over sublanes and lanes at
-    once, so the patch value is produced by a roll, not a gather).
-    Dead-tail chunks receive garbage; every consumer masks them."""
+    """Shift a (..., 8, C8) slab by one chunk around each member's OWN
+    Cm-ring: d=+1 -> out[c] = x[c-1] (member starts read their member's
+    last chunk); d=-1 -> out[c] = x[c+1] (member ends read their member's
+    first chunk).  Rolls over the padded Cp ring, then patches every member
+    boundary with a SECOND roll (Mosaic can't broadcast one element over
+    sublanes and lanes at once, so the patch value is produced by a roll,
+    not a gather).  Dead-tail chunks receive garbage; every consumer masks
+    them."""
     from .pallas_pcr import _roll_c
 
     C8 = plan.C8
-    sub_e, lane_e = plan.last
+    Cm = plan.Cmm
     rolled = _roll_c(x, d, C8)
-    if plan.Cp == plan.C:
+    if plan.B == 1 and plan.Cp == plan.C:
         return rolled
-    dead = plan.Cp - plan.C
-    sub = jax.lax.broadcasted_iota(jnp.int32, (8, C8), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, C8), 1)
+    first, last = _member_masks(plan)
     if d == 1:
-        first = (sub == 0) & (lane == 0)
-        alt = _roll_c(x, 1 + dead, C8)       # alt[0] = x[C-1]
+        alt = _roll_c(x, 1 - Cm, C8)         # alt[m*Cm] = x[(m+1)*Cm - 1]
         return jnp.where(first, alt, rolled)
-    last = (sub == sub_e) & (lane == lane_e)
-    alt = _roll_c(x, -1 - dead, C8)          # alt[C-1] = x[0]
+    alt = _roll_c(x, Cm - 1, C8)             # alt[(m+1)*Cm-1] = x[m*Cm]
     return jnp.where(last, alt, rolled)
 
 
@@ -172,11 +278,7 @@ def _chunk_halo_window(cur, prev, nxt, h, periodic, tid, ntiles,
     ends; edge mode clamps chunk 0 / C-1 instead."""
     if h == 0:
         return cur
-    sub = jax.lax.broadcasted_iota(jnp.int32, (8, plan.C8), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, plan.C8), 1)
-    sub_e, lane_e = plan.last
-    first = (sub == 0) & (lane == 0)
-    last = (sub == sub_e) & (lane == lane_e)
+    first, last = _member_masks(plan)
 
     prev_tail = prev[..., -h:, :, :]
     # chunk-boundary variant: chunk c reads chunk c-1's last rows
@@ -353,17 +455,13 @@ def eval_J_folded(backend, uf, helpersf, pstackf, xf, dx, periodic, plan):
     W = plan.W
     h = plan.halo
     nt = call.ntiles
-    sub_e, lane_e = plan.last
 
     def kernel(*refs):
         out_ref = refs[-1]
         args = call.build_args(refs[:-1])
         tid = pl.program_id(0)
         krow = jax.lax.broadcasted_iota(jnp.int32, (Kb, 8, C8), 0)
-        sub = jax.lax.broadcasted_iota(jnp.int32, (Kb, 8, C8), 1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (Kb, 8, C8), 2)
-        first = (sub == 0) & (lane == 0)
-        last = (sub == sub_e) & (lane == lane_e)
+        first, last = _member_masks(plan)
         zero = jnp.zeros((Kb, 8, C8), dtype)
         rows = {}
         for (m, n, kb), fn in backend._J_fns.items():
@@ -434,7 +532,6 @@ def matvec_folded(bands_f, vf, periodic, plan):
     item = jnp.dtype(dtype).itemsize
     Kb = _pick_kb(plan.K, (4 * nvar + W * nvar * nvar) * plan.Cp * item)
     nt = plan.K // Kb
-    sub_e, lane_e = plan.last
 
     def shifted(rows, s):
         return pl.BlockSpec((rows, Kb, 8, C8),
@@ -455,10 +552,7 @@ def matvec_folded(bands_f, vf, periodic, plan):
             if not periodic:
                 # ghost columns contribute zero (edge-folded bands), so mask
                 # the clamped window copies back to zero
-                sub = jax.lax.broadcasted_iota(jnp.int32, (8, C8), 0)
-                lane = jax.lax.broadcasted_iota(jnp.int32, (8, C8), 1)
-                first = (sub == 0) & (lane == 0)
-                last = (sub == sub_e) & (lane == lane_e)
+                first, last = _member_masks(plan)
                 head = jnp.where((tid == 0) & first, 0.0,
                                  v_win[..., :h, :, :])
                 tail = jnp.where((tid == nt - 1) & last, 0.0,
@@ -545,7 +639,6 @@ def factor_sweeps_folded(bands_f, alpha, beta, plan: FoldPlan, cyclic: bool):
     band_blk = (W, nvar, nvar, r * g, 8, C8)
     blk = (r, s, s, 8, C8)
     space = (8, C8)
-    sub_e, lane_e = plan.last
 
     def fwd_kernel(ab_ref, b_ref, fac_ref, Dhinv_ref, wt_ref, U_ref,
                    Tl_ref, Tr_ref, dhinv_c, uprev_c, wt_c):
@@ -553,10 +646,7 @@ def factor_sweeps_folded(bands_f, alpha, beta, plan: FoldPlan, cyclic: bool):
         Nb_n = pl.num_programs(0)
         alpha_v = ab_ref[0, 0]
         beta_v = ab_ref[0, 1]
-        sub = jax.lax.broadcasted_iota(jnp.int32, space, 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, space, 1)
-        first = (sub == 0) & (lane == 0)
-        last = (sub == sub_e) & (lane == lane_e)
+        first, last = _member_masks(plan)
 
         @pl.when(j == 0)
         def _():
@@ -659,12 +749,15 @@ def factor_sweeps_folded(bands_f, alpha, beta, plan: FoldPlan, cyclic: bool):
 def flat_solve_ok(plan: FoldPlan, dtype) -> bool:
     """True when the nvar==1 flat-RHS solve path applies: spikes are stored
     column-split (s, K, 8, C8) and the per-stage solves run on (K, 8, C8)
-    arrays with no relayout (pallas_thomas.chunked_solve_flat)."""
+    arrays with no relayout (pallas_thomas.chunked_solve_flat — single
+    launch when the intermediate fits VMEM, two launches otherwise)."""
+    import os
+
+    if os.environ.get("TRIFLOW_NO_FLAT"):
+        return False
     if plan.nvar != 1:
         return False
     item = jnp.dtype(dtype).itemsize
-    if plan.Mc * plan.s * plan.Cp * item > 6 * 1024 * 1024:
-        return False
     blk_bytes = plan.s * plan.s * plan.Cp * item
     vec_bytes = plan.s * plan.Cp * item
     return bool(row_block(plan.Mc, 3 * blk_bytes + 2 * vec_bytes))
@@ -719,15 +812,17 @@ class WrappedPcr:
     reduced system is equivalent to correcting the full one at ~Mc times
     less work)."""
 
-    def __init__(self, red0, Z, cap_inv, s, C):
+    def __init__(self, red0, Z, cap_inv, s, C, Cm=0):
         self.red0 = red0
         self.Z = Z                    # (2s, 2s, 8, C8): A0^-1 @ Uw columns
-        self.cap_inv = cap_inv        # (2s, 2s)
+        self.cap_inv = cap_inv        # (2s, 2s), or (B, 2s, 2s) per member
         self.s = s
         self.C = C
+        self.Cm = Cm
 
     def tree_flatten(self):
-        return ((self.red0, self.Z, self.cap_inv), (self.s, self.C))
+        return ((self.red0, self.Z, self.cap_inv),
+                (self.s, self.C, self.Cm))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -743,9 +838,28 @@ class WrappedPcr:
             [y[..., s:, sub_e, lane_e], y[..., :s, 0, 0]], axis=-1)
 
     def solve(self, b):
+        from .pallas_pcr import _subfold, _subunfold
+
         y = _red_solve(self.red0, b)
-        coef = jnp.einsum("ij,...j->...i", self.cap_inv, self._vt(y))
-        return y - jnp.tensordot(coef, self.Z, axes=([-1], [0]))
+        if self.Cm in (0, self.C):
+            coef = jnp.einsum("ij,...j->...i", self.cap_inv, self._vt(y))
+            return y - jnp.tensordot(coef, self.Z, axes=([-1], [0]))
+        # per-member wrap: one rank-2s correction per member, applied on
+        # that member's chunk range (the reduced matrix is block-diagonal
+        # over members, so Z_j's columns have per-member support)
+        s, C, Cm = self.s, self.C, self.Cm
+        B = C // Cm
+        C8 = self.Z.shape[-1]
+        yf = _subunfold(y, C)                    # (..., 2s, C)
+        seg = yf.reshape(yf.shape[:-1] + (B, Cm))
+        vt = jnp.concatenate(
+            [jnp.moveaxis(seg[..., s:, :, -1], -2, -1),
+             jnp.moveaxis(seg[..., :s, :, 0], -2, -1)], axis=-1)
+        coef = jnp.einsum("bij,...bj->...bi", self.cap_inv, vt)
+        coef_c = jnp.repeat(coef, Cm, axis=-2)   # (..., C, 2s)
+        Zf = _subunfold(self.Z, C)               # (2s_j, 2s_v, C)
+        corr = jnp.einsum("...cj,jvc->...vc", coef_c, Zf)
+        return y - _subfold(corr, C8)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -766,15 +880,20 @@ class _RedXla:
         return cls(leaves[0], aux[0])
 
 
-def _red_factor_sub(Lp, Dp, Up, C, cyclic):
+def _red_factor_sub(Lp, Dp, Up, C, cyclic, Cm=0):
     """Factor the subfolded reduced system: fused PCR kernel, or the XLA
-    fallback behind an unfold/refold shim."""
+    fallback behind an unfold/refold shim (single member only — ensemble
+    plans require the fused kernel and are gated on its applicability)."""
     from . import pallas_pcr
     from .banded import _pcr_factor_xla
 
     s2 = Lp.shape[-4]
-    if pallas_pcr.applicable(s2, C, Lp.dtype, cyclic=cyclic):
-        return pallas_pcr.pcr_factor_fused_sub(Lp, Dp, Up, C, cyclic)
+    if pallas_pcr.applicable(s2, C, Lp.dtype, cyclic=cyclic, Cm=Cm):
+        return pallas_pcr.pcr_factor_fused_sub(Lp, Dp, Up, C, cyclic, Cm=Cm)
+    if Cm and Cm != C:
+        raise ValueError(
+            "member-partitioned reduced system requires the fused PCR "
+            "kernel (gate ensemble plans on pallas_pcr.applicable)")
     unf = lambda a: pallas_pcr._subunfold(a, C)
     return _RedXla(_pcr_factor_xla(unf(Lp), unf(Dp), unf(Up), cyclic), C)
 
@@ -829,48 +948,63 @@ def _reduced_factor(Lred, Ured, plan: FoldPlan, cyclic, wrap=False):
     """PCR factorization of the chunk-interface system (supernode c =
     (x_c^top, x_c^bot), size 2s) from the assembled subfolded L/U blocks.
     With ``cyclic`` the ring couplings stay (block-cyclic PCR over
-    power-of-two C).  With ``wrap`` (and not cyclic, i.e. periodic closure
-    at non-power-of-two C) the ring couplings are restored by a rank-2s
-    Woodbury correction on this reduced system."""
+    power-of-two C, single member only).  With ``wrap`` (and not cyclic)
+    every member's ring is restored by a rank-2s Woodbury correction on
+    this reduced system (one correction per member, factored jointly —
+    the reduced matrix is block-diagonal over members)."""
     from .banded import _small_inv
 
     C, C8, s = plan.C, plan.C8, plan.s
+    Cm = plan.Cmm
     d2 = 2 * s
     dtype = Lred.dtype
     Dred = jnp.broadcast_to(jnp.eye(d2, dtype=dtype)[..., None, None],
                             Lred.shape)
     if cyclic:
         return _red_factor_sub(Lred, Dred, Ured, C, True)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (8, C8), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, C8), 1)
-    sub_e, lane_e = plan.last
-    first = (sub == 0) & (lane == 0)
-    last = (sub == sub_e) & (lane == lane_e)
-    corner_L = Lred[..., 0, 0]                   # only columns s: nonzero
-    corner_U = Ured[..., sub_e, lane_e]          # only columns :s nonzero
-    Lred = jnp.where(first, 0.0, Lred)
-    Ured = jnp.where(last, 0.0, Ured)
-    red0 = _red_factor_sub(Lred, Dred, Ured, C, False)
+    first, last = _member_masks(plan)
+    Lred0 = jnp.where(first, 0.0, Lred)
+    Ured0 = jnp.where(last, 0.0, Ured)
+    red0 = _red_factor_sub(Lred0, Dred, Ured0, C, False,
+                           Cm=(Cm if plan.B > 1 else 0))
     if not wrap:
         return red0
-    # Woodbury columns: u_j = e_chunk0 (x) corner_L[:, s+j]  (j <  s)
-    #                   u_j = e_chunkE (x) corner_U[:, j-s]  (j >= s)
-    top = jnp.concatenate(
-        [jnp.moveaxis(corner_L[:, s:], -1, 0),            # (s, d2)
-         jnp.zeros((s, d2), dtype)], axis=0)              # -> (d2, d2)
-    bot = jnp.concatenate(
-        [jnp.zeros((s, d2), dtype),
-         jnp.moveaxis(corner_U[:, :s], -1, 0)], axis=0)
-    rhs = (jnp.where(first, top[:, :, None, None], 0.0)
-           + jnp.where(last, bot[:, :, None, None], 0.0))
-    Z = _red_solve(red0, rhs)                    # (2s, 2s, 8, C8)
-    # cap[i, j] = delta_ij + v_i^T Z_j
-    vtz = jnp.concatenate([Z[..., s:, sub_e, lane_e], Z[..., :s, 0, 0]],
-                          axis=-1)               # (j, i)
-    cap = jnp.eye(d2, dtype=dtype) + vtz.T
-    cap_inv = (_small_inv(cap[..., None])[..., 0]
-               if d2 in (2, 4, 8) else jnp.linalg.inv(cap))
-    return WrappedPcr(red0, Z, cap_inv, s, C)
+    # Woodbury columns: u_j = e_(member start) (x) Lred[:, s+j]  (j <  s)
+    #                   u_j = e_(member end)   (x) Ured[:, j-s]  (j >= s)
+    # (the masked Lred/Ured values AT the member boundary ARE that member's
+    # wrap corner blocks, so no per-member gathering is needed)
+    zero = jnp.zeros_like(Lred[:, 0])
+    rhs = jnp.stack(
+        [jnp.where(first, Lred[:, s + j], 0.0) if j < s
+         else jnp.where(last, Ured[:, j - s], 0.0)
+         for j in range(d2)]
+    )                                            # (2s_j, 2s_v, 8, C8)
+    del zero
+    Z = _red_solve(red0, rhs)                    # (2s_j, 2s_v, 8, C8)
+    if plan.B == 1:
+        sub_e, lane_e = plan.last
+        # cap[i, j] = delta_ij + v_i^T Z_j
+        vtz = jnp.concatenate(
+            [Z[..., s:, sub_e, lane_e], Z[..., :s, 0, 0]], axis=-1)
+        cap = jnp.eye(d2, dtype=dtype) + vtz.T
+        cap_inv = (_small_inv(cap[..., None])[..., 0]
+                   if d2 in (2, 4, 8) else jnp.linalg.inv(cap))
+        return WrappedPcr(red0, Z, cap_inv, s, C)
+    # per-member capacitance: vtz[m, j, i] = v_i^T Z_j on member m
+    from .pallas_pcr import _subunfold
+
+    B = plan.B
+    Zf = _subunfold(Z, C)                        # (2s_j, 2s_v, C)
+    seg = Zf.reshape(d2, d2, B, Cm)
+    vtz = jnp.concatenate([seg[:, s:, :, -1], seg[:, :s, :, 0]],
+                          axis=1)                # (2s_j, 2s_i, B)
+    cap = jnp.eye(d2, dtype=dtype)[None] + jnp.transpose(vtz, (2, 1, 0))
+    if d2 in (2, 4, 8):
+        cap_inv = jnp.moveaxis(
+            _small_inv(jnp.moveaxis(cap, 0, -1)), -1, 0)
+    else:
+        cap_inv = jnp.linalg.inv(cap)
+    return WrappedPcr(red0, Z, cap_inv, s, C, Cm)
 
 
 def factor_folded(alpha, beta, bands_f, periodic, plan: FoldPlan):
@@ -883,7 +1017,7 @@ def factor_folded(alpha, beta, bands_f, periodic, plan: FoldPlan):
     wrap = bool(periodic) and plan.halo > 0
     fac, Dhinv, Uc, Wsp, Vsp, DU, Tl, Tr = factor_sweeps_folded(
         bands_f, alpha, beta, plan, wrap)
-    cyclic = wrap and plan.cyclic_ok
+    cyclic = wrap and plan.cyclic_ok and plan.B == 1
     col_split = flat_solve_ok(plan, bands_f.dtype)
     Lred, Ured = _reduced_LU(Wsp, Vsp, plan, col_split)
     red = _reduced_factor(Lred, Ured, plan, cyclic, wrap=wrap)
@@ -911,11 +1045,9 @@ def _interface_shifts(fact, yred):
     xm1_bot = _ring_shift(zbot, 1, plan)
     xp1_top = _ring_shift(ztop, -1, plan)
     if not fact.wrap:
-        sub = jax.lax.broadcasted_iota(jnp.int32, (8, plan.C8), 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (8, plan.C8), 1)
-        sub_e, lane_e = plan.last
-        xm1_bot = jnp.where((sub == 0) & (lane == 0), 0.0, xm1_bot)
-        xp1_top = jnp.where((sub == sub_e) & (lane == lane_e), 0.0, xp1_top)
+        first, last = _member_masks(plan)
+        xm1_bot = jnp.where(first, 0.0, xm1_bot)
+        xp1_top = jnp.where(last, 0.0, xp1_top)
     return xm1_bot, xp1_top
 
 

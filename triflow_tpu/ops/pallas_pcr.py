@@ -163,25 +163,29 @@ def _subunfold(x, C):
 @jax.tree_util.register_pytree_node_class
 class FusedPcrFactor:
     """PCR factorization with per-level operators stacked and sublane-packed
-    (nlev, s2, s2, 8, C8); solved by the single-launch kernel below."""
+    (nlev, s2, s2, 8, C8); solved by the single-launch kernel below.  With
+    ``Cm`` the system is block-diagonal over C/Cm members (ensemble plans):
+    fewer levels (log2(Cm)), member-local masks."""
 
-    def __init__(self, alphas, betas, Dinv, ds, C):
+    def __init__(self, alphas, betas, Dinv, ds, C, Cm=0):
         self.alphas = alphas
         self.betas = betas
         self.Dinv = Dinv
         self.ds = tuple(ds)
         self.C = C
+        self.Cm = Cm
 
     def tree_flatten(self):
-        return (self.alphas, self.betas, self.Dinv), (self.ds, self.C)
+        return ((self.alphas, self.betas, self.Dinv),
+                (self.ds, self.C, self.Cm))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves, aux[0], aux[1])
+        return cls(*leaves, aux[0], aux[1], aux[2])
 
 
 def applicable(s2: int, C: int, dtype, nrhs: int = 1,
-               cyclic: bool = False) -> bool:
+               cyclic: bool = False, Cm: int = 0) -> bool:
     """Fused PCR fits when every per-level operand sits in VMEM at once."""
     import os
 
@@ -197,8 +201,10 @@ def applicable(s2: int, C: int, dtype, nrhs: int = 1,
         return False
     if C < 2 or (cyclic and C % 8):
         return False
+    if Cm and (Cm < 2 or C % Cm):
+        return False
     item = jnp.dtype(dtype).itemsize
-    nlev = len(_levels(C))
+    nlev = len(_levels(Cm or C))
     blk = s2 * s2 * 8 * (-(-C // 8)) * item
     if (2 * nlev + 8) * blk > 10 * 1024 * 1024:
         return False
@@ -225,27 +231,33 @@ def pcr_factor_fused(L, D, U, cyclic: bool = False):
     return pcr_factor_fused_sub(Lp, Dp, Up, C, cyclic)
 
 
-def pcr_factor_fused_sub(Lp, Dp, Up, C, cyclic: bool = False):
+def pcr_factor_fused_sub(Lp, Dp, Up, C, cyclic: bool = False, Cm: int = 0):
     """Fused PCR factor on PRE-subfolded (s2, s2, 8, C8) operands (the
     folded solver's native layout); dead chunks must carry identity D and
-    zero L/U."""
+    zero L/U.  With ``Cm`` the system is block-diagonal over C/Cm members:
+    only log2(Cm) levels, with member-local boundary masks."""
     s2, C8 = Lp.shape[-4], Lp.shape[-1]
     dtype = Lp.dtype
-    ds = _levels(C)
+    members = bool(Cm) and Cm != C
+    ds = _levels(Cm if members else C)
     nlev = len(ds)
     if cyclic and C % 8:
         raise ValueError("cyclic fused PCR requires C % 8 == 0")
+    if cyclic and members:
+        raise ValueError("cyclic closure is single-member only")
 
     def kernel(L_ref, D_ref, U_ref, alphas_ref, betas_ref, Dinv_ref):
         Lv, Dv, Uv = L_ref[...], D_ref[...], U_ref[...]
         cidx = _c_iota(C8)
+        cmod = cidx % Cm if members else cidx
+        top = Cm if members else C
         for lev, d in enumerate(ds):
             Dinv = _inv2(Dv)
             alpha = -_mm2(Lv, _roll_c(Dinv, d, C8))
             beta = -_mm2(Uv, _roll_c(Dinv, -d, C8))
             if not cyclic:
-                alpha = jnp.where(cidx >= d, alpha, 0.0)
-                beta = jnp.where(cidx < C - d, beta, 0.0)
+                alpha = jnp.where(cmod >= d, alpha, 0.0)
+                beta = jnp.where(cmod < top - d, beta, 0.0)
             Dv = (Dv + _mm2(alpha, _roll_c(Uv, d, C8))
                   + _mm2(beta, _roll_c(Lv, -d, C8)))
             Lv = _mm2(alpha, _roll_c(Lv, d, C8))
@@ -267,7 +279,8 @@ def pcr_factor_fused_sub(Lp, Dp, Up, C, cyclic: bool = False):
             jax.ShapeDtypeStruct((s2, s2, 8, C8), dtype),
         ],
     )(Lp, Dp, Up)
-    return FusedPcrFactor(alphas, betas, Dinv, ds, C)
+    return FusedPcrFactor(alphas, betas, Dinv, ds, C,
+                          Cm if members else 0)
 
 
 def interface_shift_solve(red, yred, wrap):
@@ -283,6 +296,10 @@ def interface_shift_solve(red, yred, wrap):
     wood = hasattr(red, "red0")
     fact = red.red0 if wood else red
     if not isinstance(fact, FusedPcrFactor):
+        return None
+    if fact.Cm not in (0, fact.C):
+        return None        # member-partitioned: the op-chain path handles it
+    if wood and getattr(red, "Cm", 0) not in (0, red.C):
         return None
     s2, C8 = fact.Dinv.shape[-4], fact.Dinv.shape[-1]
     C = fact.C

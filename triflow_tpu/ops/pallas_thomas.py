@@ -624,6 +624,41 @@ def _solve_kernel(r, tail=1):
     return kernel
 
 
+def _fwd_solve_kernel_flat(r, s, tail=1):
+    def kernel(fac_ref, b_ref, bt_ref, bt_c):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            bt_c[...] = jnp.zeros_like(bt_c)
+
+        bt = bt_c[...]
+        for i in range(r):
+            bt = b_ref[i * s:(i + 1) * s] - _mv_t(fac_ref[i], bt, tail)
+            bt_ref[i * s:(i + 1) * s] = bt
+        bt_c[...] = bt
+
+    return kernel
+
+
+def _bwd_solve_kernel_flat(r, s, tail=1):
+    def kernel(Dhinv_ref, DU_ref, bt_ref, y_ref, y_c):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            y_c[...] = jnp.zeros_like(y_c)
+
+        y = y_c[...]
+        for i in reversed(range(r)):
+            y = (_mv_t(Dhinv_ref[i], bt_ref[i * s:(i + 1) * s], tail)
+                 - _mv_t(DU_ref[i], y, tail))
+            y_ref[i * s:(i + 1) * s] = y
+        y_c[...] = y
+
+    return kernel
+
+
 def _solve_kernel_flat(r, s, tail=1):
     """Single-launch fwd+bwd Thomas solve with FLAT (r*s, *space) vector
     blocks on (K = Mc*s, *space) arrays — the folded nvar==1 state layout,
@@ -666,10 +701,10 @@ def _solve_kernel_flat(r, s, tail=1):
 def chunked_solve_flat(fac, Dhinv, DU, bK):
     """Thomas solve with a flat (Mc*s, *space) right-hand side -> same shape.
 
-    Single-launch only: the forward intermediate lives in a VMEM scratch
-    spanning the whole chunk depth, so Mc*s*spacebytes must fit (~6MB);
-    returns None when it doesn't and the caller falls back to the blocked
-    (Mc, s, …) path."""
+    Single-launch when the forward intermediate fits a VMEM scratch (~6MB);
+    otherwise two launches with the intermediate round-tripped through HBM
+    in the SAME flat layout (still no per-supernode relayout).  Returns
+    None only when no row block exists."""
     import numpy as _np
 
     Mc, s = fac.shape[:2]
@@ -679,8 +714,6 @@ def chunked_solve_flat(fac, Dhinv, DU, bK):
     space_n = int(_np.prod(space))
     blk_bytes = s * s * space_n * dtype.itemsize
     vec_bytes = s * space_n * dtype.itemsize
-    if Mc * vec_bytes > 6 * 1024 * 1024:
-        return None
     r = row_block(Mc, 3 * blk_bytes + 2 * vec_bytes,
                   sub_unit=s if tail == 1 else 0)
     if not r:
@@ -689,6 +722,46 @@ def chunked_solve_flat(fac, Dhinv, DU, bK):
     mat_blk = (r, s, s) + space
     vec_blk = (r * s,) + space
     z = (0,) * tail
+
+    if Mc * vec_bytes > 6 * 1024 * 1024:
+        def fwd_mat(j):
+            return (j, 0, 0) + z
+
+        def fwd_vec(j):
+            return (j,) + z
+
+        bt = _pcall(
+            _fwd_solve_kernel_flat(r, s, tail),
+            grid=(Nb,),
+            in_specs=[
+                pl.BlockSpec(mat_blk, fwd_mat, memory_space=pltpu.VMEM),
+                pl.BlockSpec(vec_blk, fwd_vec, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(vec_blk, fwd_vec,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Mc * s,) + space, dtype),
+            scratch_shapes=[pltpu.VMEM((s,) + space, dtype)],
+        )(fac, bK)
+
+        def bwd_mat(j):
+            return (Nb - 1 - j, 0, 0) + z
+
+        def bwd_vec(j):
+            return (Nb - 1 - j,) + z
+
+        return _pcall(
+            _bwd_solve_kernel_flat(r, s, tail),
+            grid=(Nb,),
+            in_specs=[
+                pl.BlockSpec(mat_blk, bwd_mat, memory_space=pltpu.VMEM),
+                pl.BlockSpec(mat_blk, bwd_mat, memory_space=pltpu.VMEM),
+                pl.BlockSpec(vec_blk, bwd_vec, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(vec_blk, bwd_vec,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Mc * s,) + space, dtype),
+            scratch_shapes=[pltpu.VMEM((s,) + space, dtype)],
+        )(Dhinv, DU, bt)
 
     def fwd_blk_idx(jj):
         return jnp.minimum(jj, Nb - 1)

@@ -118,10 +118,15 @@ class Ensemble:
         self._hook = hook
         self._internal_dt = None
         self._scan_stepper = None
+        self._merged_plan = None
+        self._merged_scan = None
         self._stepper = self._build(mesh, mesh_axis)
 
     # ------------------------------------------------------------------
     def _build(self, mesh, mesh_axis):
+        merged = self._build_merged() if mesh is None else None
+        if merged is not None:
+            return jax.jit(merged)
         if self._adaptive:
             stepper = self._build_adaptive()
         else:
@@ -140,6 +145,150 @@ class Ensemble:
             self.helpers = jax.device_put(self.helpers, sharding)
             self.pstack = jax.device_put(self.pstack, sharding)
         return stepper
+
+    def _build_merged(self):
+        """Members-as-chunks stepper: fold every member into ONE folded
+        system (ops/folded.py make_ensemble_plan) so the whole batch runs
+        at single-grid efficiency — the vmapped fallback serializes members
+        through the pallas kernels (~7x slower measured at B=16, N=1e5).
+        Applies to ROW schemes with the null hook; per-member halo rings,
+        solver decoupling and periodic closure come from the plan's member
+        masks."""
+        from ..ops import folded as fl
+        from ..core.schemes import _row_folded_core
+
+        scheme = self._scheme
+        if self._hook is not null_hook:
+            return None
+        if not isinstance(scheme, schemes_mod.ROW_general):
+            return None
+        backend = self.model.backend
+        plan = fl.plan_for_ensemble(backend, self.N, self.B)
+        if plan is None:
+            return None
+        self._merged_plan = plan
+        tables, s = scheme._tables, scheme._s
+        periodic = self.periodic
+        B, N = self.B, self.N
+        nvar = backend.system.nvar
+
+        def merge(a):                  # (B, rows, N) -> (rows, B*N)
+            return jnp.moveaxis(a, 0, 1).reshape(a.shape[1], B * N)
+
+        def split(a):                  # (rows, B*N) -> (B, rows, N)
+            return jnp.moveaxis(a.reshape(a.shape[0], B, N), 1, 0)
+
+        adaptive = self._adaptive
+        tol = scheme._tol if adaptive else None
+        safety = scheme._safety_factor if adaptive else None
+        max_iter = scheme._max_iter if adaptive else None
+        dt_min = scheme._dt_min if adaptive else None
+
+        def folded_step(t, uf, hf, pf, xf, dx, dt, internal_dt):
+            """One OUTPUT step on folded state -> (t2, uf2, dt_i, status)."""
+            if not adaptive:
+                u2f, _err = _row_folded_core(backend, plan, tables, s,
+                                             periodic, uf, hf, pf, xf, dx,
+                                             dt)
+                return t + dt, u2f, internal_dt, jnp.int32(0)
+
+            next_t = t + dt
+            eps = 1e-12 * jnp.maximum(jnp.abs(next_t), 1.0)
+
+            def cond(carry):
+                t_, _uf, dt_i, niter, status = carry
+                return (t_ < next_t - eps) & (status == 0)
+
+            def body(carry):
+                t_, uf_, dt_i, niter, status = carry
+                remaining = next_t - t_
+                clamped = dt_i >= remaining
+                dt_eff = jnp.minimum(dt_i, remaining)
+                u2f, err = _row_folded_core(backend, plan, tables, s,
+                                            periodic, uf_, hf, pf, xf, dx,
+                                            dt_eff)
+                accept = err <= tol
+                err_safe = jnp.maximum(err, jnp.finfo(dt_eff.dtype).tiny)
+                dt_next = jnp.clip(
+                    safety * dt_eff * jnp.sqrt(tol / err_safe),
+                    0.1 * dt_eff, 10.0 * dt_eff)
+                dt_i = jnp.where(accept & clamped, dt_i, dt_next)
+                t_ = jnp.where(accept, t_ + dt_eff, t_)
+                uf_ = jnp.where(accept, u2f, uf_)
+                niter = niter + jnp.int32(1)
+                if max_iter is not None:
+                    status = jnp.where(niter > jnp.int32(max_iter),
+                                       jnp.int32(1), status)
+                dt_floor = dt_min if dt_min is not None else (
+                    1e3 * jnp.finfo(dt_eff.dtype).tiny
+                    + 2.0 * jnp.finfo(dt_eff.dtype).eps * jnp.abs(next_t))
+                status = jnp.where(dt_i < dt_floor, jnp.int32(2), status)
+                return (t_, uf_, dt_i, niter, status)
+
+            carry = (t, uf, jnp.minimum(internal_dt, dt),
+                     jnp.int32(0), jnp.int32(0))
+            t2, uf2, dt_i, _niter, status = jax.lax.while_loop(
+                cond, body, carry)
+            return next_t, uf2, dt_i, status
+
+        def prepare(u, helpers, pstack, x):
+            xm = jnp.tile(x, B)
+            return (fl.fold(merge(u), plan), fl.fold(merge(helpers), plan),
+                    fl.fold(merge(pstack), plan), fl.fold(xm, plan),
+                    (x[-1] - x[0]) / (N - 1))
+
+        def finish(uf):
+            return split(fl.unfold(uf, plan))
+
+        self._merged_parts = (folded_step, prepare, finish)
+
+        def stepper(t, u, helpers, pstack, x, dt, internal_dt):
+            uf, hf, pf, xf, dx = prepare(u, helpers, pstack, x)
+            t2, uf2, dt_i, status = folded_step(t, uf, hf, pf, xf, dx, dt,
+                                                internal_dt)
+            return t2, finish(uf2), helpers, pstack, dt_i, status
+
+        return stepper
+
+    def _steps_merged(self, n, dt):
+        """Scanned multi-step driver for the merged path: fold ONCE per
+        device call and carry folded state through the scan (the per-step
+        fold/unfold transposes cost more than the step itself)."""
+        backend = self.model.backend
+        folded_step, prepare, finish = self._merged_parts
+        internal_dt = self._internal_dt
+        if internal_dt is None:
+            internal_dt = 1e-6 if self._adaptive else dt
+        if self._merged_scan is None:
+            def scan_run(t, u, helpers, pstack, x, dt, internal_dt, n):
+                uf, hf, pf, xf, dx = prepare(u, helpers, pstack, x)
+
+                def body(carry, _):
+                    t_, uf_, dti, status = carry
+                    t2, uf2, dti2, st2 = folded_step(t_, uf_, hf, pf, xf,
+                                                     dx, dt, dti)
+                    return (t2, uf2, dti2, jnp.maximum(status, st2)), ()
+                carry = (t, uf, internal_dt, jnp.int32(0))
+                (t2, uf2, dti2, status), _ = jax.lax.scan(
+                    body, carry, length=n)
+                return t2, finish(uf2), dti2, status
+
+            self._merged_scan = jax.jit(scan_run, static_argnums=(7,))
+        t2, u2, dt_i, status = self._merged_scan(
+            jnp.asarray(self.t, backend.dtype), self.u, self.helpers,
+            self.pstack, self.x, jnp.asarray(dt, backend.dtype),
+            jnp.asarray(internal_dt, backend.dtype), int(n))
+        status = int(status)
+        if status == 1:
+            raise RuntimeError(
+                "Rosenbrock internal iteration above max iterations "
+                "authorized")
+        if status == 2:
+            raise RuntimeError(
+                "Rosenbrock internal time step less than authorized")
+        self.t, self.u = float(t2), u2
+        self._internal_dt = float(dt_i)
+        return self.t, self.u
 
     def _build_adaptive(self):
         """Shared-dt adaptive loop: one lax.while_loop whose error is the max
@@ -226,6 +375,8 @@ class Ensemble:
         tens of milliseconds per call on a tunneled device — scanning many
         steps per call is how production runs amortize it (same pattern as
         the Simulation driver's device loop)."""
+        if self._merged_plan is not None:
+            return self._steps_merged(n, dt)
         backend = self.model.backend
         internal_dt = self._internal_dt
         if internal_dt is None:

@@ -120,6 +120,8 @@ class Ensemble:
         self._scan_stepper = None
         self._merged_plan = None
         self._merged_scan = None
+        self._t_dev = None
+        self._idt_dev = None
         self._stepper = self._build(mesh, mesh_axis)
 
     # ------------------------------------------------------------------
@@ -256,9 +258,6 @@ class Ensemble:
         fold/unfold transposes cost more than the step itself)."""
         backend = self.model.backend
         folded_step, prepare, finish = self._merged_parts
-        internal_dt = self._internal_dt
-        if internal_dt is None:
-            internal_dt = 1e-6 if self._adaptive else dt
         if self._merged_scan is None:
             def scan_run(t, u, helpers, pstack, x, dt, internal_dt, n):
                 uf, hf, pf, xf, dx = prepare(u, helpers, pstack, x)
@@ -274,10 +273,21 @@ class Ensemble:
                 return t2, finish(uf2), dti2, status
 
             self._merged_scan = jax.jit(scan_run, static_argnums=(7,))
+        # keep the time / internal-dt scalars device-resident between calls:
+        # every host->device scalar upload is a separate transfer (a full
+        # tunnel roundtrip on remote devices)
+        t_dev = getattr(self, "_t_dev", None)
+        if t_dev is None:
+            t_dev = jnp.asarray(self.t, backend.dtype)
+        idt_dev = getattr(self, "_idt_dev", None)
+        if idt_dev is None:
+            idt = self._internal_dt
+            if idt is None:
+                idt = 1e-6 if self._adaptive else dt
+            idt_dev = jnp.asarray(idt, backend.dtype)
         t2, u2, dt_i, status = self._merged_scan(
-            jnp.asarray(self.t, backend.dtype), self.u, self.helpers,
-            self.pstack, self.x, jnp.asarray(dt, backend.dtype),
-            jnp.asarray(internal_dt, backend.dtype), int(n))
+            t_dev, self.u, self.helpers, self.pstack, self.x,
+            jnp.asarray(dt, backend.dtype), idt_dev, int(n))
         status = int(status)
         if status == 1:
             raise RuntimeError(
@@ -286,6 +296,7 @@ class Ensemble:
         if status == 2:
             raise RuntimeError(
                 "Rosenbrock internal time step less than authorized")
+        self._t_dev, self._idt_dev = t2, dt_i
         self.t, self.u = float(t2), u2
         self._internal_dt = float(dt_i)
         return self.t, self.u
@@ -366,6 +377,7 @@ class Ensemble:
         if status == 2:
             raise RuntimeError("Rosenbrock internal time step less than authorized")
         self.t, self.u, self.helpers, self.pstack = float(t2), u2, h2, p2
+        self._t_dev = self._idt_dev = None   # host path owns the scalars now
         self._internal_dt = float(dt_i)
         return self.t, self.u
 
@@ -409,6 +421,7 @@ class Ensemble:
             raise RuntimeError(
                 "Rosenbrock internal time step less than authorized")
         self.t, self.u, self.helpers, self.pstack = float(t2), u2, h2, p2
+        self._t_dev = self._idt_dev = None   # host path owns the scalars now
         self._internal_dt = float(dt_i)
         return self.t, self.u
 

@@ -1,40 +1,76 @@
 #!/usr/bin/env python
-"""Headline benchmark: Kuramoto-Sivashinsky implicit stepping throughput.
+"""BASELINE.json benchmark suite on the attached device (the real TPU under
+the driver).
 
-Runs the BASELINE.json metric — cell-updates/sec for RODASPR implicit steps
-(banded J eval + BCR factorization + 6 stage solves each) on the KS equation
-at N=1e6 — on whatever device JAX picks (the real TPU under the driver).
+Emits one JSON line per benchmark, headline first:
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-vs_baseline is value / 1e9 (the >1e9 cell-updates/sec target from
-BASELINE.json on a single chip).
+1. config 3 — KS N=1e6 RODASPR implicit stepping (the BASELINE metric:
+   >1e9 cell-updates/sec on one chip); ``vs_baseline`` = value / 1e9.
+2. config 5 — 1024-member KS ensemble at N=1e5 through the
+   members-as-chunks folded path (aggregate cell-updates/sec).
+3. config 2 — Burgers N=1e6, backward-Euler (Theta) implicit steps.
+4. config 4 — coupled falling-film h/q (block-banded J, upwind) RODASPR.
+5. config 1 — README advection-diffusion, Theta + Dirichlet hook, N=200
+   (dispatch-bound; measures the scan-chunked small-problem path).
+
+Environment knobs: BENCH_N, BENCH_STEPS, BENCH_REPEATS, BENCH_ONLY
+(comma-separated subset of {ks,ensemble,burgers,film,advdiff}).
 """
 
 import json
 import os
 import sys
 import time
+import traceback
 
 import numpy as np
 
+DT = 0.05
 
-def main():
+
+def _emit(metric, value, n_cells, steps, extra=None):
+    import jax
+
+    rec = {
+        "metric": metric,
+        "value": round(value, 1),
+        "unit": "cells/s",
+        "vs_baseline": round(value / 1e9, 4),
+        "cells": int(n_cells),
+        "steps_timed": steps,
+        "device": str(jax.devices()[0]),
+    }
+    rec.update(extra or {})
+    print(json.dumps(rec), flush=True)
+
+
+def _time_chunks(run_chunk, state, repeats, work_per_chunk):
+    """Best-of-repeats throughput of run_chunk(state) -> state."""
+    import jax
+
+    state = run_chunk(*state)          # warmup / compile
+    jax.block_until_ready(state[-1])
+    best = 0.0
+    for _ in range(repeats):
+        start = time.perf_counter()
+        state = run_chunk(*state)
+        jax.block_until_ready(state[-1])
+        best = max(best, work_per_chunk / (time.perf_counter() - start))
+    return best, state
+
+
+def bench_ks():
+    """Config 3: KS at N=1e6, RODASPR fixed implicit steps, folded-native
+    scan (the headline BASELINE metric)."""
     import jax
     import jax.numpy as jnp
 
-    N = int(os.environ.get("BENCH_N", 1_000_000))
-    # enough steps per device scan to amortize the per-call dispatch (the
-    # production Simulation also scans many internal steps between outputs;
-    # measured ~25ms fixed dispatch cost per call through the device tunnel,
-    # so 100-step chunks understate sustained throughput by ~30%)
-    STEPS_PER_CHUNK = int(os.environ.get("BENCH_STEPS", 500))
-    REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
-    DT = 0.05
-
     from triflow_tpu import Model, schemes
 
-    # KS: stiff, 4th-order stencil, halo 2 (BASELINE config 3)
+    N = int(os.environ.get("BENCH_N", 1_000_000))
+    STEPS = int(os.environ.get("BENCH_STEPS", 500))
+    REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
+
     model = Model("-dxxU - dxxxxU - U * dxU", "U", double=False)
     scheme = schemes.RODASPR(model, time_stepping=False, tol=None)
     fixed = scheme.device_fixed_step(periodic=True)
@@ -43,8 +79,7 @@ def main():
     # production-scale KS: fixed resolution dx = 0.5, domain grows with N
     # (resolving a small domain at dx ~ 1e-4 would make I - gamma*dt*J
     # condition ~1e15 -- not a meaningful workload at any precision)
-    dx_grid = 0.5
-    x = jnp.asarray(np.arange(N, dtype=np.float64) * dx_grid, dtype)
+    x = jnp.asarray(np.arange(N, dtype=np.float64) * 0.5, dtype)
     rng = np.random.RandomState(0)
     u0 = jnp.asarray(
         (np.cos(2 * np.pi * np.arange(N) / N * 10)
@@ -75,8 +110,7 @@ def main():
         @jax.jit
         def run_chunk(t, u):
             uf = fl.fold(u, plan)
-            (t2, uf2), _ = jax.lax.scan(chain, (t, uf),
-                                        length=STEPS_PER_CHUNK)
+            (t2, uf2), _ = jax.lax.scan(chain, (t, uf), length=STEPS)
             return t2, fl.unfold(uf2, plan)
     else:
         def chain(carry, _):
@@ -86,40 +120,209 @@ def main():
 
         @jax.jit
         def run_chunk(t, u):
-            (t2, u2), _ = jax.lax.scan(chain, (t, u),
-                                       length=STEPS_PER_CHUNK)
-            return t2, u2
+            return jax.lax.scan(chain, (t, u), length=STEPS)[0]
 
-    # warmup (compile)
-    t = jnp.asarray(0.0, dtype)
-    t, u = run_chunk(t, u0)
-    jax.block_until_ready(u)
+    best, (t, u) = _time_chunks(run_chunk, (jnp.asarray(0.0, dtype), u0),
+                                REPEATS, N * STEPS)
+    if not bool(jnp.isfinite(u).all()):
+        raise RuntimeError("non-finite state")
+    _emit("ks-implicit-cell-updates", best, N, STEPS, {"N": N})
 
+
+def bench_ensemble():
+    """Config 5 at spec scale: B=1024 KS members, N=1e5 each, stepped
+    together through the members-as-chunks folded path."""
+    import jax
+    import jax.numpy as jnp
+
+    from triflow_tpu import Model, schemes
+    from triflow_tpu.parallel import Ensemble
+
+    B = int(os.environ.get("BENCH_ENSEMBLE_B", 1024))
+    N = int(os.environ.get("BENCH_ENSEMBLE_N", 100_000))
+    STEPS = int(os.environ.get("BENCH_ENSEMBLE_STEPS", 50))
+    REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
+
+    model = Model("-dxxU - dxxxxU - U * dxU", "U", double=False)
+    x = np.arange(N, dtype=np.float64) * 0.5
+    rng = np.random.RandomState(1)
+    phases = rng.rand(B, 1) * 2 * np.pi
+    u0 = (np.cos(2 * np.pi * np.arange(N)[None] / N * 10 + phases)
+          + 0.1 * rng.randn(B, N)).astype(np.float32)
+    ens = Ensemble(model, u0, dict(periodic=True), x,
+                   scheme=schemes.RODASPR, time_stepping=False, tol=None)
+    merged = ens._merged_plan is not None
+
+    ens.steps(STEPS, DT)              # warmup / compile
     best = 0.0
     for _ in range(REPEATS):
         start = time.perf_counter()
-        t, u = run_chunk(t, u)
-        jax.block_until_ready(u)
-        elapsed = time.perf_counter() - start
-        best = max(best, N * STEPS_PER_CHUNK / elapsed)
+        ens.steps(STEPS, DT)
+        best = max(best, B * N * STEPS / (time.perf_counter() - start))
+    if not bool(jnp.isfinite(ens.u).all()):
+        raise RuntimeError("non-finite state")
+    _emit("ks-ensemble-cell-updates", best, B * N, STEPS,
+          {"B": B, "N": N, "merged_fold": merged})
 
+
+def bench_burgers():
+    """Config 2: Burgers at N=1e6, backward-Euler (Theta, linearized) —
+    banded J eval + fused factor + solve per step."""
+    import jax
+    import jax.numpy as jnp
+
+    from triflow_tpu import Model, schemes
+
+    N = int(os.environ.get("BENCH_N", 1_000_000))
+    STEPS = int(os.environ.get("BENCH_BURGERS_STEPS", 200))
+    REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
+
+    model = Model("-U * dxU + nu * dxxU", "U", "nu", double=False)
+    scheme = schemes.Theta(model, theta=1.0)
+    fixed = scheme.device_fixed_step(periodic=True)
+    dtype = model.backend.dtype
+    x = jnp.asarray(np.arange(N, dtype=np.float64) * 0.5, dtype)
+    u0 = jnp.asarray(np.cos(2 * np.pi * np.arange(N) / N * 4,
+                            dtype=np.float64)[None], dtype)
+    helpers = jnp.zeros((0, N), dtype)
+    pstack = model.backend.pack_pars(dict(nu=0.5, periodic=True), x)
+
+    def chain(carry, _):
+        t, u = carry
+        u2, *_ = fixed(t, u, helpers, pstack, x, DT)
+        return (t + DT, u2), ()
+
+    @jax.jit
+    def run_chunk(t, u):
+        return jax.lax.scan(chain, (t, u), length=STEPS)[0]
+
+    best, (t, u) = _time_chunks(run_chunk, (jnp.asarray(0.0, dtype), u0),
+                                REPEATS, N * STEPS)
     if not bool(jnp.isfinite(u).all()):
-        print(json.dumps({"metric": "ks-implicit-cell-updates",
-                          "value": 0.0, "unit": "cells/s",
-                          "vs_baseline": 0.0, "error": "non-finite state"}))
-        return 1
+        raise RuntimeError("non-finite state")
+    _emit("burgers-theta-cell-updates", best, N, STEPS, {"N": N})
 
-    result = {
-        "metric": "ks-implicit-cell-updates",
-        "value": round(best, 1),
-        "unit": "cells/s",
-        "vs_baseline": round(best / 1e9, 4),
-        "N": N,
-        "steps_timed": STEPS_PER_CHUNK,
-        "device": str(jax.devices()[0]),
-    }
-    print(json.dumps(result))
-    return 0
+
+def bench_film():
+    """Config 4: coupled falling-film h/q model (2 variables, upwind halo-2
+    stencil, block-banded J) under fixed-dt RODASPR."""
+    import jax
+    import jax.numpy as jnp
+
+    from triflow_tpu import Model, schemes
+
+    N = int(os.environ.get("BENCH_FILM_N", 262_144))
+    STEPS = int(os.environ.get("BENCH_FILM_STEPS", 100))
+    REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
+    dt = 0.01
+
+    model = Model(
+        ["-dxq",
+         "9/7 * q**2 / h**2 * dxh - upwind(17/7 * q / h, q, 2)"
+         " + (h - q / h**2) / delta"],
+        ["h", "q"], ["delta"], double=False,
+    )
+    scheme = schemes.RODASPR(model, time_stepping=False, tol=None)
+    fixed = scheme.device_fixed_step(periodic=True)
+    dtype = model.backend.dtype
+    # fixed resolution (dx as in the regression workload), domain grows
+    # with N — same scaling policy as the KS bench
+    L = N * (100.0 / 256.0)
+    x = jnp.asarray(np.linspace(0, L, N, endpoint=False), dtype)
+    waves = max(3 * N // 256, 1)
+    h0 = 1 + 0.1 * np.cos(2 * np.pi * np.arange(N) / N * waves)
+    u0 = jnp.asarray(np.stack([h0, h0 ** 3 / 3]), dtype)
+    helpers = jnp.zeros((0, N), dtype)
+    pstack = model.backend.pack_pars(dict(delta=0.3, periodic=True), x)
+
+    def chain(carry, _):
+        t, u = carry
+        u2, *_ = fixed(t, u, helpers, pstack, x, dt)
+        return (t + dt, u2), ()
+
+    @jax.jit
+    def run_chunk(t, u):
+        return jax.lax.scan(chain, (t, u), length=STEPS)[0]
+
+    best, (t, u) = _time_chunks(run_chunk, (jnp.asarray(0.0, dtype), u0),
+                                REPEATS, 2 * N * STEPS)
+    if not bool(jnp.isfinite(u).all()):
+        raise RuntimeError("non-finite state")
+    _emit("film-rodaspr-cell-updates", best, 2 * N, STEPS, {"N": N})
+
+
+def bench_advdiff():
+    """Config 1: README advection-diffusion (N=200, Theta, Dirichlet hook)
+    — dominated by per-step dispatch; measures the scanned small-problem
+    path end to end (hook traced into the step)."""
+    import jax
+    import jax.numpy as jnp
+
+    from triflow_tpu import Model, schemes
+
+    N = 200
+    STEPS = int(os.environ.get("BENCH_ADVDIFF_STEPS", 500))
+    REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
+    dt = 5.0
+
+    model = Model("k * dxxU - c * dxU", "U", ["k", "c"], double=False)
+
+    def dirichlet(t, fields, pars):
+        fields["U"] = fields["U"].at[0].set(1.0).at[-1].set(0.0)
+        return fields, pars
+
+    scheme = schemes.Theta(model, theta=1.0)
+    stepper = scheme.device_stepper(hook=dirichlet, periodic=False)
+    dtype = model.backend.dtype
+    x = jnp.asarray(np.linspace(0, 1, N), dtype)
+    u0 = jnp.asarray(np.cos(2 * np.pi * np.linspace(0, 1, N) * 5)[None],
+                     dtype)
+    helpers = jnp.zeros((0, N), dtype)
+    pstack = model.backend.pack_pars(dict(k=1e-3, c=3e-3, periodic=False), x)
+
+    def chain(carry, _):
+        t, u = carry
+        t2, u2, *_ = stepper(t, u, helpers, pstack, x, dt, dt)
+        return (t2, u2), ()
+
+    @jax.jit
+    def run_chunk(t, u):
+        return jax.lax.scan(chain, (t, u), length=STEPS)[0]
+
+    best, (t, u) = _time_chunks(run_chunk, (jnp.asarray(0.0, dtype), u0),
+                                REPEATS, N * STEPS)
+    if not bool(jnp.isfinite(u).all()):
+        raise RuntimeError("non-finite state")
+    _emit("advdiff-theta-cell-updates", best, N, STEPS, {"N": N})
+
+
+BENCHES = [
+    ("ks", bench_ks),
+    ("ensemble", bench_ensemble),
+    ("burgers", bench_burgers),
+    ("film", bench_film),
+    ("advdiff", bench_advdiff),
+]
+
+
+def main():
+    only = os.environ.get("BENCH_ONLY")
+    selected = {s.strip() for s in only.split(",")} if only else None
+    rc = 0
+    for name, fn in BENCHES:
+        if selected is not None and name not in selected:
+            continue
+        try:
+            fn()
+        except Exception as err:  # keep the remaining benches alive
+            print(json.dumps({"metric": name, "value": 0.0,
+                              "unit": "cells/s", "vs_baseline": 0.0,
+                              "error": f"{type(err).__name__}: {err}"}),
+                  flush=True)
+            traceback.print_exc(file=sys.stderr)
+            if name == "ks":
+                rc = 1
+    return rc
 
 
 if __name__ == "__main__":

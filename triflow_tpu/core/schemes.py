@@ -33,7 +33,6 @@ TPU-first differences from the reference:
 from __future__ import annotations
 
 import logging
-from functools import wraps
 
 import jax
 import jax.numpy as jnp
@@ -157,7 +156,15 @@ class _SchemeBase:
         milliseconds per call on a tunneled device; this is the
         amortization primitive behind ``Simulation.run(device_chunk=...)``
         (hooks run traced inside the step, exactly as in the adaptive
-        inner loop)."""
+        inner loop).
+
+        On failure (status != 0) only the snapshots of the steps completed
+        BEFORE the first failing step are returned, so callers can persist
+        the valid prefix before surfacing the error.
+
+        Memory: the scan stacks all ``n`` (t, u, helpers) snapshots on the
+        device — device memory scales as n x state size.  Callers bound n
+        (Simulation._run_chunked caps the per-call snapshot bytes)."""
         periodic = bool(pars.get("periodic", False))
         stepper = self._get_stepper(hook, periodic)
         key = (hook, periodic, "scan")
@@ -167,8 +174,9 @@ class _SchemeBase:
                     t_, u_, h_, p_, x_, dti, status = carry
                     t2, u2, h2, p2, x2, dti2, _ni, st2 = stepper(
                         t_, u_, h_, p_, x_, dt, dti)
-                    return ((t2, u2, h2, p2, x2, dti2,
-                             jnp.maximum(status, st2)), (t2, u2, h2))
+                    st = jnp.maximum(status, st2)
+                    return ((t2, u2, h2, p2, x2, dti2, st),
+                            (t2, u2, h2, st))
                 carry = (t, u, h, p, x, internal_dt, jnp.int32(0))
                 return jax.lax.scan(body, carry, length=n)
             self._steppers[key] = jax.jit(scan_run, static_argnums=(7,))
@@ -177,7 +185,7 @@ class _SchemeBase:
         if internal_dt is None:
             internal_dt = (1e-6 if getattr(self, "_time_control", False)
                            else dt)
-        carry, (ts, us, hs) = self._steppers[key](
+        carry, (ts, us, hs, sts) = self._steppers[key](
             jnp.asarray(t, u.dtype), u, helpers, pstack, x,
             jnp.asarray(dt, u.dtype), jnp.asarray(internal_dt, u.dtype),
             int(n))
@@ -185,11 +193,14 @@ class _SchemeBase:
         if hasattr(self, "_internal_dt"):
             self._internal_dt = float(dt_i)
         ts = np.asarray(ts)
+        status = int(status)
+        sts = np.asarray(sts)
+        n_valid = int(n) if status == 0 else int(np.argmax(sts != 0))
         snapshots = [
             (float(ts[i]), self._rebuild(fields, us[i], hs[i], x2))
-            for i in range(int(n))
+            for i in range(n_valid)
         ]
-        return float(t2), snapshots, int(status)
+        return float(t2), snapshots, status
 
     def _fixed_step_fn(self, problem):
         raise NotImplementedError(
@@ -328,6 +339,13 @@ class ROW_general(_SchemeBase):
         return (self._a_t, self._c_t, self._m_t, self._m_pred_t,
                 self._gamma[0, 0])
 
+    def _folded_plan_for(self, problem, u, x):
+        """Folded-layout plan for the hot path; spatial/sharded subclasses
+        return None (the folded kernels assume a single address space)."""
+        from ..ops import folded as _folded
+
+        return _folded.folded_plan_for(problem.backend, u, x)
+
     def _fixed_step_fn(self, problem):
         tables = self._tables
         a_t, c_t, m_t, m_pred_t, g00 = tables
@@ -336,9 +354,7 @@ class ROW_general(_SchemeBase):
 
         def fixed_step(t, u, helpers, pstack, x, dt):
             u, helpers, pstack, x = problem.apply_hook(t, u, helpers, pstack, x)
-            from ..ops import folded as _folded
-
-            plan = _folded.folded_plan_for(problem.backend, u, x)
+            plan = self._folded_plan_for(problem, u, x)
             if plan is not None:
                 return _row_fixed_step_folded(
                     problem.backend, plan, tables, s,
@@ -428,7 +444,7 @@ class ROW_general(_SchemeBase):
             # instead of a fold/unfold transpose per internal attempt
             from ..ops import folded as _folded
 
-            plan = (_folded.folded_plan_for(problem.backend, u, x)
+            plan = (self._folded_plan_for(problem, u, x)
                     if problem.hook is null_hook else None)
             if plan is not None:
                 uf = _folded.fold(u, plan)
@@ -742,27 +758,12 @@ class Theta(_SchemeBase):
         return fixed_step
 
     def _build_stepper(self, problem):
-        theta = self._theta
-        periodic = problem.periodic
-        solver = self._solver
+        fixed_step = self._fixed_step_fn(problem)
 
         def stepper(t, u, helpers, pstack, x, dt, internal_dt):
-            u, helpers, pstack, x = problem.apply_hook(t, u, helpers, pstack, x)
-            F = problem.F(u, helpers, pstack, x)
-            if theta == 0:
-                u2 = u + dt * F
-            else:
-                J, Jg = problem.J_system(u, helpers, pstack, x)
-                B = dt * (F - theta * banded_matvec(J, u, periodic)) + u
-                if solver is None:
-                    u2 = factor_linearized(1.0, -theta * dt, J, Jg,
-                                           periodic).solve(B)
-                else:
-                    u2 = solver(axpy_bands(1.0, -theta * dt, J), B, periodic)
-            u2, helpers, pstack, x = problem.apply_hook(
-                t + dt, u2, helpers, pstack, x
-            )
-            return (t + dt, u2, helpers, pstack, x, internal_dt,
+            u2, h2, p2, x2, _err = fixed_step(t, u, helpers, pstack, x, dt)
+            u2, h2, p2, x2 = problem.apply_hook(t + dt, u2, h2, p2, x2)
+            return (t + dt, u2, h2, p2, x2, internal_dt,
                     jnp.int32(0), jnp.int32(0))
 
         return jax.jit(stepper)
@@ -782,48 +783,176 @@ class Theta(_SchemeBase):
 # universal adaptive wrapper (step doubling)
 # ---------------------------------------------------------------------------
 
-def time_stepping(scheme, tol=1e-1, ord=2, m=10, reject_factor=2):
-    """Universal Richardson/step-doubling adaptive wrapper around any scheme
-    without built-in error control (reference schemes.py:33-66): one coarse
-    step of m*dt against m fine steps of dt, err = ||diff||_ord / (m^2 - 1)."""
-    internal_dt = None
+class DeviceTimeStepping(_SchemeBase):
+    """Richardson/step-doubling error control for schemes without a built-in
+    estimator (reference schemes.py:33-66), run entirely on-device: the
+    accept/reject loop is a ``lax.while_loop`` whose body compares one
+    coarse step of ``dt`` against a ``lax.scan`` of ``m`` fine steps of
+    ``dt/m``, so an output step is one dispatch no matter how many internal
+    attempts it takes (the host-loop formulation pays ~(m+1) dispatches per
+    accepted step — tens of milliseconds each on tunneled devices).
 
-    def one_step(t, fields, dt, pars, hook):
-        dt_ = dt
-        while True:
-            t_coarse, fields_coarse = scheme(t, fields, m * dt_, pars, hook)
-            t_fine, fields_fine = t, fields
-            for _ in range(m):
-                t_fine, fields_fine = scheme(t_fine, fields_fine, dt_, pars, hook)
-            errs = [
-                np.linalg.norm(
-                    np.asarray(fields_coarse[key]) - np.asarray(fields_fine[key]),
-                    ord,
-                ) / (m ** 2 - 1)
-                for key in fields.dependent_variables
-            ]
-            err = max(errs)
-            new_dt = np.sqrt(dt_ ** 2 * tol / err) if err > 0 else dt_ * 2
-            if new_dt < dt_ / reject_factor:
-                dt_ = new_dt
-                continue
-            return t_fine, fields_fine, new_dt
+    err = max over variables of ``||coarse - fine||_ord / (m^2 - 1)``;
+    the attempt is rejected when the controller asks for a shrink beyond
+    ``reject_factor``; failures surface as status codes (2: dt underflow),
+    raised on the host like the ROW controller."""
 
-    @wraps(scheme if callable(scheme) else scheme.__call__)
-    def adaptatif_scheme(t, fields, dt, pars, hook=null_hook):
-        nonlocal internal_dt
-        next_step = t + dt
-        internal_dt = internal_dt if internal_dt else dt
-        while t + internal_dt <= next_step:
-            t, fields, internal_dt = one_step(
-                t, fields, internal_dt / m, pars, hook
+    def __init__(self, scheme, tol=1e-1, ord=2, m=10, reject_factor=2):
+        super().__init__(scheme._model)
+        self._inner = scheme
+        self._tol = tol
+        self._ord = ord
+        self._m = m
+        self._reject_factor = reject_factor
+        self._time_control = True
+        self._internal_dt = None
+        self._internal_iter = None
+
+    def _split(self, fields, pars):
+        # the wrapped scheme may re-place the state (e.g. sharded schemes
+        # commit the arrays to the mesh) — delegate so placement survives
+        return self._inner._split(fields, pars)
+
+    def _norm(self, diff):
+        # reference semantics: np.linalg.norm(coarse - fine, ord) per
+        # dependent variable, max over variables; diff is (nvar, N)
+        if self._ord == np.inf:
+            per_var = jnp.max(jnp.abs(diff), axis=-1)
+        elif self._ord == 2:
+            per_var = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+        else:
+            per_var = jnp.sum(jnp.abs(diff) ** self._ord, axis=-1) ** (
+                1.0 / self._ord)
+        return jnp.max(per_var)
+
+    def _build_stepper(self, problem):
+        fixed = self._inner._fixed_step_fn(problem)
+        tol, m = self._tol, self._m
+        reject = self._reject_factor
+        mm1 = m * m - 1
+
+        def attempt(t, u, h, p, x_, dt_eff):
+            """(coarse vs m-fine) Richardson pair -> (fine state, err)."""
+            uc, _hc, _pc, _xc, _e = fixed(t, u, h, p, x_, dt_eff)
+            dt_f = dt_eff / m
+
+            def fine(carry, _):
+                tf, uf, hf, pf, xf = carry
+                uf, hf, pf, xf, _e = fixed(tf, uf, hf, pf, xf, dt_f)
+                return (tf + dt_f, uf, hf, pf, xf), None
+
+            (tf, uf, hf, pf, xf), _ = jax.lax.scan(
+                fine, (t, u, h, p, x_), length=m)
+            err = self._norm(uc - uf) / mm1
+            err = jnp.where(jnp.isnan(err) | jnp.isinf(err), jnp.inf, err)
+            return uf, hf, pf, xf, err
+
+        def stepper(t, u, helpers, pstack, x, dt, internal_dt):
+            next_t = t + dt
+            eps = 1e-12 * jnp.maximum(jnp.abs(next_t), 1.0)
+
+            def cond(carry):
+                t_, _u, _h, _p, _x, _dt_i, _niter, status = carry
+                return (t_ < next_t - eps) & (status == 0)
+
+            def body(carry):
+                t_, u_, h_, p_, x_, dt_i, niter, status = carry
+                remaining = next_t - t_
+                clamped = dt_i >= remaining
+                dt_eff = jnp.minimum(dt_i, remaining)
+                uf, hf, pf, xf, err = attempt(t_, u_, h_, p_, x_, dt_eff)
+                err_safe = jnp.maximum(err, jnp.finfo(dt_eff.dtype).tiny)
+                dt_next = jnp.clip(dt_eff * jnp.sqrt(tol / err_safe),
+                                   0.1 * dt_eff, 10.0 * dt_eff)
+                accept = dt_next >= dt_eff / reject
+                t_ = jnp.where(accept, t_ + dt_eff, t_)
+                u_ = jnp.where(accept, uf, u_)
+                h_ = jnp.where(accept, hf, h_)
+                p_ = jnp.where(accept, pf, p_)
+                dt_i = jnp.where(accept & clamped, dt_i, dt_next)
+                niter = niter + jnp.int32(1)
+                dt_floor = (1e3 * jnp.finfo(dt_eff.dtype).tiny
+                            + 2.0 * jnp.finfo(dt_eff.dtype).eps
+                            * jnp.abs(next_t))
+                status = jnp.where(dt_i < dt_floor, jnp.int32(2), status)
+                return (t_, u_, h_, p_, x_, dt_i, niter, status)
+
+            carry = (t, u, helpers, pstack, x,
+                     jnp.minimum(internal_dt, dt), jnp.int32(0), jnp.int32(0))
+            t2, u2, h2, p2, x2, dt_i, niter, status = jax.lax.while_loop(
+                cond, body, carry)
+            u2, h2, p2, x2 = problem.apply_hook(next_t, u2, h2, p2, x2)
+            return next_t, u2, h2, p2, x2, dt_i, niter, status
+
+        return jax.jit(stepper)
+
+    def __call__(self, t, fields, dt, pars, hook=null_hook):
+        periodic = bool(pars.get("periodic", False))
+        stepper = self._get_stepper(hook, periodic)
+        u, helpers, pstack, x = self._split(fields, pars)
+        internal_dt = self._internal_dt
+        if internal_dt is None:
+            internal_dt = dt
+        t2, u2, h2, p2, x2, dt_i, niter, status = stepper(
+            jnp.asarray(t, dtype=u.dtype), u, helpers, pstack, x,
+            jnp.asarray(dt, dtype=u.dtype), jnp.asarray(internal_dt, u.dtype),
+        )
+        if int(status) == 2:
+            raise RuntimeError(
+                "step-doubling internal time step less than authorized"
             )
-        # final correction, skipped when only float roundoff remains
-        if next_step - t > 1e-10 * max(1.0, abs(next_step)):
-            t, fields = scheme(t, fields, next_step - t, pars, hook)
-        return next_step, fields
+        self._internal_dt = float(dt_i)
+        self._internal_iter = int(niter)
+        return float(t2), self._rebuild(fields, u2, h2, x2)
 
-    return adaptatif_scheme
+
+def _host_time_stepping(scheme, tol=1e-1, ord=2, m=10, reject_factor=2):
+    """Host-loop step doubling for schemes that only exist as host callables
+    (scipy_ode, duck-typed hand-written models): same controller as
+    DeviceTimeStepping, driven through the ``scheme(t, fields, dt, pars,
+    hook)`` surface."""
+    carry = {"dt": None}
+
+    def controlled(t, fields, dt, pars, hook=null_hook):
+        target = t + dt
+        h = carry["dt"] or dt
+        while target - t > 1e-10 * max(1.0, abs(target)):
+            h = min(h, target - t)
+            _tc, coarse = scheme(t, fields, h, pars, hook)
+            t_f, fine = t, fields
+            for _ in range(m):
+                t_f, fine = scheme(t_f, fine, h / m, pars, hook)
+            err = max(
+                np.linalg.norm(
+                    np.asarray(coarse[v]) - np.asarray(fine[v]), ord
+                ) / (m * m - 1)
+                for v in fields.dependent_variables
+            )
+            h_next = np.sqrt(h * h * tol / err) if err > 0 else 2 * h
+            h_next = float(np.clip(h_next, 0.1 * h, 10.0 * h))
+            if h_next < h / reject_factor:
+                h = h_next  # rejected: retry the same interval smaller
+                continue
+            t, fields, h = t_f, fine, h_next
+        carry["dt"] = h
+        return target, fields
+
+    return controlled
+
+
+def time_stepping(scheme, tol=1e-1, ord=2, m=10, reject_factor=2):
+    """Universal adaptive wrapper around any scheme without built-in error
+    control: device-resident ``lax.while_loop`` step doubling when the
+    scheme exposes a traceable fixed step, host-loop fallback otherwise
+    (reference semantics: schemes.py:33-66)."""
+    if isinstance(scheme, _SchemeBase):
+        try:
+            return DeviceTimeStepping(scheme, tol=tol, ord=ord, m=m,
+                                      reject_factor=reject_factor)
+        except NotImplementedError:  # pragma: no cover - defensive
+            pass
+    return _host_time_stepping(scheme, tol=tol, ord=ord, m=m,
+                               reject_factor=reject_factor)
 
 
 # ---------------------------------------------------------------------------
@@ -835,34 +964,43 @@ class scipy_ode:
     host through the F/J compatibility wrappers — the path also used by
     duck-typed hand-written models (any object exposing ``.F(fields, pars)``
     and ``fields_template``; reference schemes.py:430-499 and the
-    manual_2D_model notebook)."""
+    manual_2D_model notebook).
 
-    def __init__(self, model, jac=False, integrator="vode", **integrator_kwargs):
+    The integrator sees the interleaved flat state vector; each RHS/Jacobian
+    callback scatters it back into a Fields workspace, re-applies the hook
+    (so boundary values hold at every internal evaluation) and dispatches to
+    the model."""
+
+    def __init__(self, model, jac=False, integrator="vode",
+                 **integrator_kwargs):
         from scipy.integrate import ode
 
-        def func_scipy_proxy(t, U, fields, pars, hook):
-            fields.fill(U)
-            fields, pars = hook(t, fields, pars)
-            return np.asarray(model.F(fields, pars))
+        self._model = model
+        self._solver = ode(self._rhs, jac=self._jacobian if jac else None)
+        self._solver.set_integrator(integrator, **integrator_kwargs)
 
-        def jacob_scipy_proxy(t, U, fields, pars, hook):
-            fields.fill(U)
-            fields, pars = hook(t, fields, pars)
-            return np.asarray(model.J(fields, pars, sparse=False))
+    def _sync(self, t, flat, workspace, pars, hook):
+        workspace.fill(flat)
+        return hook(t, workspace, pars)
 
-        self._solv = ode(func_scipy_proxy, jac=jacob_scipy_proxy if jac else None)
-        self._solv.set_integrator(integrator, **integrator_kwargs)
+    def _rhs(self, t, flat, workspace, pars, hook):
+        fields, pars = self._sync(t, flat, workspace, pars, hook)
+        return np.asarray(self._model.F(fields, pars))
+
+    def _jacobian(self, t, flat, workspace, pars, hook):
+        fields, pars = self._sync(t, flat, workspace, pars, hook)
+        return np.asarray(self._model.J(fields, pars, sparse=False))
 
     def __call__(self, t, fields, dt, pars, hook=null_hook):
-        solv = self._solv
-        fields = fields.copy()
-        fields, pars = hook(t, fields, pars)
-        solv.set_initial_value(np.asarray(fields.uflat), t)
-        solv.set_f_params(fields, pars, hook)
-        solv.set_jac_params(fields, pars, hook)
-        U = solv.integrate(t + dt)
-        if not solv.successful():
-            raise RuntimeError("scipy integrator failed")
-        fields.fill(U)
-        fields, _ = hook(t + dt, fields, pars)
-        return t + dt, fields
+        solver = self._solver
+        workspace, pars = hook(t, fields.copy(), pars)
+        callback_args = (workspace, pars, hook)
+        solver.set_initial_value(np.asarray(workspace.uflat), t)
+        solver.set_f_params(*callback_args)
+        solver.set_jac_params(*callback_args)
+        flat = solver.integrate(t + dt)
+        if not solver.successful():
+            raise RuntimeError("scipy_ode integrator reported failure")
+        workspace.fill(flat)
+        workspace, _ = hook(t + dt, workspace, pars)
+        return t + dt, workspace

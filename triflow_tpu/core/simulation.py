@@ -90,6 +90,12 @@ class Simulation(object):
         device step; must be jax-compatible (pure, functional updates)
     scheme : scheme class (default schemes.RODASPR)
     time_stepping : bool — adaptive internal time stepping
+    mesh : jax.sharding.Mesh or None — when given, the grid is sharded
+        over ``mesh_axis`` and every step (stencils, SPIKE banded solves,
+        adaptive dt control with cross-shard error reduction, hooks) runs
+        distributed; the rest of the driver surface (iterate, run,
+        container, checkpoint, timers) is unchanged
+    mesh_axis : str — mesh axis carrying the grid (default "space")
     **kwargs : extra args filtered by signature and passed to the scheme
 
     Examples
@@ -112,13 +118,21 @@ class Simulation(object):
 
     def __init__(self, model, fields, parameters, dt, t=0, tmax=None,
                  id=None, hook=null_hook, scheme=schemes.RODASPR,
-                 time_stepping=True, **kwargs):
+                 time_stepping=True, mesh=None, mesh_axis="space", **kwargs):
 
         def intersection_kwargs(kwargs, function):
             func_parameters = inspect.signature(function).parameters
             return {k: v for k, v in kwargs.items() if k in func_parameters}
 
         kwargs["time_stepping"] = time_stepping
+        if mesh is not None:
+            from ..parallel.spatial import SpatialModel
+
+            spatial = SpatialModel(
+                model, mesh, axis=mesh_axis,
+                periodic=bool(parameters.get("periodic", False)),
+            )
+            scheme = spatial.scheme_class(scheme)
         self.id = str(uuid1())[:6] if not id else id
         self.model = model
         self.parameters = dict(parameters)
@@ -261,9 +275,21 @@ class Simulation(object):
             warnings.warn("Simulation already ended")
         return t, fields
 
+    #: cap on the per-call stacked-snapshot bytes of the chunked scan (the
+    #: scan stacks device_chunk full states on the device)
+    _CHUNK_SNAPSHOT_BYTES = 1 << 30
+
+    def _chunk_cap(self):
+        state_bytes = sum(
+            int(np.asarray(self.fields[k]).nbytes) for k in self.fields.keys()
+        )
+        return max(1, self._CHUNK_SNAPSHOT_BYTES // max(state_bytes, 1))
+
     def _run_chunked(self, progress, verbose, device_chunk):
         """Scan-chunked run: full-dt steps in device chunks, the final
-        partial step (dt clamped to hit tmax) through the normal loop."""
+        partial step (dt clamped to hit tmax) through the normal loop.
+        Chunks are additionally capped so the scan's stacked snapshots stay
+        within _CHUNK_SNAPSHOT_BYTES of device memory."""
         log = logger.info if verbose else logger.debug
         total_iter = int(round(self.tmax / self.user_dt))
         pbar = None
@@ -273,6 +299,8 @@ class Simulation(object):
         if self.status == "created":
             self.stream.emit(self)
             self.status = "running"
+        device_chunk = min(device_chunk, self._chunk_cap())
+        first_chunk = True
         try:
             while True:
                 remaining = self.tmax - self.t
@@ -283,19 +311,32 @@ class Simulation(object):
                     break
                 n = min(device_chunk, n_full)
                 before = time.monotonic()
-                t2, snapshots, status = self._scheme.device_steps(
-                    self.t, self.fields, n, self.dt, self.parameters,
-                    hook=self._hook)
+                try:
+                    t2, snapshots, status = self._scheme.device_steps(
+                        self.t, self.fields, n, self.dt, self.parameters,
+                        hook=self._hook)
+                except RuntimeError:
+                    raise
+                except Exception:
+                    # a host-side (untraceable) hook fails at trace time:
+                    # fall back to the stepwise loop, which applies it on
+                    # the host
+                    if not first_chunk:
+                        raise
+                    warnings.warn(
+                        "device_chunk run failed at trace time (host-only "
+                        "hook?); falling back to the stepwise loop")
+                    if pbar is not None:
+                        pbar.close()
+                        pbar = None
+                    return self.run(progress=progress, verbose=verbose,
+                                    device_chunk=1)
+                first_chunk = False
                 elapsed = time.monotonic() - before
-                if status == 1:
-                    raise RuntimeError(
-                        "Rosenbrock internal iteration above max iterations "
-                        "authorized")
-                if status == 2:
-                    raise RuntimeError(
-                        "Rosenbrock internal time step less than authorized")
                 self._last_running = elapsed / n
                 self._total_running += elapsed
+                # emit every valid snapshot (on failure: the prefix computed
+                # before the failing step) so the container keeps them
                 for t_i, fields_i in snapshots:
                     self.i += 1
                     self.t = t_i
@@ -306,6 +347,13 @@ class Simulation(object):
                     if pbar is not None:
                         pbar.update(1)
                     log("%s running: t: %g" % (self.id, self.t))
+                if status == 1:
+                    raise RuntimeError(
+                        "Rosenbrock internal iteration above max iterations "
+                        "authorized")
+                if status == 2:
+                    raise RuntimeError(
+                        "Rosenbrock internal time step less than authorized")
             # final partial step (if tmax is not a multiple of dt)
             while not np.isclose(self.t, self.tmax):
                 t, fields, pars = self._compute_one_step(
@@ -395,59 +443,37 @@ class Simulation(object):
         ]
 
     def __repr__(self):
-        template = """{simulation_name:=^30}
+        def stamp(ts):
+            return ts.isoformat(" ", "seconds") if ts else "never"
 
-created:      {created_date}
-started:      {started_date}
-last:         {last_date}
-
-time:         {t:g}
-iteration:    {iter:g}
-
-last step:    {step_time:g}s
-total time:   {running_time:g}s
-
-
-Physical parameters
--------------------
-{parameters}
-
-Hook function
--------------
-{hook_source}
-
-=========== Model ===========
-{model_repr}"""
+        header = f" Simulation {self.id} ".center(40, "=")
+        lines = [
+            header,
+            f"status      {self.status}",
+            f"created     {stamp(self._created_timestamp)}",
+            f"started     {stamp(self._started_timestamp)}",
+            f"last step   {stamp(self._last_timestamp)}",
+            "",
+            f"t           {self.t:g}" + (f" / tmax {self.tmax:g}"
+                                         if self.tmax else ""),
+            f"iteration   {self.i}",
+            f"timing      last {self._last_running:g}s, "
+            f"total {self._total_running:g}s",
+            "",
+            "parameters:",
+        ]
+        lines += [
+            f"  {key:<10} {pprint.pformat(value)}"
+            for key, value in self.parameters.items()
+        ]
         try:
-            hook_source = inspect.getsource(self._hook)
+            hook_src = inspect.getsource(self._hook).rstrip()
         except (OSError, TypeError):
-            hook_source = repr(self._hook)
-        return template.format(
-            simulation_name=" %s " % self.id,
-            parameters="\n\t".join(
-                [
-                    ("%s:" % key).ljust(12) + pprint.pformat(value)
-                    for key, value in self.parameters.items()
-                ]
-            ),
-            t=self.t,
-            iter=self.i,
-            model_repr=self.model,
-            hook_source=hook_source,
-            step_time=self._last_running,
-            running_time=self._total_running,
-            created_date=self._created_timestamp.isoformat(" ", "seconds"),
-            started_date=(
-                self._started_timestamp.isoformat(" ", "seconds")
-                if self._started_timestamp
-                else "None"
-            ),
-            last_date=(
-                self._last_timestamp.isoformat(" ", "seconds")
-                if self._last_timestamp
-                else "None"
-            ),
-        )
+            hook_src = repr(self._hook)
+        if self._hook is not null_hook:
+            lines += ["", "hook:", *("  " + ln for ln in hook_src.splitlines())]
+        lines += ["", "model:", str(self.model), "=" * 40]
+        return "\n".join(lines)
 
     def __iter__(self):
         return self.compute()

@@ -215,27 +215,29 @@ def _stack_block(rows):
 
 
 def _mm(a, b):
-    """Block matmul over (..., s, s, M): unrolled multiply-adds elementwise
-    over the lane dimension M (s is tiny, 1-4)."""
-    s = a.shape[-3]
+    """Block matmul over (..., m, k, M) @ (..., k, n, M): unrolled
+    multiply-adds elementwise over the lane dimension M (blocks are tiny,
+    1-8; rectangular operands arise in the odd-size Schur splits)."""
+    m, k = a.shape[-3], a.shape[-2]
+    n = b.shape[-2]
     return _stack_block(
         [
             [
-                sum(a[..., i, k, :] * b[..., k, j, :] for k in range(s))
-                for j in range(s)
+                sum(a[..., i, q, :] * b[..., q, j, :] for q in range(k))
+                for j in range(n)
             ]
-            for i in range(s)
+            for i in range(m)
         ]
     )
 
 
 def _mv(a, b):
-    """Block matvec: (..., s, s, M) @ (..., s, M) -> (..., s, M)."""
-    s = a.shape[-3]
+    """Block matvec: (..., m, k, M) @ (..., k, M) -> (..., m, M)."""
+    m, k = a.shape[-3], a.shape[-2]
     return jnp.stack(
         [
-            sum(a[..., i, k, :] * b[..., k, :] for k in range(s))
-            for i in range(s)
+            sum(a[..., i, q, :] * b[..., q, :] for q in range(k))
+            for i in range(m)
         ],
         axis=-2,
     )
@@ -246,8 +248,9 @@ def _small_inv(D):
 
     XLA's generic batched ``linalg.inv`` lowers to an LU routine that is slow
     on TPU for huge batches of tiny matrices; the solver's block sizes are
-    tiny (s = nvar*halo, typically 1-4), so closed-form 2x2 / recursive
-    block-Schur inverses keep everything elementwise on the VPU."""
+    tiny (s = nvar*halo, typically 1-8), so closed-form 2x2 / recursive
+    block-Schur inverses keep everything elementwise on the VPU.  Odd sizes
+    split unevenly (p = s//2 vs s - p) through the rectangular ``_mm``."""
     s = D.shape[-3]
     if s == 1:
         return 1.0 / D
@@ -260,9 +263,9 @@ def _small_inv(D):
         return _stack_block(
             [[d * inv_det, -b * inv_det], [-c * inv_det, a * inv_det]]
         )
-    if s % 2 == 0 and s <= 8:
-        # block-Schur: [[A, B], [C, D]]^-1 with half-size blocks, recursing
-        # down to the closed 2x2 form
+    if s <= 8:
+        # block-Schur: [[A, B], [C, D]]^-1, recursing down to the closed
+        # 1x1/2x2 forms
         p = s // 2
         A = D[..., :p, :p, :]
         B = D[..., :p, p:, :]
@@ -278,7 +281,7 @@ def _small_inv(D):
         top = jnp.concatenate([top_left, top_right], axis=-2)
         bot = jnp.concatenate([bot_left, Sinv], axis=-2)
         return jnp.concatenate([top, bot], axis=-3)
-    # odd sizes: fall back to the generic batched inverse (batch-major)
+    # large sizes: fall back to the generic batched inverse (batch-major)
     Dm = jnp.moveaxis(D, -1, -3)
     return jnp.moveaxis(jnp.linalg.inv(Dm), -3, -1)
 
@@ -445,7 +448,7 @@ def _use_pallas_sweeps(s: int, ndim: int) -> bool:
         return False
     if ndim != 3:
         return False
-    if s not in (1, 2, 4, 8):
+    if s > 8:
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -738,7 +741,7 @@ def _attach_woodbury(fact: "BandedFactorization", T, B):
     # tiny dense inverse: jnp.linalg.inv of a single small matrix costs
     # ~1.4ms on TPU (scalar LU loop); route through the closed-form block
     # inverse instead
-    if cap.shape[-1] in (2, 4, 8):
+    if cap.shape[-1] <= 8:
         fact.wood_cap_inv = _small_inv(cap[..., None])[..., 0]
     else:
         fact.wood_cap_inv = jnp.linalg.inv(cap)
@@ -843,7 +846,7 @@ def _chunked_factor_fused(J_bands, alpha, beta):
     h = W // 2
     g = max(h, 1)
     s = nvar * g
-    if J_bands.ndim != 4 or N % g or s not in (1, 2, 4, 8):
+    if J_bands.ndim != 4 or N % g or s > 8:
         return None
     M = N // g
     if M < _CHUNK_MIN_M:

@@ -94,7 +94,7 @@ def make_plan(N: int, nvar: int, halo: int, window: int):
     from .banded import _fused_chunk_plan, _CHUNK_MIN_M
 
     g = max(halo, 1)
-    if N % g or nvar * g not in (1, 2, 4, 8):
+    if N % g or nvar * g > 8:
         return None
     M = N // g
     if M < _CHUNK_MIN_M:
@@ -117,7 +117,7 @@ def make_ensemble_plan(N: int, B: int, nvar: int, halo: int, window: int):
     Returns a FoldPlan with ``N = B*n`` total nodes and ``Cm`` chunks per
     member, or None when the shape doesn't fold."""
     g = max(halo, 1)
-    if B < 2 or N % g or nvar * g not in (1, 2, 4, 8):
+    if B < 2 or N % g or nvar * g > 8:
         return None
     M = N // g                       # supernode rows per member
     if M < 16:
@@ -988,7 +988,7 @@ def _reduced_factor(Lred, Ured, plan: FoldPlan, cyclic, wrap=False):
             [Z[..., s:, sub_e, lane_e], Z[..., :s, 0, 0]], axis=-1)
         cap = jnp.eye(d2, dtype=dtype) + vtz.T
         cap_inv = (_small_inv(cap[..., None])[..., 0]
-                   if d2 in (2, 4, 8) else jnp.linalg.inv(cap))
+                   if d2 <= 8 else jnp.linalg.inv(cap))
         return WrappedPcr(red0, Z, cap_inv, s, C)
     # per-member capacitance: vtz[m, j, i] = v_i^T Z_j on member m
     from .pallas_pcr import _subunfold
@@ -999,7 +999,7 @@ def _reduced_factor(Lred, Ured, plan: FoldPlan, cyclic, wrap=False):
     vtz = jnp.concatenate([seg[:, s:, :, -1], seg[:, :s, :, 0]],
                           axis=1)                # (2s_j, 2s_i, B)
     cap = jnp.eye(d2, dtype=dtype)[None] + jnp.transpose(vtz, (2, 1, 0))
-    if d2 in (2, 4, 8):
+    if d2 <= 8:
         cap_inv = jnp.moveaxis(
             _small_inv(jnp.moveaxis(cap, 0, -1)), -1, 0)
     else:

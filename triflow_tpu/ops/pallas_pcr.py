@@ -42,29 +42,30 @@ def _pcall(*args, **kw):
 # ---- block helpers on (..., s2, s2, 8, C8) subfolded operands -------------
 
 def _mm2(a, b):
-    s = a.shape[-4]
+    m, k = a.shape[-4], a.shape[-3]
+    n = b.shape[-3]
     return jnp.stack(
         [
             jnp.stack(
                 [
-                    sum(a[..., i, k, :, :] * b[..., k, j, :, :]
-                        for k in range(s))
-                    for j in range(s)
+                    sum(a[..., i, q, :, :] * b[..., q, j, :, :]
+                        for q in range(k))
+                    for j in range(n)
                 ],
                 axis=-3,
             )
-            for i in range(s)
+            for i in range(m)
         ],
         axis=-4,
     )
 
 
 def _mv2(a, b):
-    s = a.shape[-4]
+    m, k = a.shape[-4], a.shape[-3]
     return jnp.stack(
         [
-            sum(a[..., i, k, :, :] * b[..., k, :, :] for k in range(s))
-            for i in range(s)
+            sum(a[..., i, q, :, :] * b[..., q, :, :] for q in range(k))
+            for i in range(m)
         ],
         axis=-3,
     )
@@ -83,8 +84,9 @@ def _inv2(D):
         r0 = jnp.stack([d * inv_det, -b * inv_det], axis=-3)
         r1 = jnp.stack([-c * inv_det, a * inv_det], axis=-3)
         return jnp.stack([r0, r1], axis=-4)
-    p = s // 2
-    if s % 2 == 0:
+    if s <= 16:
+        # block-Schur with an uneven split for odd s (rectangular _mm2)
+        p = s // 2
         A = D[..., :p, :p, :, :]
         B = D[..., :p, p:, :, :]
         C = D[..., p:, :p, :, :]
@@ -99,7 +101,7 @@ def _inv2(D):
         )
         bot = jnp.concatenate([-_mm2(Sinv, CAinv), Sinv], axis=-3)
         return jnp.concatenate([top, bot], axis=-4)
-    raise NotImplementedError(f"odd block size {s} not supported")
+    raise NotImplementedError(f"block size {s} > 16 not supported")
 
 
 def _roll_axis(x, d, axis):
@@ -197,7 +199,7 @@ def applicable(s2: int, C: int, dtype, nrhs: int = 1,
                 return False
         except RuntimeError:  # pragma: no cover
             return False
-    if s2 not in (2, 4, 8):
+    if s2 < 2 or s2 > 16:
         return False
     if C < 2 or (cyclic and C % 8):
         return False

@@ -36,33 +36,35 @@ def _pcall(*args, **kw):
 
 def _mm_t(a, b, tail):
     """Block matmul with ``tail`` trailing space dims: block dims sit at
-    (-2-tail, -1-tail); tail=1 for a lanes-only chunk axis (..., s, s, C),
-    tail=2 for the sublane-packed chunk axis (..., s, s, 8, C8)."""
-    s = a.shape[-2 - tail]
+    (-2-tail, -1-tail); tail=1 for a lanes-only chunk axis (..., m, k, C),
+    tail=2 for the sublane-packed chunk axis (..., m, k, 8, C8).
+    Rectangular operands arise in the odd-size Schur splits."""
+    m, k = a.shape[-2 - tail], a.shape[-1 - tail]
+    n = b.shape[-1 - tail]
     sp = (slice(None),) * tail
     return jnp.stack(
         [
             jnp.stack(
                 [
-                    sum(a[(..., i, k) + sp] * b[(..., k, j) + sp]
-                        for k in range(s))
-                    for j in range(s)
+                    sum(a[(..., i, q) + sp] * b[(..., q, j) + sp]
+                        for q in range(k))
+                    for j in range(n)
                 ],
                 axis=-1 - tail,
             )
-            for i in range(s)
+            for i in range(m)
         ],
         axis=-2 - tail,
     )
 
 
 def _mv_t(a, b, tail):
-    s = a.shape[-2 - tail]
+    m, k = a.shape[-2 - tail], a.shape[-1 - tail]
     sp = (slice(None),) * tail
     return jnp.stack(
         [
-            sum(a[(..., i, k) + sp] * b[(..., k) + sp] for k in range(s))
-            for i in range(s)
+            sum(a[(..., i, q) + sp] * b[(..., q) + sp] for q in range(k))
+            for i in range(m)
         ],
         axis=-1 - tail,
     )
@@ -84,8 +86,9 @@ def _inv_t(D, tail):
         r0 = jnp.stack([d * inv_det, -b * inv_det], axis=-1 - tail)
         r1 = jnp.stack([-c * inv_det, a * inv_det], axis=-1 - tail)
         return jnp.stack([r0, r1], axis=-2 - tail)
-    p = s // 2
-    if s % 2 == 0:
+    if s <= 8:
+        # block-Schur with an uneven split for odd s (rectangular _mm_t)
+        p = s // 2
         A = D[(..., slice(None, p), slice(None, p)) + sp]
         B = D[(..., slice(None, p), slice(p, None)) + sp]
         C = D[(..., slice(p, None), slice(None, p)) + sp]
@@ -101,7 +104,7 @@ def _inv_t(D, tail):
         bot = jnp.concatenate([-_mm_t(Sinv, CAinv, tail), Sinv],
                               axis=-1 - tail)
         return jnp.concatenate([top, bot], axis=-2 - tail)
-    raise NotImplementedError(f"odd block size {s} not supported in kernel")
+    raise NotImplementedError(f"block size {s} > 8 not supported in kernel")
 
 
 def _mm(a, b):

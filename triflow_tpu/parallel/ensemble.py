@@ -69,6 +69,10 @@ class Ensemble:
     hook : traced hook applied per member
     mesh / mesh_axis : optional device mesh; members are sharded over it
     helpers0 : (B, nhelp, N) initial helper functions
+    per_member_dt : bool — adaptive schemes only: every member carries its
+        own internal clock and step size inside the while_loop (masked
+        freezing), instead of the shared dt driven by the max member
+        error; ``member_iters`` records each member's attempt count
     **scheme_kwargs : forwarded to the scheme constructor
 
     Example
@@ -79,7 +83,7 @@ class Ensemble:
 
     def __init__(self, model, u0, parameter_sets, x, scheme=None,
                  hook=null_hook, mesh=None, mesh_axis="ensemble",
-                 helpers0=None, **scheme_kwargs):
+                 helpers0=None, per_member_dt=False, **scheme_kwargs):
         self.model = model
         backend = model.backend
         nvar = backend.system.nvar
@@ -116,20 +120,25 @@ class Ensemble:
             and self._scheme._time_control
         )
         self._hook = hook
+        self._per_member_dt = bool(per_member_dt) and self._adaptive
         self._internal_dt = None
         self._scan_stepper = None
         self._merged_plan = None
         self._merged_scan = None
         self._t_dev = None
         self._idt_dev = None
+        self.member_iters = None
         self._stepper = self._build(mesh, mesh_axis)
 
     # ------------------------------------------------------------------
     def _build(self, mesh, mesh_axis):
-        merged = self._build_merged() if mesh is None else None
+        merged = (self._build_merged()
+                  if mesh is None and not self._per_member_dt else None)
         if merged is not None:
             return jax.jit(merged)
-        if self._adaptive:
+        if self._per_member_dt:
+            stepper = self._build_adaptive_per_member()
+        elif self._adaptive:
             stepper = self._build_adaptive()
         else:
             fixed = self._scheme.device_fixed_step(self._hook, self.periodic)
@@ -357,18 +366,97 @@ class Ensemble:
 
         return stepper
 
+    def _build_adaptive_per_member(self):
+        """Per-member adaptive loop (SURVEY.md §7 phase 7, "hard part 3"):
+        every member carries its OWN clock and step size in one
+        lax.while_loop; converged members freeze (masked updates) while
+        stiff members keep retrying.  A heterogeneous sweep no longer pays
+        the stiffest member's dt on every member — member m's internal step
+        count is what ITS tolerance demands, and an accepted step is never
+        re-done because some other member rejected (the shared-dt
+        controller discards the whole batch attempt on any reject)."""
+        fixed = self._scheme.device_fixed_step(self._hook, self.periodic)
+        vfixed = jax.vmap(fixed, in_axes=(0, 0, 0, 0, None, 0))
+        tol = self._scheme._tol
+        safety = self._scheme._safety_factor
+        max_iter = self._scheme._max_iter
+        dt_min = self._scheme._dt_min
+        B = self.B
+
+        def stepper(t, u, helpers, pstack, x, dt, internal_dt):
+            next_t = t + dt
+            eps = 1e-12 * jnp.maximum(jnp.abs(next_t), 1.0)
+            dtype = u.dtype
+            tb0 = jnp.full((B,), t, dtype=dtype)
+            dtb0 = jnp.minimum(jnp.broadcast_to(internal_dt, (B,)), dt)
+
+            def cond(carry):
+                tb, u, h, p, dtb, nb, status = carry
+                return jnp.any(tb < next_t - eps) & (status == 0)
+
+            def body(carry):
+                tb, u, h, p, dtb, nb, status = carry
+                active = tb < next_t - eps
+                remaining = next_t - tb
+                clamped = dtb >= remaining
+                dt_eff = jnp.minimum(dtb, remaining)
+                u2, h2, p2, _x, errs = vfixed(tb, u, h, p, x, dt_eff)
+                accept = (errs <= tol) & active
+                err_safe = jnp.maximum(errs, jnp.finfo(dtype).tiny)
+                dt_next = jnp.clip(
+                    safety * dt_eff * jnp.sqrt(tol / err_safe),
+                    0.1 * dt_eff, 10.0 * dt_eff,
+                )
+                dtb = jnp.where(active & ~(accept & clamped), dt_next, dtb)
+                tb = jnp.where(accept, tb + dt_eff, tb)
+                sel = accept[:, None, None]
+                u = jnp.where(sel, u2, u)
+                h = jnp.where(sel, h2, h)
+                p = jnp.where(sel, p2, p)
+                nb = nb + active.astype(jnp.int32)
+                if max_iter is not None:
+                    status = jnp.where(
+                        jnp.any(active & (nb > jnp.int32(max_iter))),
+                        jnp.int32(1), status)
+                dt_floor = dt_min if dt_min is not None else (
+                    1e3 * jnp.finfo(dtype).tiny
+                    + 2.0 * jnp.finfo(dtype).eps * jnp.abs(next_t)
+                )
+                still = tb < next_t - eps
+                status = jnp.where(jnp.any(still & (dtb < dt_floor)),
+                                   jnp.int32(2), status)
+                return (tb, u, h, p, dtb, nb, status)
+
+            carry = (tb0, u, helpers, pstack, dtb0,
+                     jnp.zeros((B,), jnp.int32), jnp.int32(0))
+            tb, u2, h2, p2, dtb, nb, status = jax.lax.while_loop(
+                cond, body, carry)
+            return next_t, u2, h2, p2, dtb, status, nb
+
+        return stepper
+
     # ------------------------------------------------------------------
+    def _set_internal_dt(self, dt_i):
+        self._internal_dt = (np.asarray(dt_i)
+                             if getattr(dt_i, "ndim", 0) else float(dt_i))
+
     def step(self, dt):
-        """Advance every member by dt (shared clock)."""
+        """Advance every member by dt (output clocks stay shared; with
+        ``per_member_dt`` the internal stepping is member-local)."""
         backend = self.model.backend
         internal_dt = self._internal_dt
         if internal_dt is None:
             internal_dt = 1e-6 if self._adaptive else dt
-        t2, u2, h2, p2, dt_i, status = self._stepper(
+        out = self._stepper(
             jnp.asarray(self.t, backend.dtype), self.u, self.helpers,
             self.pstack, self.x, jnp.asarray(dt, backend.dtype),
             jnp.asarray(internal_dt, backend.dtype),
         )
+        if self._per_member_dt:
+            t2, u2, h2, p2, dt_i, status, nb = out
+            self.member_iters = np.asarray(nb)
+        else:
+            t2, u2, h2, p2, dt_i, status = out
         status = int(status)
         if status == 1:
             raise RuntimeError(
@@ -378,7 +466,7 @@ class Ensemble:
             raise RuntimeError("Rosenbrock internal time step less than authorized")
         self.t, self.u, self.helpers, self.pstack = float(t2), u2, h2, p2
         self._t_dev = self._idt_dev = None   # host path owns the scalars now
-        self._internal_dt = float(dt_i)
+        self._set_internal_dt(dt_i)
         return self.t, self.u
 
     def steps(self, n, dt):
@@ -395,23 +483,35 @@ class Ensemble:
             internal_dt = 1e-6 if self._adaptive else dt
         if self._scan_stepper is None:
             stepper = self._stepper
+            per_member = self._per_member_dt
+            B = self.B
 
             def scan_run(t, u, h, p, x, dt, internal_dt, n):
                 def body(carry, _):
-                    t, u, h, p, dt_i, status = carry
-                    t2, u2, h2, p2, dt_i2, st2 = stepper(
-                        t, u, h, p, x, dt, dt_i)
+                    t, u, h, p, dt_i, status, nb = carry
+                    out = stepper(t, u, h, p, x, dt, dt_i)
+                    if per_member:
+                        t2, u2, h2, p2, dt_i2, st2, nb2 = out
+                        nb = nb + nb2
+                    else:
+                        t2, u2, h2, p2, dt_i2, st2 = out
                     return (t2, u2, h2, p2, dt_i2,
-                            jnp.maximum(status, st2)), ()
-                carry = (t, u, h, p, internal_dt, jnp.int32(0))
+                            jnp.maximum(status, st2), nb), ()
+                carry = (t, u, h, p, internal_dt, jnp.int32(0),
+                         jnp.zeros((B,), jnp.int32))
                 return jax.lax.scan(body, carry, length=n)[0]
 
             self._scan_stepper = jax.jit(scan_run, static_argnums=(7,))
-        t2, u2, h2, p2, dt_i, status = self._scan_stepper(
+        idt = jnp.asarray(internal_dt, backend.dtype)
+        if self._per_member_dt:
+            idt = jnp.broadcast_to(idt, (self.B,))
+        t2, u2, h2, p2, dt_i, status, nb = self._scan_stepper(
             jnp.asarray(self.t, backend.dtype), self.u, self.helpers,
             self.pstack, self.x, jnp.asarray(dt, backend.dtype),
-            jnp.asarray(internal_dt, backend.dtype), int(n),
+            idt, int(n),
         )
+        if self._per_member_dt:
+            self.member_iters = np.asarray(nb)
         status = int(status)
         if status == 1:
             raise RuntimeError(
@@ -422,20 +522,21 @@ class Ensemble:
                 "Rosenbrock internal time step less than authorized")
         self.t, self.u, self.helpers, self.pstack = float(t2), u2, h2, p2
         self._t_dev = self._idt_dev = None   # host path owns the scalars now
-        self._internal_dt = float(dt_i)
+        self._set_internal_dt(dt_i)
         return self.t, self.u
 
     def run(self, tmax, dt, steps_per_call=None):
         """Run to tmax.  With ``steps_per_call`` the loop scans that many
         steps per device call (recommended for production: amortizes the
-        per-call dispatch)."""
+        per-call dispatch).  The final step is clamped so the run lands
+        exactly on tmax even when it is not a multiple of dt."""
         eps = 1e-12 * max(1.0, abs(tmax))
         if steps_per_call and steps_per_call > 1:
-            while self.t < tmax - eps:
-                n = min(steps_per_call,
-                        max(1, int(round((tmax - self.t) / dt))))
-                self.steps(n, dt)
-            return self.t, self.u
+            while True:
+                n_full = int(np.floor((tmax - self.t) / dt + 1e-9))
+                if n_full < 1:
+                    break
+                self.steps(min(int(steps_per_call), n_full), dt)
         while self.t < tmax - eps:
             self.step(min(dt, tmax - self.t))
         return self.t, self.u

@@ -13,18 +13,26 @@ and the step communicates only:
   (parallel cyclic reduction, ops/banded.py), computes its coupling
   "spikes", and a tiny reduced interface system (2 * nvar * halo unknowns
   per shard boundary) is ``all_gather``-ed and solved redundantly on every
-  device.
+  device with block PCR — O(ndev log ndev) replicated work instead of a
+  dense O((2P*ndev)^3) inverse, so the closure survives pod-scale meshes.
 
 The reference has no counterpart (it is single-address-space,
 /root/reference/triflow/core/compilers.py:76-86 pads one global array); the
 design target is BASELINE-scale grids that exceed one chip's HBM.
 
-No hooks in sharded mode yet: boundary conditions are the periodic/edge
-closures (Dirichlet-style hooks need global-index-aware scatters — planned).
+Hooks and adaptive time stepping both work in sharded mode: the
+scheme-level integration (``SpatialModel.scheme_class`` / ``Simulation``'s
+``mesh=`` argument) applies hooks at the GLOBAL array level — the state
+stays a sharded global array outside ``shard_map``, so a Dirichlet scatter
+``u.at[0].set(v)`` lands on the owning shard under GSPMD with no user-side
+index translation — and runs the ``lax.while_loop`` dt controller over the
+shard-mapped fixed step with the embedded error reduced across shards
+(``jax.lax.pmax`` inside the mapped region).
 """
 
 from __future__ import annotations
 
+import inspect
 from functools import partial
 
 import jax
@@ -36,7 +44,10 @@ from ..core import schemes as schemes_mod
 from ..ops.banded import (
     BandedFactorization,
     _assemble_blocks,
+    _attach_woodbury,
     _extract_wrap,
+    _pcr_factor_xla,
+    _pcr_solve_xla,
     _tri_factor,
     axpy_bands,
 )
@@ -119,14 +130,99 @@ def _flatten_interface(zslice):
     return z.reshape(C, -1).T  # (P, C)
 
 
-class SpikeFactorization:
-    """Distributed factorization: local PCR factor + spikes + the reduced
-    interface inverse (replicated)."""
+# ---------------------------------------------------------------------------
+# reduced interface system across devices
+# ---------------------------------------------------------------------------
 
-    def __init__(self, local_fact, Z, Rinv, h, P, ndev, axis_name):
+class _InterfacePCR:
+    """Block-PCR factorization of the device-interface system, computed
+    redundantly on every device from the all-gathered spike quadrants.
+
+    Supernode i holds (x_i^top, x_i^bot) — the same structure as the
+    single-chip chunk-interface system (ops/banded.py
+    ``_reduced_interface_factor``), here over the mesh ring; the periodic
+    closure stays in the ring couplings (cyclic PCR, power-of-two ndev)."""
+
+    def __init__(self, fact, P, ndev):
+        self.fact = fact
+        self.P = P
+        self.ndev = ndev
+
+    def solve_interface(self, yall):
+        """yall (ndev, 2P) gathered interface RHS -> z (2P, ndev)."""
+        return _pcr_solve_xla(self.fact, yall.T)
+
+
+class _InterfaceDense:
+    """Dense fallback for the interface system (periodic closure with a
+    non-power-of-two device count, where cyclic PCR does not apply)."""
+
+    def __init__(self, Rinv, P, ndev):
+        self.Rinv = Rinv
+        self.P = P
+        self.ndev = ndev
+
+    def solve_interface(self, yall):
+        z = self.Rinv @ yall.reshape(-1)
+        return z.reshape(self.ndev, 2 * self.P).T
+
+
+def _interface_factor(allq, P, ndev, periodic, dtype):
+    """Factor the reduced interface system from the gathered spike
+    quadrants allq (ndev, 4, P, P) = (Wt, Wb, Vt, Vb) per device.
+
+    System, per device i (rows scaled so the diagonal is the identity):
+        x_i^top + Wt_i x_{i-1}^bot + Vt_i x_{i+1}^top = y_i^top
+        x_i^bot + Wb_i x_{i-1}^bot + Vb_i x_{i+1}^top = y_i^bot
+    which is block-tridiagonal over the device ring with 2P-sized
+    supernodes; the i-1/i+1 couplings wrap in periodic mode."""
+    d2 = 2 * P
+    Wt = jnp.moveaxis(allq[:, 0], 0, -1)  # (P, P, ndev)
+    Wb = jnp.moveaxis(allq[:, 1], 0, -1)
+    Vt = jnp.moveaxis(allq[:, 2], 0, -1)
+    Vb = jnp.moveaxis(allq[:, 3], 0, -1)
+    zero = jnp.zeros_like(Wt)
+    Lred = jnp.concatenate(
+        [jnp.concatenate([zero, Wt], axis=1),
+         jnp.concatenate([zero, Wb], axis=1)], axis=0)
+    Ured = jnp.concatenate(
+        [jnp.concatenate([Vt, zero], axis=1),
+         jnp.concatenate([Vb, zero], axis=1)], axis=0)
+    Dred = jnp.broadcast_to(jnp.eye(d2, dtype=dtype)[..., None],
+                            (d2, d2, ndev))
+    if periodic and ndev & (ndev - 1) == 0:
+        return _InterfacePCR(_pcr_factor_xla(Lred, Dred, Ured, cyclic=True),
+                             P, ndev)
+    if not periodic:
+        # the edge-folded bands already zero the outward couplings of the
+        # boundary shards; enforce the acyclic invariants defensively
+        Lred = Lred.at[..., 0].set(0.0)
+        Ured = Ured.at[..., ndev - 1].set(0.0)
+        return _InterfacePCR(_pcr_factor_xla(Lred, Dred, Ured, cyclic=False),
+                             P, ndev)
+    # periodic ring with non-power-of-two ndev: dense redundant inverse
+    n2P = d2 * ndev
+    R = jnp.eye(n2P, dtype=dtype)
+    for i in range(ndev):
+        top = d2 * i
+        bot = top + P
+        im1_bot = d2 * ((i - 1) % ndev) + P
+        ip1_top = d2 * ((i + 1) % ndev)
+        R = R.at[top:top + P, im1_bot:im1_bot + P].add(allq[i, 0])
+        R = R.at[top:top + P, ip1_top:ip1_top + P].add(allq[i, 2])
+        R = R.at[bot:bot + P, im1_bot:im1_bot + P].add(allq[i, 1])
+        R = R.at[bot:bot + P, ip1_top:ip1_top + P].add(allq[i, 3])
+    return _InterfaceDense(jnp.linalg.inv(R), P, ndev)
+
+
+class SpikeFactorization:
+    """Distributed factorization: local block-tridiagonal factor + spikes +
+    the (replicated) reduced interface factorization."""
+
+    def __init__(self, local_fact, Z, red, h, P, ndev, axis_name):
         self.local_fact = local_fact
         self.Z = Z            # (2P, nvar, Nl) spikes [W | V]
-        self.Rinv = Rinv      # (2P*ndev, 2P*ndev)
+        self.red = red
         self.h = h
         self.P = P
         self.ndev = ndev
@@ -141,30 +237,33 @@ class SpikeFactorization:
         ytop = jnp.moveaxis(y[..., :h], -2, -1).reshape(-1)      # (P,)
         ybot = jnp.moveaxis(y[..., -h:], -2, -1).reshape(-1)     # (P,)
         mine = jnp.concatenate([ytop, ybot])                     # (2P,)
-        yred = jax.lax.all_gather(mine, self.axis_name).reshape(-1)
-        z = self.Rinv @ yred                                     # (2P*ndev,)
+        yall = jax.lax.all_gather(mine, self.axis_name)          # (ndev, 2P)
+        z = self.red.solve_interface(yall)                       # (2P, ndev)
         idx = jax.lax.axis_index(self.axis_name)
-        im1 = (idx - 1) % ndev
-        ip1 = (idx + 1) % ndev
-        xm1_bot = jax.lax.dynamic_slice(z, (im1 * 2 * P + P,), (P,))
-        xp1_top = jax.lax.dynamic_slice(z, (ip1 * 2 * P,), (P,))
+        zm1 = jax.lax.dynamic_index_in_dim(z, (idx - 1) % ndev, axis=1,
+                                           keepdims=False)
+        zp1 = jax.lax.dynamic_index_in_dim(z, (idx + 1) % ndev, axis=1,
+                                           keepdims=False)
         corr = (
-            jnp.einsum("cni,c->ni", self.Z[:P], xm1_bot)
-            + jnp.einsum("cni,c->ni", self.Z[P:], xp1_top)
+            jnp.einsum("cni,c->ni", self.Z[:P], zm1[P:])
+            + jnp.einsum("cni,c->ni", self.Z[P:], zp1[:P])
         )
         return y - corr
 
     __call__ = solve
 
 
-def spike_factor(A_bands, axis_name: str, ndev: int) -> SpikeFactorization:
+def spike_factor(A_bands, axis_name: str, ndev: int,
+                 periodic: bool = True) -> SpikeFactorization:
     """Factor the global banded matrix from its local shard bands.
 
     The entries of the local bands that reach outside the shard are exactly
     the same index pattern as periodic wrap entries, so the Woodbury
     extraction is reused to peel them into neighbor-coupling blocks T
     (rows: first h nodes -> left neighbor's last h columns) and B (last h
-    -> right neighbor's first h)."""
+    -> right neighbor's first h).  In edge mode those entries were already
+    folded onto the boundary columns, so T = B = 0 on the boundary shards
+    and the interface system closes acyclically."""
     W, nvar, _, Nl = A_bands.shape[-4:]
     h = W // 2
     P = nvar * h
@@ -172,8 +271,16 @@ def spike_factor(A_bands, axis_name: str, ndev: int) -> SpikeFactorization:
     L, D, U, g, s, M, Np = _assemble_blocks(bands_tri)
     tri = _tri_factor(L, D, U)  # chunked/pallas for large local grids
     local_fact = BandedFactorization(tri, g, s, Nl, nvar, False, halo=h)
-    if h == 0 or ndev == 1:
-        return SpikeFactorization(local_fact, None, None, h, P, ndev, axis_name)
+    if h == 0:
+        return SpikeFactorization(local_fact, None, None, h, P, ndev,
+                                  axis_name)
+    if ndev == 1:
+        # no neighbors: the peeled couplings are the true periodic wrap
+        if periodic:
+            local_fact.periodic = True
+            _attach_woodbury(local_fact, T, B)
+        return SpikeFactorization(local_fact, None, None, h, P, ndev,
+                                  axis_name)
 
     # spike columns: A_loc^-1 @ [E_top T | E_bot B]
     cols = jnp.zeros((2 * P, nvar, Nl), dtype=A_bands.dtype)
@@ -195,21 +302,8 @@ def spike_factor(A_bands, axis_name: str, ndev: int) -> SpikeFactorization:
     Vb = _flatten_interface(Z[P:, :, Nl - h:])
     quads = jnp.stack([Wt, Wb, Vt, Vb])  # (4, P, P)
     allq = jax.lax.all_gather(quads, axis_name)  # (ndev, 4, P, P)
-
-    n2P = 2 * P * ndev
-    R = jnp.eye(n2P, dtype=A_bands.dtype)
-    for i in range(ndev):
-        Wt_i, Wb_i, Vt_i, Vb_i = (allq[i, q] for q in range(4))
-        top = 2 * P * i
-        bot = top + P
-        im1_bot = 2 * P * ((i - 1) % ndev) + P
-        ip1_top = 2 * P * ((i + 1) % ndev)
-        R = R.at[top:top + P, im1_bot:im1_bot + P].add(Wt_i)
-        R = R.at[top:top + P, ip1_top:ip1_top + P].add(Vt_i)
-        R = R.at[bot:bot + P, im1_bot:im1_bot + P].add(Wb_i)
-        R = R.at[bot:bot + P, ip1_top:ip1_top + P].add(Vb_i)
-    Rinv = jnp.linalg.inv(R)
-    return SpikeFactorization(local_fact, Z, Rinv, h, P, ndev, axis_name)
+    red = _interface_factor(allq, P, ndev, periodic, A_bands.dtype)
+    return SpikeFactorization(local_fact, Z, red, h, P, ndev, axis_name)
 
 
 # ---------------------------------------------------------------------------
@@ -224,14 +318,23 @@ class SpatialModel:
     model : triflow_tpu.Model (jax backend)
     mesh : jax.sharding.Mesh with the target axis
     axis : str — mesh axis name carrying the grid (default "space")
-    periodic : bool — global boundary closure
+    periodic : bool — global boundary closure (default for the raw
+        steppers; the scheme path reads it from the parameters dict)
 
     Usage
     -----
+    Raw array steppers (fixed dt)::
+
     >>> sm = SpatialModel(model, mesh, periodic=True)
-    >>> step = sm.rodaspr_stepper(dt=0.05)   # jitted, sharded
+    >>> step = sm.row_stepper(schemes.RODASPR)   # jitted, sharded
     >>> u = sm.shard(u0); x = sm.shard(x_global)
-    >>> t, u = step(0.0, u, helpers, pstack, x)
+    >>> t, u = step(0.0, u, helpers, pstack, x, 0.05)
+
+    Full scheme surface (hooks + adaptive dt), usually via the Simulation
+    driver::
+
+    >>> sim = Simulation(model, fields, pars, dt=1.0, tmax=10.0,
+    ...                  mesh=mesh)  # doctest: +SKIP
     """
 
     def __init__(self, model, mesh: Mesh, axis: str = "space",
@@ -256,18 +359,26 @@ class SpatialModel:
                 f"grid size {arr.shape[-1]} must divide the mesh axis "
                 f"({self.ndev})"
             )
+        Nl = arr.shape[-1] // self.ndev
+        if Nl < 2 * max(self.h, 1):
+            raise ValueError(
+                f"local shard size {Nl} too small for halo {self.h} "
+                f"(need >= {2 * max(self.h, 1)} nodes per device)"
+            )
         return jax.device_put(arr, self.sharding(arr.ndim))
 
     # -- per-shard physics ---------------------------------------------------
-    def _local_F(self, u, helpers, pstack, x):
-        h, ndev, periodic = self.h, self.ndev, self.periodic
+    def _local_F(self, u, helpers, pstack, x, periodic=None):
+        periodic = self.periodic if periodic is None else periodic
+        h, ndev = self.h, self.ndev
         u_ext = halo_extend(u, h, self.axis, ndev, periodic)
         helpers_ext = halo_extend(helpers, h, self.axis, ndev, periodic)
         dx = x[..., 1] - x[..., 0]
         return self.backend.F_ext_impl(u_ext, helpers_ext, pstack, x, dx)
 
-    def _local_J(self, u, helpers, pstack, x):
-        h, ndev, periodic = self.h, self.ndev, self.periodic
+    def _local_J(self, u, helpers, pstack, x, periodic=None):
+        periodic = self.periodic if periodic is None else periodic
+        h, ndev = self.h, self.ndev
         u_ext = halo_extend(u, h, self.axis, ndev, periodic)
         helpers_ext = halo_extend(helpers, h, self.axis, ndev, periodic)
         dx = x[..., 1] - x[..., 0]
@@ -282,55 +393,29 @@ class SpatialModel:
             )
         return bands, u_ext, helpers_ext
 
-    # -- steppers -------------------------------------------------------------
-    def _wrap(self, local_step):
+    # -- shard-mapped step cores ---------------------------------------------
+    def _specs(self):
         spec_state = PartitionSpec(None, self.axis)
         spec_x = PartitionSpec(self.axis)
-        wrapped = shard_map(
-            local_step,
-            mesh=self.mesh,
-            in_specs=(PartitionSpec(), spec_state, spec_state, spec_state,
-                      spec_x, PartitionSpec()),
-            out_specs=(PartitionSpec(), spec_state),
-        )
-        return jax.jit(wrapped)
+        none = PartitionSpec()
+        return spec_state, spec_x, none
 
-    def theta_stepper(self, theta=1.0):
-        """Sharded linearized theta step (reference Theta semantics,
-        schemes.py:502-559, with the SuperLU solve replaced by SPIKE)."""
-        periodic = self.periodic
+    def _row_core(self, tables, s, periodic):
+        """Shard-mapped fixed ROW step on global sharded arrays:
+        ``core(t, u, helpers, pstack, x, dt) -> (u_new, err)`` with the
+        embedded error pmax-reduced across shards (replicated scalar)."""
+        a_t, c_t, m_t, m_pred_t, g00 = tables
         ndev, axis, h = self.ndev, self.axis, self.h
+        backend = self.backend
 
-        def local_step(t, u, helpers, pstack, x, dt):
-            J, u_ext, helpers_ext = self._local_J(u, helpers, pstack, x)
-            F = self.backend.F_ext_impl(
-                u_ext, helpers_ext, pstack, x, x[..., 1] - x[..., 0]
-            )
-            B = dt * (F - theta * banded_matvec_ext(J, u_ext)) + u
-            A = axpy_bands(1.0, -theta * dt, J)
-            fact = spike_factor(A, axis, ndev)
-            return t + dt, fact.solve(B)
-
-        return self._wrap(local_step)
-
-    def row_stepper(self, scheme_cls=None, **scheme_kwargs):
-        """Sharded fixed-dt Rosenbrock-Wanner step: one SPIKE factorization
-        reused for all stages; halo exchange per stage."""
-        scheme_cls = scheme_cls or schemes_mod.RODASPR
-        scheme = scheme_cls(self.model, time_stepping=False, tol=None,
-                            **scheme_kwargs)
-        a_t, c_t, m_t, _m_pred_t, g00 = scheme._tables
-        s = scheme._s
-        ndev, axis, h = self.ndev, self.axis, self.h
-        periodic = self.periodic
-
-        def local_step(t, u, helpers, pstack, x, dt):
+        def local_core(t, u, helpers, pstack, x, dt):
             # Hairer-Wanner transformed stages (core/schemes.py): no banded
             # matvec and no extra halo exchange for the gamma-sum — one
             # ppermute ring per stage (for u_i) instead of two.
-            J, u_ext, helpers_ext = self._local_J(u, helpers, pstack, x)
+            J, u_ext, helpers_ext = self._local_J(u, helpers, pstack, x,
+                                                  periodic)
             A = axpy_bands(1.0, -g00 * dt, J)
-            fact = spike_factor(A, axis, ndev)
+            fact = spike_factor(A, axis, ndev, periodic)
             dx = x[..., 1] - x[..., 0]
             gdt = g00 * dt
             us = []
@@ -340,9 +425,7 @@ class SpatialModel:
                     if a_t[i, j]:
                         u_i = u_i + a_t[i, j] * us[j]
                 u_i_ext = halo_extend(u_i, h, axis, ndev, periodic)
-                F_i = self.backend.F_ext_impl(
-                    u_i_ext, helpers_ext, pstack, x, dx
-                )
+                F_i = backend.F_ext_impl(u_i_ext, helpers_ext, pstack, x, dx)
                 rhs = gdt * F_i
                 for j in range(i):
                     if c_t[i, j]:
@@ -351,13 +434,179 @@ class SpatialModel:
             u_new = u
             for i in range(s):
                 u_new = u_new + m_t[i] * us[i]
-            return t + dt, u_new
+            if m_pred_t is not None:
+                diff = None
+                for i in range(s):
+                    c = m_t[i] - m_pred_t[i]
+                    if c:
+                        diff = c * us[i] if diff is None else diff + c * us[i]
+                err = jnp.max(jnp.abs(diff))
+                err = jnp.where(jnp.isnan(err) | jnp.isinf(err), jnp.inf, err)
+                err = jax.lax.pmax(err, axis)
+            else:
+                err = jnp.full((), jnp.inf, dtype=u.dtype)
+            return u_new, err
 
-        return self._wrap(local_step)
+        spec_state, spec_x, none = self._specs()
+        return shard_map(
+            local_core, self.mesh,
+            in_specs=(none, spec_state, spec_state, spec_state, spec_x, none),
+            out_specs=(spec_state, none),
+        )
+
+    def _theta_core(self, theta, periodic):
+        """Shard-mapped linearized theta step (reference Theta semantics,
+        schemes.py:502-559, with the SuperLU solve replaced by SPIKE)."""
+        ndev, axis, h = self.ndev, self.axis, self.h
+        backend = self.backend
+
+        def local_core(t, u, helpers, pstack, x, dt):
+            dx = x[..., 1] - x[..., 0]
+            if theta == 0:
+                F = self._local_F(u, helpers, pstack, x, periodic)
+                u2 = u + dt * F
+            else:
+                J, u_ext, helpers_ext = self._local_J(u, helpers, pstack, x,
+                                                      periodic)
+                F = backend.F_ext_impl(u_ext, helpers_ext, pstack, x, dx)
+                B = dt * (F - theta * banded_matvec_ext(J, u_ext)) + u
+                A = axpy_bands(1.0, -theta * dt, J)
+                u2 = spike_factor(A, axis, ndev, periodic).solve(B)
+            return u2, jnp.zeros((), dtype=u.dtype)
+
+        spec_state, spec_x, none = self._specs()
+        return shard_map(
+            local_core, self.mesh,
+            in_specs=(none, spec_state, spec_state, spec_state, spec_x, none),
+            out_specs=(spec_state, none),
+        )
+
+    # -- scheme integration ---------------------------------------------------
+    def scheme_class(self, scheme_cls=None):
+        """A scheme class (ROW family or Theta) rebound to this sharded
+        model: same constructor signature and full _SchemeBase surface
+        (hooks, adaptive while_loop dt control, device_steps scans), with
+        the fixed step running under shard_map and errors reduced across
+        the mesh axis.  Feed it to ``Simulation(..., scheme=...)`` or use
+        ``Simulation(..., mesh=mesh)`` which does this wiring itself."""
+        scheme_cls = scheme_cls or schemes_mod.RODASPR
+        if issubclass(scheme_cls, schemes_mod.ROW_general):
+            mixin = _SpatialROWMixin
+        elif issubclass(scheme_cls, schemes_mod.Theta):
+            mixin = _SpatialThetaMixin
+        else:
+            raise TypeError(
+                f"{scheme_cls.__name__} has no sharded implementation "
+                "(supported: ROW family, Theta)"
+            )
+        return type("Spatial" + scheme_cls.__name__, (mixin, scheme_cls),
+                    {"_spatial": self})
+
+    def _make_scheme(self, scheme_cls, **scheme_kwargs):
+        cls = self.scheme_class(scheme_cls)
+        params = inspect.signature(scheme_cls.__init__).parameters
+        kwargs = {k: v for k, v in scheme_kwargs.items() if k in params}
+        return cls(self.model, **kwargs)
+
+    # -- raw array steppers ---------------------------------------------------
+    def theta_stepper(self, theta=1.0):
+        """Sharded linearized theta step over raw arrays:
+        ``step(t, u, helpers, pstack, x, dt) -> (t2, u2)``."""
+        scheme = self._make_scheme(schemes_mod.Theta, theta=theta)
+        stepper = scheme.device_stepper(periodic=self.periodic)
+
+        def step(t, u, helpers, pstack, x, dt):
+            t2, u2, *_ = stepper(t, u, helpers, pstack, x, dt, dt)
+            return t2, u2
+
+        return step
+
+    def row_stepper(self, scheme_cls=None, **scheme_kwargs):
+        """Sharded Rosenbrock-Wanner step over raw arrays: one SPIKE
+        factorization reused for all stages; halo exchange per stage.
+
+        Fixed dt by default: ``step(t, u, helpers, pstack, x, dt) ->
+        (t2, u2)``.  With ``time_stepping=True`` (plus ``tol``) the
+        device-resident adaptive controller runs across shards and the
+        stepper becomes ``step(t, u, helpers, pstack, x, dt, internal_dt)
+        -> (t2, u2, internal_dt', status)``."""
+        scheme_kwargs.setdefault("time_stepping", False)
+        scheme_kwargs.setdefault("tol", None)
+        scheme = self._make_scheme(scheme_cls or schemes_mod.RODASPR,
+                                   **scheme_kwargs)
+        stepper = scheme.device_stepper(periodic=self.periodic)
+        if getattr(scheme, "_time_control", False):
+            def adaptive_step(t, u, helpers, pstack, x, dt, internal_dt):
+                t2, u2, _h, _p, _x, dt_i, _niter, status = stepper(
+                    t, u, helpers, pstack, x, dt, internal_dt)
+                return t2, u2, dt_i, status
+
+            return adaptive_step
+
+        def step(t, u, helpers, pstack, x, dt):
+            t2, u2, *_ = stepper(t, u, helpers, pstack, x, dt, dt)
+            return t2, u2
+
+        return step
 
     # convenience: global F for tests/diagnostics
     def F(self):
         def local_F(t, u, helpers, pstack, x, dt):
             return t, self._local_F(u, helpers, pstack, x)
 
-        return self._wrap(local_F)
+        spec_state, spec_x, none = self._specs()
+        wrapped = shard_map(
+            local_F, self.mesh,
+            in_specs=(none, spec_state, spec_state, spec_state, spec_x, none),
+            out_specs=(none, spec_state),
+        )
+        return jax.jit(wrapped)
+
+
+# ---------------------------------------------------------------------------
+# scheme mixins: the _SchemeBase machinery over a sharded fixed step
+# ---------------------------------------------------------------------------
+
+class _SpatialSchemeMixin:
+    """Reroutes a scheme's fixed step through shard_map.  Hooks stay at the
+    global array level (applied by the base-class machinery outside the
+    mapped region), so reference-style Dirichlet hooks work unchanged on
+    sharded state; the single-address-space folded fast path is disabled."""
+
+    _spatial: SpatialModel = None  # bound by SpatialModel.scheme_class
+
+    def _folded_plan_for(self, problem, u, x):
+        return None
+
+    def _split(self, fields, pars):
+        u, helpers, pstack, x = super()._split(fields, pars)
+        sm = self._spatial
+        return sm.shard(u), sm.shard(helpers), sm.shard(pstack), sm.shard(x)
+
+
+class _SpatialROWMixin(_SpatialSchemeMixin):
+    def _fixed_step_fn(self, problem):
+        sm = self._spatial
+        core = sm._row_core(self._tables, self._s, problem.periodic)
+
+        def fixed_step(t, u, helpers, pstack, x, dt):
+            u, helpers, pstack, x = problem.apply_hook(t, u, helpers,
+                                                       pstack, x)
+            u2, err = core(t, u, helpers, pstack, x, dt)
+            return u2, helpers, pstack, x, err
+
+        return fixed_step
+
+
+class _SpatialThetaMixin(_SpatialSchemeMixin):
+    def _fixed_step_fn(self, problem):
+        sm = self._spatial
+        core = sm._theta_core(self._theta, problem.periodic)
+
+        def fixed_step(t, u, helpers, pstack, x, dt):
+            u, helpers, pstack, x = problem.apply_hook(t, u, helpers,
+                                                       pstack, x)
+            u2, err = core(t, u, helpers, pstack, x, dt)
+            return u2, helpers, pstack, x, err
+
+        return fixed_step

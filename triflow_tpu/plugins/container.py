@@ -39,24 +39,26 @@ class AttrDict(dict):
 
 
 def coerce_attr(key, value):
-    """Clamp metadata values to (int, float, str) exactly like the reference
-    netCDF attribute coercion (container.py:28-42)."""
-    value_type = type(value)
-    if value_type in [int, float, str, bool]:
+    """Clamp a metadata value to a plain scalar (bool/int/float/str) so it
+    serializes into the YAML/HDF5 sidecars; numpy scalars and anything with
+    a sensible numeric/string conversion are narrowed, everything else is a
+    TypeError (same contract as the reference's netCDF attribute coercion,
+    container.py:28-42)."""
+    if isinstance(value, (bool, int, float, str)):
         return value
-    for cast in (int, float, str):
+    if isinstance(value, np.generic):
+        return value.item()
+    for narrow in (int, float, str):
         try:
-            value = cast(value)
-            logger.debug(
-                "Illegal metadata type (%s) for %s, casted to %s",
-                value_type, key, cast,
-            )
-            return value
+            coerced = narrow(value)
         except (TypeError, ValueError):
-            pass
+            continue
+        logger.debug("metadata %r: %s narrowed to %s", key, type(value),
+                     narrow)
+        return coerced
     raise TypeError(
-        "Illegal metadata type (%s) of attribute for %s, auto-casting "
-        "failed (tried int, float and str)" % (value_type, key)
+        f"metadata {key!r} has unserializable type {type(value)} "
+        "(no int/float/str conversion)"
     )
 
 
@@ -179,6 +181,107 @@ class TimeSeries:
             data_vars[name] = np.asarray(fields[name])[None]
         return TimeSeries([t], coords, data_vars, metadata)
 
+    def to_xarray(self):
+        """xarray.Dataset view (analysis-format parity with the reference's
+        netCDF containers) — requires xarray to be installed."""
+        try:
+            import xarray as xr
+        except ImportError as err:  # pragma: no cover - env without xarray
+            raise ImportError(
+                "TimeSeries.to_xarray requires the optional xarray "
+                "dependency"
+            ) from err
+        spatial = [c for c in self.coords if c != "t"]
+        data = {
+            k: (("t", *spatial) if v.ndim > len(spatial) else tuple(spatial),
+                v)
+            for k, v in self.data_vars.items()
+        }
+        coords = {"t": self.t, **self.coords}
+        return xr.Dataset(data, coords=coords, attrs=self.attrs)
+
+
+class LazyTimeSeries:
+    """Deferred-read view over on-disk HDF5 chunks: the tiny t/coords axes
+    load eagerly (they index the selection), but variable data stays on
+    disk until selected — ``isel`` reads ONLY the requested time rows from
+    the owning chunk files (h5py partial reads), and ``load()``/indexing
+    materializes the full series.  This is the h5py analog of the
+    reference's lazy ``open_mfdataset`` retrieve (container.py:177-208)."""
+
+    def __init__(self, paths):
+        import h5py
+
+        entries = []
+        for p in paths:
+            with h5py.File(p, "r") as f:
+                entries.append((float(f["t"][0]), Path(p)))
+        entries.sort()
+        self._paths = [p for _t0, p in entries]
+        ts, self._spans = [], []
+        offset = 0
+        for p in self._paths:
+            with h5py.File(p, "r") as f:
+                t = f["t"][...]
+            ts.append(t)
+            self._spans.append((offset, offset + len(t)))
+            offset += len(t)
+        self.t = np.concatenate(ts) if ts else np.zeros(0)
+        with h5py.File(self._paths[0], "r") as f:
+            self.coords = {k: f["coords"][k][...] for k in f["coords"]}
+            self.attrs = json.loads(f.attrs.get("metadata", "{}"))
+            self._var_names = list(f["data_vars"])
+
+    def keys(self):
+        return ["t", *self.coords.keys(), *self._var_names]
+
+    def _read_rows(self, rows):
+        """Gather global time rows from the chunk files (partial reads)."""
+        import h5py
+
+        rows = np.asarray(rows)
+        out = {k: [None] * len(rows) for k in self._var_names}
+        for p, (lo, hi) in zip(self._paths, self._spans):
+            sel = np.where((rows >= lo) & (rows < hi))[0]
+            if not len(sel):
+                continue
+            local = rows[sel] - lo
+            order = np.argsort(local)
+            with h5py.File(p, "r") as f:
+                for k in self._var_names:
+                    block = f["data_vars"][k][np.asarray(local)[order]]
+                    for j, i_out in enumerate(sel[order]):
+                        out[k][i_out] = block[j]
+        return {k: np.stack(v) for k, v in out.items()}
+
+    def isel(self, t=None, **ignored):
+        if t is None:
+            return self
+        squeeze = isinstance(t, int)
+        if squeeze:
+            t = [t if t != -1 else len(self.t) - 1]
+        rows = np.arange(len(self.t))[t] if isinstance(t, slice) \
+            else np.atleast_1d(np.asarray(t))
+        rows = np.where(rows < 0, rows + len(self.t), rows)
+        data_vars = self._read_rows(rows)
+        if squeeze:
+            data_vars = {k: v[0] for k, v in data_vars.items()}
+        return TimeSeries(self.t[rows], self.coords, data_vars, self.attrs)
+
+    def load(self):
+        return self.isel(t=slice(None))
+
+    def __getitem__(self, key):
+        if key == "t":
+            return self.t
+        if key in self.coords:
+            return self.coords[key]
+        return self.load()[key]
+
+    def __repr__(self):
+        return (f"LazyTimeSeries: {len(self.t)} snapshots on disk over "
+                f"{len(self._paths)} chunk file(s)")
+
 
 class Container:
     """Stream-fed persistence sink (reference TriflowContainer,
@@ -197,14 +300,15 @@ class Container:
         if not path:
             return
 
-        if self._mode == "w" and force and path.exists():
+        if self._mode == "w" and path.exists():
+            if not force:
+                raise FileExistsError(
+                    f"container directory {path} already exists "
+                    "(pass force=True to replace it)"
+                )
             shutil.rmtree(path)
-        if self._mode == "w" and not force and path.exists():
-            raise FileExistsError(
-                "Directory %s exists, set force=True to override it" % path
-            )
         if self._mode == "r" and not path.exists():
-            raise FileNotFoundError("Container not found.")
+            raise FileNotFoundError(f"no container at {path}")
         path.mkdir(parents=True, exist_ok=True)
         self._write_metadata()
 
@@ -224,15 +328,13 @@ class Container:
 
     @save.setter
     def save(self, value):
-        if value == "all":
-            self._n_save = None
-        elif value == "last" or value == -1:
-            self._n_save = 1
-        else:
+        modes = {"all": None, "last": 1, -1: 1}
+        try:
+            self._n_save = modes[value]
+        except (KeyError, TypeError):
             raise ValueError(
-                'save argument accept only "all", "last" or -1 '
-                "as value, not %s" % value
-            )
+                f"save mode must be 'all', 'last' or -1, got {value!r}"
+            ) from None
 
     # ------------------------------------------------------------- streaming
     def _expand_fields(self, inputs):
@@ -326,16 +428,25 @@ class Container:
         """Load a saved container (reference container.py:177-208).
 
         isel: 'all', 'last', an int/slice/list over the t axis, or a dict
-        with a 't' key."""
+        with a 't' key.
+
+        lazy: defer variable reads to access time (LazyTimeSeries) — with a
+        non-'all' isel only the selected time rows are ever read from
+        disk."""
         path = Path(path)
         merged = path / "data.h5"
         if merged.exists():
-            data = TimeSeries.from_hdf5(merged)
+            files = [merged]
         else:
-            chunks = sorted(path.glob("data_*.h5"))
-            if not chunks:
+            files = sorted(path.glob("data_*.h5"))
+            if not files:
                 raise FileNotFoundError("no data files in %s" % path)
-            data = TimeSeries.concat([TimeSeries.from_hdf5(f) for f in chunks])
+        if lazy:
+            data = LazyTimeSeries(files)
+        elif len(files) == 1:
+            data = TimeSeries.from_hdf5(files[0])
+        else:
+            data = TimeSeries.concat([TimeSeries.from_hdf5(f) for f in files])
 
         try:
             import yaml

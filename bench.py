@@ -70,8 +70,13 @@ def bench_ks():
     N = int(os.environ.get("BENCH_N", 1_000_000))
     STEPS = int(os.environ.get("BENCH_STEPS", 500))
     REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
+    double = bool(int(os.environ.get("BENCH_DOUBLE", "0")))
+    if double:
+        import jax
 
-    model = Model("-dxxU - dxxxxU - U * dxU", "U", double=False)
+        jax.config.update("jax_enable_x64", True)
+
+    model = Model("-dxxU - dxxxxU - U * dxU", "U", double=double)
     scheme = schemes.RODASPR(model, time_stepping=False, tol=None)
     fixed = scheme.device_fixed_step(periodic=True)
 

@@ -4,7 +4,7 @@ uninterrupted run bit-for-bit (same scheme internal dt carried over)."""
 import numpy as np
 import pytest
 
-from triflow_tpu import Model, Simulation, schemes
+from triflow_tpu import Model, Simulation
 from triflow_tpu.utils.profiling import step_breakdown
 
 

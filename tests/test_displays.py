@@ -49,3 +49,34 @@ def test_display_probe_on_disk(heat_model, tmp_path):
                   on_disk=str(tmp_path))
     simul.run(progress=False)
     assert len(list(tmp_path.glob("*.png"))) == simul.i + 1
+
+
+def test_display_throttle_every(heat_model, tmp_path):
+    """every=n draws every n-th emitted frame (plus the initial one)."""
+    simul = make_simul(heat_model, tmax=8)
+    display_fields(simul, on_disk=str(tmp_path / "thr"), every=2)
+    simul.run(progress=False)
+    # skeleton frame + every other of the 9 emissions (start emit + 8 steps)
+    frames = list((tmp_path / "thr").glob("*.png"))
+    assert 2 < len(frames) < 9
+
+
+def test_display_async_drains_final_frame(heat_model):
+    """asynchronous=True never blocks the loop; close() drains so the last
+    drawn frame reflects the final state."""
+    from triflow_tpu.plugins.displays import Display
+
+    simul = make_simul(heat_model, tmax=5)
+    seen = []
+
+    def probe(data, fig):
+        seen.append(float(data.t))
+        ax = fig.add_subplot(111)
+        ax.plot(np.asarray(data.fields["T"]))
+
+    d = Display(simul, probe, asynchronous=True)
+    d.connect(simul.stream)
+    simul.run(progress=False)
+    d.close()
+    assert seen  # worker drew at least the initial + some frames
+    assert seen[-1] == 5.0  # the drained final frame is the last state

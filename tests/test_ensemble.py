@@ -3,7 +3,6 @@ member axis must shard over a device mesh (8 virtual CPU devices standing in
 for a pod slice, SURVEY.md §4)."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

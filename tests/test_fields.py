@@ -6,12 +6,10 @@ the JAX rebuild."""
 import pickle
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from triflow_tpu import Model, factory, factory1D
-from triflow_tpu.core.fields import Fields
 
 
 @pytest.fixture

@@ -6,8 +6,6 @@ numerics to the generic ArrayBackend implementation for every closure mode:
 cyclic reduced system (power-of-two C), folded Woodbury (non-power-of-two C),
 and the edge (non-periodic) clamp."""
 
-import os
-
 import numpy as np
 import pytest
 

@@ -4,7 +4,6 @@ cheap, a tight-tolerance scipy-oracle trajectory match (the 1e-8 strategy of
 SURVEY.md §4)."""
 
 import numpy as np
-import pytest
 
 from triflow_tpu import Model, Simulation, schemes
 

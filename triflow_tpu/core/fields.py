@@ -21,8 +21,7 @@ API parity with the reference container:
 
 from __future__ import annotations
 
-import math
-from typing import Dict, Iterable, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

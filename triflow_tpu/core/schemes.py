@@ -38,8 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.banded import (axpy_bands, banded_matvec, factor_banded,
-                           factor_linearized)
+from ..ops.banded import axpy_bands, banded_matvec, factor_linearized
 
 logger = logging.getLogger(__name__)
 logger.addHandler(logging.NullHandler())
@@ -120,6 +119,7 @@ class _SchemeBase:
     def __init__(self, model):
         self._model = model
         self._steppers = {}
+        self._compensated = False
 
     # subclasses build the jitted stepper for a bound problem
     def _build_stepper(self, problem):
@@ -168,16 +168,22 @@ class _SchemeBase:
         periodic = bool(pars.get("periodic", False))
         stepper = self._get_stepper(hook, periodic)
         key = (hook, periodic, "scan")
+        compensated = self._compensated
         if key not in self._steppers:
+            from ..ops.compensated import kahan_update
+
             def scan_run(t, u, h, p, x, dt, internal_dt, n):
                 def body(carry, _):
-                    t_, u_, h_, p_, x_, dti, status = carry
+                    t_, u_, c_, h_, p_, x_, dti, status = carry
                     t2, u2, h2, p2, x2, dti2, _ni, st2 = stepper(
                         t_, u_, h_, p_, x_, dt, dti)
+                    if compensated:
+                        u2, c_ = kahan_update(u_, c_, u2)
                     st = jnp.maximum(status, st2)
-                    return ((t2, u2, h2, p2, x2, dti2, st),
+                    return ((t2, u2, c_, h2, p2, x2, dti2, st),
                             (t2, u2, h2, st))
-                carry = (t, u, h, p, x, internal_dt, jnp.int32(0))
+                carry = (t, u, jnp.zeros_like(u), h, p, x, internal_dt,
+                         jnp.int32(0))
                 return jax.lax.scan(body, carry, length=n)
             self._steppers[key] = jax.jit(scan_run, static_argnums=(7,))
         u, helpers, pstack, x = self._split(fields, pars)
@@ -189,7 +195,7 @@ class _SchemeBase:
             jnp.asarray(t, u.dtype), u, helpers, pstack, x,
             jnp.asarray(dt, u.dtype), jnp.asarray(internal_dt, u.dtype),
             int(n))
-        t2, _u2, _h2, _p2, x2, dt_i, status = carry
+        t2, _u2, _c2, _h2, _p2, x2, dt_i, status = carry
         if hasattr(self, "_internal_dt"):
             self._internal_dt = float(dt_i)
         ts = np.asarray(ts)
@@ -237,18 +243,18 @@ def _row_folded_core(backend, plan, tables, s, periodic,
 
     a_t, c_t, m_t, m_pred_t, g00 = tables
     bands_f = fl.eval_J_folded(backend, uf, hf, pf, xf, dx, periodic, plan)
-    fact = fl.factor_folded(1.0, -g00 * dt, bands_f, periodic, plan)
-    gdt = g00 * dt
+    fact = fl.factor_folded(1.0, -float(g00) * dt, bands_f, periodic, plan)
+    gdt = float(g00) * dt
     us = []
     for i in range(s):
         u_i = uf
         for j in range(i):
             if a_t[i, j]:
-                u_i = u_i + a_t[i, j] * us[j]
+                u_i = u_i + float(a_t[i, j]) * us[j]
         csum = None
         for j in range(i):
             if c_t[i, j]:
-                term = (g00 * c_t[i, j]) * us[j]
+                term = float(g00 * c_t[i, j]) * us[j]
                 csum = term if csum is None else csum + term
         # rhs = gdt*F(u_i) + csum, emitted by the F kernel itself
         rhs = fl.eval_F_folded(backend, u_i, hf, pf, xf, dx, periodic, plan,
@@ -256,13 +262,14 @@ def _row_folded_core(backend, plan, tables, s, periodic,
         us.append(fact.solve(rhs))
     u_new = uf
     for i in range(s):
-        u_new = u_new + m_t[i] * us[i]
+        u_new = u_new + float(m_t[i]) * us[i]
     if m_pred_t is not None:
         diff = None
         for i in range(s):
             c = m_t[i] - m_pred_t[i]
             if c:
-                diff = c * us[i] if diff is None else diff + c * us[i]
+                diff = (float(c) * us[i] if diff is None
+                            else diff + float(c) * us[i])
         err = jnp.max(jnp.abs(diff))
         err = jnp.where(jnp.isnan(err) | jnp.isinf(err), jnp.inf, err)
     else:
@@ -294,8 +301,11 @@ class ROW_general(_SchemeBase):
 
     def __init__(self, model, alpha, gamma, b, b_pred=None,
                  time_stepping=False, tol=None, max_iter=None, dt_min=None,
-                 safety_factor=0.9, recompute_target=True):
+                 safety_factor=0.9, recompute_target=True,
+                 compensated=False, refine=0):
         super().__init__(model)
+        self._compensated = compensated
+        self._refine = int(refine)
         self._alpha = np.asarray(alpha, dtype=np.float64)
         self._gamma = np.asarray(gamma, dtype=np.float64)
         self._b = np.asarray(b, dtype=np.float64)
@@ -351,41 +361,53 @@ class ROW_general(_SchemeBase):
         a_t, c_t, m_t, m_pred_t, g00 = tables
         s = self._s
         periodic = problem.periodic
+        refine = getattr(self, "_refine", 0)
 
         def fixed_step(t, u, helpers, pstack, x, dt):
             u, helpers, pstack, x = problem.apply_hook(t, u, helpers, pstack, x)
-            plan = self._folded_plan_for(problem, u, x)
+            # refined solves use the generic banded path (the folded kernel
+            # has no residual matvec hook)
+            plan = (None if refine
+                    else self._folded_plan_for(problem, u, x))
             if plan is not None:
                 return _row_fixed_step_folded(
                     problem.backend, plan, tables, s,
                     periodic, u, helpers, pstack, x, dt)
             J, Jg = problem.J_system(u, helpers, pstack, x)
-            fact = factor_linearized(1.0, -g00 * dt, J, Jg, periodic)
+            fact = factor_linearized(1.0, -float(g00) * dt, J, Jg, periodic)
             # Hairer-Wanner transformed stages (see __init__): one banded
             # factorization, s solves, NO per-stage banded matvec
-            gdt = g00 * dt
+            gdt = float(g00) * dt
             us = []
             for i in range(s):
                 u_i = u
                 for j in range(i):
                     if a_t[i, j]:
-                        u_i = u_i + a_t[i, j] * us[j]
+                        u_i = u_i + float(a_t[i, j]) * us[j]
                 F_i = problem.F(u_i, helpers, pstack, x)
                 rhs = gdt * F_i
                 for j in range(i):
                     if c_t[i, j]:
-                        rhs = rhs + (g00 * c_t[i, j]) * us[j]
-                us.append(fact.solve(rhs))
+                        rhs = rhs + float(g00 * c_t[i, j]) * us[j]
+                k_i = fact.solve(rhs)
+                for _ in range(refine):
+                    # one iterative-refinement pass per stage: recover the
+                    # residual of (I - g00*dt*J) k = rhs against the TRUE
+                    # banded operator and correct through the factorization
+                    r = rhs - (k_i - gdt * banded_matvec(J, k_i, periodic))
+                    k_i = k_i + fact.solve(r)
+                us.append(k_i)
             u_new = u
             for i in range(s):
-                u_new = u_new + m_t[i] * us[i]
+                u_new = u_new + float(m_t[i]) * us[i]
             if m_pred_t is not None:
                 # intended embedded error: ||sum((b - b_hat) k)||_inf
                 diff = None
                 for i in range(s):
                     c = m_t[i] - m_pred_t[i]
                     if c:
-                        diff = c * us[i] if diff is None else diff + c * us[i]
+                        diff = (float(c) * us[i] if diff is None
+                            else diff + float(c) * us[i])
                 err = jnp.max(jnp.abs(diff))
                 err = jnp.where(jnp.isnan(err) | jnp.isinf(err), jnp.inf, err)
             else:
@@ -432,6 +454,7 @@ class ROW_general(_SchemeBase):
         safety = self._safety_factor
         max_iter = self._max_iter
         dt_min = self._dt_min
+        compensated = self._compensated
 
         tables, s = self._tables, self._s
 
@@ -460,11 +483,11 @@ class ROW_general(_SchemeBase):
                         uf_, hf, pf, xf, dx, dt_)
 
                 def cond_f(carry):
-                    t_, _uf, dt_i, niter, status = carry
+                    t_, _uf, _cf, dt_i, niter, status = carry
                     return (t_ < next_t - eps) & (status == 0)
 
                 def body_f(carry):
-                    t_, uf_, dt_i, niter, status = carry
+                    t_, uf_, cf_, dt_i, niter, status = carry
                     remaining = next_t - t_
                     clamped = dt_i >= remaining
                     dt_eff = jnp.minimum(dt_i, remaining)
@@ -476,7 +499,14 @@ class ROW_general(_SchemeBase):
                     dt_next = jnp.clip(dt_next, 0.1 * dt_eff, 10.0 * dt_eff)
                     dt_i_new = jnp.where(accept & clamped, dt_i, dt_next)
                     t_ = jnp.where(accept, t_ + dt_eff, t_)
-                    uf_ = jnp.where(accept, u2f, uf_)
+                    if compensated:
+                        from ..ops.compensated import kahan_update
+
+                        uk, ck = kahan_update(uf_, cf_, u2f)
+                        uf_ = jnp.where(accept, uk, uf_)
+                        cf_ = jnp.where(accept, ck, cf_)
+                    else:
+                        uf_ = jnp.where(accept, u2f, uf_)
                     niter = niter + jnp.int32(1)
                     if max_iter is not None:
                         status = jnp.where(niter > jnp.int32(max_iter),
@@ -487,21 +517,22 @@ class ROW_general(_SchemeBase):
                         * jnp.abs(next_t))
                     status = jnp.where(dt_i_new < dt_floor, jnp.int32(2),
                                        status)
-                    return (t_, uf_, dt_i_new, niter, status)
+                    return (t_, uf_, cf_, dt_i_new, niter, status)
 
-                carry = (t, uf, jnp.minimum(internal_dt, dt),
+                carry = (t, uf, jnp.zeros_like(uf),
+                         jnp.minimum(internal_dt, dt),
                          jnp.int32(0), jnp.int32(0))
-                t2, uf2, dt_i, niter, status = jax.lax.while_loop(
+                t2, uf2, _cf, dt_i, niter, status = jax.lax.while_loop(
                     cond_f, body_f, carry)
                 return (next_t, _folded.unfold(uf2, plan), helpers, pstack,
                         x, dt_i, niter, status)
 
             def cond(carry):
-                t, u, h, p, x_, dt_i, niter, status = carry
+                t, u, cu, h, p, x_, dt_i, niter, status = carry
                 return (t < next_t - eps) & (status == 0)
 
             def body(carry):
-                t, u, h, p, x_, dt_i, niter, status = carry
+                t, u, cu, h, p, x_, dt_i, niter, status = carry
                 remaining = next_t - t
                 clamped = dt_i >= remaining
                 dt_eff = jnp.minimum(dt_i, remaining)
@@ -520,9 +551,16 @@ class ROW_general(_SchemeBase):
                 dt_next = jnp.clip(dt_next, 0.1 * dt_eff, 10.0 * dt_eff)
                 dt_i_new = jnp.where(accept & clamped, dt_i, dt_next)
                 t = jnp.where(accept, t + dt_eff, t)
-                u = jax.tree_util.tree_map(
-                    lambda a, bnew: jnp.where(accept, bnew, a), u, u2
-                )
+                if compensated:
+                    from ..ops.compensated import kahan_update
+
+                    uk, ck = kahan_update(u, cu, u2)
+                    u = jnp.where(accept, uk, u)
+                    cu = jnp.where(accept, ck, cu)
+                else:
+                    u = jax.tree_util.tree_map(
+                        lambda a, bnew: jnp.where(accept, bnew, a), u, u2
+                    )
                 h = jax.tree_util.tree_map(
                     lambda a, bnew: jnp.where(accept, bnew, a), h, h2
                 )
@@ -542,11 +580,11 @@ class ROW_general(_SchemeBase):
                     + 2.0 * jnp.finfo(dt_eff.dtype).eps * jnp.abs(next_t)
                 )
                 status = jnp.where(dt_i_new < dt_floor, jnp.int32(2), status)
-                return (t, u, h, p, x_, dt_i_new, niter, status)
+                return (t, u, cu, h, p, x_, dt_i_new, niter, status)
 
-            carry = (t, u, helpers, pstack, x,
+            carry = (t, u, jnp.zeros_like(u), helpers, pstack, x,
                      jnp.minimum(internal_dt, dt), jnp.int32(0), jnp.int32(0))
-            t2, u2, h2, p2, x2, dt_i, niter, status = jax.lax.while_loop(
+            t2, u2, _cu, h2, p2, x2, dt_i, niter, status = jax.lax.while_loop(
                 cond, body, carry
             )
             # final hook at the output time (schemes.py:233-236)
@@ -601,7 +639,8 @@ class ROS3PRw(ROW_general):
     (Rang 2013 table; reference schemes.py:259-300)."""
 
     def __init__(self, model, tol=1e-1, time_stepping=True,
-                 max_iter=None, dt_min=None, recompute_target=True):
+                 max_iter=None, dt_min=None, recompute_target=True,
+                 compensated=False, refine=0):
         alpha = np.zeros((3, 3))
         gamma = np.zeros((3, 3))
         gamma_i = 7.8867513459481287e-01
@@ -621,7 +660,8 @@ class ROS3PRw(ROW_general):
         super().__init__(model, alpha, gamma, b, b_pred=b_pred,
                          time_stepping=time_stepping, tol=tol,
                          max_iter=max_iter, dt_min=dt_min,
-                         recompute_target=recompute_target)
+                         recompute_target=recompute_target,
+                         compensated=compensated, refine=refine)
 
 
 class ROS3PRL(ROW_general):
@@ -629,7 +669,8 @@ class ROS3PRL(ROW_general):
     (Rang 2013 table; reference schemes.py:303-353)."""
 
     def __init__(self, model, tol=1e-1, time_stepping=True,
-                 max_iter=None, dt_min=None, recompute_target=True):
+                 max_iter=None, dt_min=None, recompute_target=True,
+                 compensated=False, refine=0):
         alpha = np.zeros((4, 4))
         gamma = np.zeros((4, 4))
         gamma_i = 4.3586652150845900e-01
@@ -658,7 +699,8 @@ class ROS3PRL(ROW_general):
         super().__init__(model, alpha, gamma, b, b_pred=b_pred,
                          time_stepping=time_stepping, tol=tol,
                          max_iter=max_iter, dt_min=dt_min,
-                         recompute_target=recompute_target)
+                         recompute_target=recompute_target,
+                         compensated=compensated, refine=refine)
 
 
 class RODASPR(ROW_general):
@@ -666,7 +708,8 @@ class RODASPR(ROW_general):
     coefficients: Rang 2013 table; reference schemes.py:356-427)."""
 
     def __init__(self, model, tol=1e-1, time_stepping=True,
-                 max_iter=None, dt_min=None, recompute_target=True):
+                 max_iter=None, dt_min=None, recompute_target=True,
+                 compensated=False, refine=0):
         alpha = np.zeros((6, 6))
         gamma = np.zeros((6, 6))
         b = [-7.9683251690137014e-1,
@@ -717,7 +760,8 @@ class RODASPR(ROW_general):
         super().__init__(model, alpha, gamma, b, b_pred=b_pred,
                          time_stepping=time_stepping, tol=tol,
                          max_iter=max_iter, dt_min=dt_min,
-                         recompute_target=recompute_target)
+                         recompute_target=recompute_target,
+                         compensated=compensated, refine=refine)
 
 
 # ---------------------------------------------------------------------------

@@ -22,7 +22,6 @@ from functools import partial
 from itertools import product
 from typing import Dict, Tuple
 
-import numpy as np
 import sympy as sp
 from sympy import (
     Derivative,

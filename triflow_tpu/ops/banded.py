@@ -28,15 +28,8 @@ ensembles) and are pure jit-friendly functions.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
-
-from ..core.compiler import shift
 
 
 # ---------------------------------------------------------------------------
@@ -440,8 +433,10 @@ def _from_chunks(A, M):
     return A[..., :M]
 
 
-def _use_pallas_sweeps(s: int, ndim: int) -> bool:
-    """Pallas sweep kernels: TPU only, unbatched, power-of-two block size."""
+def _use_pallas_sweeps(s: int, ndim: int, dtype=None) -> bool:
+    """Pallas sweep kernels: TPU only, unbatched, block size <= 8, f32
+    (Mosaic has no practical f64 path — double precision rides the XLA
+    sweeps, which match CPU f64 to ~1e-12 on this hardware)."""
     import os
 
     if os.environ.get("TRIFLOW_NO_PALLAS"):
@@ -449,6 +444,8 @@ def _use_pallas_sweeps(s: int, ndim: int) -> bool:
     if ndim != 3:
         return False
     if s > 8:
+        return False
+    if dtype is not None and jnp.dtype(dtype) != jnp.float32:
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -463,7 +460,7 @@ def _chunked_factor(L, D, U, C):
     W (left coupling) and V (right coupling), and the PCR factorization of
     the reduced interface system.  On TPU the sequential sweeps run as
     Pallas kernels (ops/pallas_thomas.py); elsewhere as lax.scans."""
-    use_pallas = _use_pallas_sweeps(L.shape[-2], L.ndim)
+    use_pallas = _use_pallas_sweeps(L.shape[-2], L.ndim, L.dtype)
     s, M = L.shape[-3], L.shape[-1]
     Mc = -(-M // C)
     Mp = Mc * C
@@ -616,7 +613,7 @@ def _tri_factor(L, D, U):
     Thomas/SPIKE path for large M and PCR otherwise."""
     M = L.shape[-1]
     if M >= _CHUNK_MIN_M:
-        use_pallas = _use_pallas_sweeps(L.shape[-2], L.ndim)
+        use_pallas = _use_pallas_sweeps(L.shape[-2], L.ndim, L.dtype)
         return _chunked_factor(L, D, U, _pick_chunks(M, use_pallas))
     return _pcr_factor(L, D, U)
 
@@ -889,7 +886,7 @@ def factor_linearized(alpha, beta, J_bands, Jg_split, periodic: bool):
         L, D, U = _assemble_from_split(Jg_split, alpha, beta)
         tri = _tri_factor(L, D, U)
         fact = BandedFactorization(tri, g, nvar * g, N, nvar, periodic, halo=h)
-    elif _use_pallas_sweeps(nvar * g, 3) and J_bands.ndim == 4:
+    elif _use_pallas_sweeps(nvar * g, 3, J_bands.dtype) and J_bands.ndim == 4:
         tri = _chunked_factor_fused(J_bands, alpha, beta)
         if tri is not None:
             fact = BandedFactorization(tri, g, nvar * g, N, nvar, periodic,

@@ -26,12 +26,10 @@ memory system rather than translated.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -158,6 +156,8 @@ def plan_for_ensemble(backend, N, B):
                 return None
         except RuntimeError:  # pragma: no cover
             return None
+        if jnp.dtype(backend.dtype) != jnp.float32:
+            return None  # Mosaic f64: route doubles onto the XLA path
     plans = make_ensemble_plan(N, B, backend.system.nvar, backend.halo,
                                backend.window)
     if not plans:
@@ -1139,6 +1139,8 @@ def plan_for_backend(backend, N):
                 return None
         except RuntimeError:  # pragma: no cover
             return None
+        if jnp.dtype(backend.dtype) != jnp.float32:
+            return None  # Mosaic f64: route doubles onto the XLA path
     plan = make_plan(N, backend.system.nvar, backend.halo, backend.window)
     if plan is None:
         return None

@@ -199,6 +199,8 @@ def applicable(s2: int, C: int, dtype, nrhs: int = 1,
                 return False
         except RuntimeError:  # pragma: no cover
             return False
+        if jnp.dtype(dtype) != jnp.float32:
+            return False  # Mosaic f64: route doubles onto the XLA path
     if s2 < 2 or s2 > 16:
         return False
     if C < 2 or (cyclic and C % 8):

@@ -72,6 +72,8 @@ def stencil_applicable(backend, u, N):
         return False
     if u.ndim != 2:
         return False
+    if jnp.dtype(backend.dtype) != jnp.float32:
+        return False  # Mosaic f64: route doubles onto the XLA path
     if _backend_tile(backend, N) is None:
         return False
     try:
@@ -357,6 +359,8 @@ def matvec_applicable(bands, v):
     if os.environ.get("TRIFLOW_NO_PALLAS"):
         return False
     if v.ndim != 2 or bands.ndim != 4:
+        return False
+    if jnp.dtype(v.dtype) != jnp.float32:
         return False
     if _matvec_tile(bands, v) is None:
         return False

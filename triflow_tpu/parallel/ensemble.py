@@ -157,13 +157,52 @@ class Ensemble:
             self.pstack = jax.device_put(self.pstack, sharding)
         return stepper
 
+    def _pick_group_plan(self, backend):
+        """Choose the member-group size B_g (a divisor of B): each group of
+        members folds into one chunk system, picked for the SHALLOWEST
+        factor/solve sweep depth, and the groups run under a lax.scan (one
+        launch sequence per group, all device-resident).  Folding a huge
+        batch into a single system forces tiny per-member chunk counts
+        whose deep sequential sweeps dominate (measured: B=1024 x N=1e5
+        ran 6x slower than the per-cell rate of B=16 before grouping)."""
+        from ..ops import folded as fl
+        from ..ops.pallas_thomas import row_block
+
+        B, N = self.B, self.N
+        item = jnp.dtype(backend.dtype).itemsize
+        best = None
+        for Bg in sorted({d for d in range(1, B + 1) if B % d == 0},
+                         reverse=True):
+            plan = (fl.plan_for_ensemble(backend, N, Bg) if Bg > 1
+                    else fl.plan_for_backend(backend, N))
+            if plan is None:
+                continue
+            band = plan.W * plan.nvar ** 2 * plan.g * plan.Cp * item
+            blk = plan.s * plan.s * plan.Cp * item
+            r = row_block(plan.Mc, band + 4 * blk,
+                          budget=6 * 1024 * 1024) or 1
+            # cost model (measured on v5p): a step costs roughly
+            # (fixed per-group kernel overhead ~= 150 grid-steps-equivalent)
+            # + the sequential sweep depth, summed over groups.  Minimizing
+            # depth alone picks thousands of tiny groups and loses 25x to
+            # the fixed overhead.
+            groups = B // Bg
+            score = (groups * (150 + plan.Mc // r), groups)
+            if best is None or score < best[0]:
+                best = (score, Bg, plan)
+        if best is None:
+            return None
+        return best[1], best[2]
+
     def _build_merged(self):
-        """Members-as-chunks stepper: fold every member into ONE folded
-        system (ops/folded.py make_ensemble_plan) so the whole batch runs
-        at single-grid efficiency — the vmapped fallback serializes members
+        """Members-as-chunks stepper: members fold into chunk-native
+        systems (ops/folded.py make_ensemble_plan) so the batch runs at
+        single-grid efficiency — the vmapped fallback serializes members
         through the pallas kernels (~7x slower measured at B=16, N=1e5).
-        Applies to ROW schemes with the null hook; per-member halo rings,
-        solver decoupling and periodic closure come from the plan's member
+        Large batches are split into scanned member GROUPS so the fold
+        plan keeps shallow sweeps (see _pick_group_plan).  Applies to ROW
+        schemes with the null hook; per-member halo rings, solver
+        decoupling and periodic closure come from the plan's member
         masks."""
         from ..ops import folded as fl
         from ..core.schemes import _row_folded_core
@@ -174,20 +213,26 @@ class Ensemble:
         if not isinstance(scheme, schemes_mod.ROW_general):
             return None
         backend = self.model.backend
-        plan = fl.plan_for_ensemble(backend, self.N, self.B)
-        if plan is None:
+        picked = self._pick_group_plan(backend)
+        if picked is None:
             return None
+        Bg, plan = picked
+        G = self.B // Bg
         self._merged_plan = plan
+        self._merged_groups = (G, Bg)
         tables, s = scheme._tables, scheme._s
         periodic = self.periodic
         B, N = self.B, self.N
-        nvar = backend.system.nvar
 
-        def merge(a):                  # (B, rows, N) -> (rows, B*N)
-            return jnp.moveaxis(a, 0, 1).reshape(a.shape[1], B * N)
+        def merge(a):                  # (B, rows, N) -> (G, rows, Bg*N)
+            rows = a.shape[1]
+            a = a.reshape(G, Bg, rows, N)
+            return jnp.moveaxis(a, 1, 2).reshape(G, rows, Bg * N)
 
-        def split(a):                  # (rows, B*N) -> (B, rows, N)
-            return jnp.moveaxis(a.reshape(a.shape[0], B, N), 1, 0)
+        def split(a):                  # (G, rows, Bg*N) -> (B, rows, N)
+            rows = a.shape[1]
+            a = a.reshape(G, rows, Bg, N)
+            return jnp.moveaxis(a, 2, 1).reshape(B, rows, N)
 
         adaptive = self._adaptive
         tol = scheme._tol if adaptive else None
@@ -195,12 +240,27 @@ class Ensemble:
         max_iter = scheme._max_iter if adaptive else None
         dt_min = scheme._dt_min if adaptive else None
 
+        def all_groups_fixed(uf, hf, pf, xf, dx, dt_eff):
+            """One fixed step of every member group (scanned launches) ->
+            (uf2, global max err) — the controller below stays GLOBAL, so
+            grouping changes only the launch shape, not the shared-dt
+            semantics."""
+            def gbody(err_acc, inp):
+                uf_g, hf_g, pf_g, xf_g = inp
+                u2, err = _row_folded_core(backend, plan, tables, s,
+                                           periodic, uf_g, hf_g, pf_g,
+                                           xf_g, dx, dt_eff)
+                return jnp.maximum(err_acc, err), u2
+
+            err, uf2 = jax.lax.scan(gbody, jnp.zeros((), uf.dtype),
+                                    (uf, hf, pf, xf))
+            return uf2, err
+
         def folded_step(t, uf, hf, pf, xf, dx, dt, internal_dt):
-            """One OUTPUT step on folded state -> (t2, uf2, dt_i, status)."""
+            """One OUTPUT step on folded group state ->
+            (t2, uf2, dt_i, status)."""
             if not adaptive:
-                u2f, _err = _row_folded_core(backend, plan, tables, s,
-                                             periodic, uf, hf, pf, xf, dx,
-                                             dt)
+                u2f, _err = all_groups_fixed(uf, hf, pf, xf, dx, dt)
                 return t + dt, u2f, internal_dt, jnp.int32(0)
 
             next_t = t + dt
@@ -215,9 +275,7 @@ class Ensemble:
                 remaining = next_t - t_
                 clamped = dt_i >= remaining
                 dt_eff = jnp.minimum(dt_i, remaining)
-                u2f, err = _row_folded_core(backend, plan, tables, s,
-                                            periodic, uf_, hf, pf, xf, dx,
-                                            dt_eff)
+                u2f, err = all_groups_fixed(uf_, hf, pf, xf, dx, dt_eff)
                 accept = err <= tol
                 err_safe = jnp.maximum(err, jnp.finfo(dt_eff.dtype).tiny)
                 dt_next = jnp.clip(
@@ -243,15 +301,17 @@ class Ensemble:
             return next_t, uf2, dt_i, status
 
         def prepare(u, helpers, pstack, x):
-            xm = jnp.tile(x, B)
-            return (fl.fold(merge(u), plan), fl.fold(merge(helpers), plan),
-                    fl.fold(merge(pstack), plan), fl.fold(xm, plan),
+            vfold = jax.vmap(lambda m: fl.fold(m, plan))
+            xm = jnp.broadcast_to(jnp.tile(x, Bg)[None], (G, Bg * N))
+            return (vfold(merge(u)), vfold(merge(helpers)),
+                    vfold(merge(pstack)), vfold(xm),
                     (x[-1] - x[0]) / (N - 1))
 
         def finish(uf):
-            return split(fl.unfold(uf, plan))
+            vunfold = jax.vmap(lambda m: fl.unfold(m, plan))
+            return split(vunfold(uf))
 
-        self._merged_parts = (folded_step, prepare, finish)
+        self._merged_parts = (folded_step, prepare, finish, G)
 
         def stepper(t, u, helpers, pstack, x, dt, internal_dt):
             uf, hf, pf, xf, dx = prepare(u, helpers, pstack, x)
@@ -266,7 +326,7 @@ class Ensemble:
         device call and carry folded state through the scan (the per-step
         fold/unfold transposes cost more than the step itself)."""
         backend = self.model.backend
-        folded_step, prepare, finish = self._merged_parts
+        folded_step, prepare, finish, G = self._merged_parts
         if self._merged_scan is None:
             def scan_run(t, u, helpers, pstack, x, dt, internal_dt, n):
                 uf, hf, pf, xf, dx = prepare(u, helpers, pstack, x)
@@ -307,7 +367,7 @@ class Ensemble:
                 "Rosenbrock internal time step less than authorized")
         self._t_dev, self._idt_dev = t2, dt_i
         self.t, self.u = float(t2), u2
-        self._internal_dt = float(dt_i)
+        self._set_internal_dt(dt_i)
         return self.t, self.u
 
     def _build_adaptive(self):

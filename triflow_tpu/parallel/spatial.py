@@ -37,7 +37,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from ..core import schemes as schemes_mod
@@ -414,32 +413,33 @@ class SpatialModel:
             # ppermute ring per stage (for u_i) instead of two.
             J, u_ext, helpers_ext = self._local_J(u, helpers, pstack, x,
                                                   periodic)
-            A = axpy_bands(1.0, -g00 * dt, J)
+            A = axpy_bands(1.0, -float(g00) * dt, J)
             fact = spike_factor(A, axis, ndev, periodic)
             dx = x[..., 1] - x[..., 0]
-            gdt = g00 * dt
+            gdt = float(g00) * dt
             us = []
             for i in range(s):
                 u_i = u
                 for j in range(i):
                     if a_t[i, j]:
-                        u_i = u_i + a_t[i, j] * us[j]
+                        u_i = u_i + float(a_t[i, j]) * us[j]
                 u_i_ext = halo_extend(u_i, h, axis, ndev, periodic)
                 F_i = backend.F_ext_impl(u_i_ext, helpers_ext, pstack, x, dx)
                 rhs = gdt * F_i
                 for j in range(i):
                     if c_t[i, j]:
-                        rhs = rhs + (g00 * c_t[i, j]) * us[j]
+                        rhs = rhs + float(g00 * c_t[i, j]) * us[j]
                 us.append(fact.solve(rhs))
             u_new = u
             for i in range(s):
-                u_new = u_new + m_t[i] * us[i]
+                u_new = u_new + float(m_t[i]) * us[i]
             if m_pred_t is not None:
                 diff = None
                 for i in range(s):
                     c = m_t[i] - m_pred_t[i]
                     if c:
-                        diff = c * us[i] if diff is None else diff + c * us[i]
+                        diff = (float(c) * us[i] if diff is None
+                            else diff + float(c) * us[i])
                 err = jnp.max(jnp.abs(diff))
                 err = jnp.where(jnp.isnan(err) | jnp.isinf(err), jnp.inf, err)
                 err = jax.lax.pmax(err, axis)

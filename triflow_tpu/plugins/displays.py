@@ -55,10 +55,17 @@ class Display:
     on_disk : str or None — directory to write one image per emitted frame
     on_disk_name : str — frame basename; files are ``<name>_<i>.<fmt>``
     fmt : str — image format (png/svg/pdf), default png
+    every : int — redraw every n-th emitted frame (1: every frame)
+    asynchronous : bool — draw on a worker thread holding only the LATEST
+        pending frame (the live-view semantics of the reference's holoviews
+        Pipe/DynamicMap, displays.py:43-73): a slow plot_function then
+        drops intermediate frames instead of stalling the time loop.  Call
+        :meth:`close` to drain the final frame.
     """
 
     def __init__(self, skel_data, plot_function, on_disk=None,
-                 on_disk_name="triflow_plot", fmt="png", **renderer_args):
+                 on_disk_name="triflow_plot", fmt="png", every=1,
+                 asynchronous=False, **renderer_args):
         self._plt = _load_matplotlib()
         self._plot_function = plot_function
         self.on_disk = on_disk
@@ -67,8 +74,20 @@ class Display:
         self._renderer_args = renderer_args
         self._fig = self._plt.figure()
         self._writers = []
+        self._every = max(1, int(every))
+        self._count = 0
+        self._async = bool(asynchronous)
         if on_disk:
             Path(on_disk).mkdir(parents=True, exist_ok=True)
+        if self._async:
+            import threading
+
+            self._latest = None
+            self._cv = threading.Condition()
+            self._stopping = False
+            self._thread = threading.Thread(target=self._draw_worker,
+                                            daemon=True)
+            self._thread.start()
         self._draw(skel_data)
 
     def _draw(self, simul):
@@ -82,8 +101,41 @@ class Display:
             self._fig.savefig(target, **self._renderer_args)
             self._writers.append(target)
 
+    def _on_emit(self, simul):
+        self._count += 1
+        if (self._count - 1) % self._every:
+            return
+        if self._async:
+            with self._cv:
+                self._latest = simul
+                self._cv.notify()
+        else:
+            self._draw(simul)
+
+    def _draw_worker(self):
+        while True:
+            with self._cv:
+                while self._latest is None and not self._stopping:
+                    self._cv.wait()
+                if self._latest is None:
+                    return
+                simul, self._latest = self._latest, None
+            try:
+                self._draw(simul)
+            except Exception:  # noqa: BLE001 - viz must not kill the loop
+                logger.exception("display draw failed")
+
+    def close(self):
+        """Drain the pending frame and stop the worker thread (no-op for
+        synchronous displays)."""
+        if self._async:
+            with self._cv:
+                self._stopping = True
+                self._cv.notify()
+            self._thread.join(timeout=10)
+
     def connect(self, stream):
-        stream.sink(self._draw)
+        stream.sink(self._on_emit)
 
     @property
     def figure(self):
@@ -95,7 +147,7 @@ class Display:
     # ------------------------------------------------------------- factories
     @staticmethod
     def display_fields(simul, keys="all", on_disk=None, on_disk_name=None,
-                       **renderer_args):
+                       every=1, asynchronous=False, **renderer_args):
         """One curve per 1D dependent/helper variable, redrawn per step
         (reference displays.py:89-113)."""
 
@@ -123,13 +175,15 @@ class Display:
 
         display = Display(simul, plot_function, on_disk=on_disk,
                           on_disk_name=on_disk_name or "triflow_plot",
+                          every=every, asynchronous=asynchronous,
                           **renderer_args)
         display.connect(simul.stream)
         return display
 
     @staticmethod
     def display_probe(simul, function, xlabel=None, ylabel=None, buffer=None,
-                      on_disk=None, on_disk_name=None, **renderer_args):
+                      on_disk=None, on_disk_name=None, every=1,
+                      asynchronous=False, **renderer_args):
         """Scalar time-series probe with a ring buffer
         (reference displays.py:115-142)."""
         history = deque([], buffer)
@@ -156,6 +210,7 @@ class Display:
 
         display = Display(simul, plot_function, on_disk=on_disk,
                           on_disk_name=on_disk_name or "triflow_probe",
+                          every=every, asynchronous=asynchronous,
                           **renderer_args)
         display.connect(simul.stream)
         return display

@@ -157,3 +157,27 @@ def test_small_inv_odd_sizes():
         prod = np.einsum("ikm,kjm->ijm", D, Dinv)
         eye = np.eye(s)[..., None] * np.ones((1, 1, 17))
         assert np.allclose(prod, eye, atol=1e-10), s
+
+
+def test_fused_stage_algebra_matches_default(interpret_pallas, monkeypatch):
+    """Opt-in TRIFLOW_FUSED_STAGES=1 (stage combos + bias evaluated inside
+    the F kernel, ops/folded.eval_F_folded u_terms mode) is bit-comparable
+    to the default combine-pass path."""
+    model = Model("-dxxU - dxxxxU - U * dxU", "U")
+    be = model.backend
+    N = 4096
+    x = np.arange(N) * 0.5
+    rng = np.random.RandomState(5)
+    u0 = np.cos(2 * np.pi * np.arange(N) / N * 7)[None] + 0.05 * rng.randn(1, N)
+    helpers = jnp.zeros((0, N), be.dtype)
+    pstack = jnp.zeros((0, N), be.dtype)
+    args = (jnp.asarray(0.0, be.dtype), jnp.asarray(u0, be.dtype), helpers,
+            pstack, jnp.asarray(x, be.dtype), 0.02)
+
+    scheme = schemes.RODASPR(model, time_stepping=False, tol=None)
+    u_default = np.asarray(scheme.device_fixed_step(periodic=True)(*args)[0])
+
+    monkeypatch.setenv("TRIFLOW_FUSED_STAGES", "1")
+    scheme2 = schemes.RODASPR(model, time_stepping=False, tol=None)
+    u_fused = np.asarray(scheme2.device_fixed_step(periodic=True)(*args)[0])
+    assert np.allclose(u_fused, u_default, rtol=1e-6, atol=1e-8)

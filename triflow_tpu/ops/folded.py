@@ -39,6 +39,11 @@ def _pcall(*args, **kw):
     import os
     if os.environ.get("TRIFLOW_PALLAS_INTERPRET"):
         kw.setdefault("interpret", True)
+    else:
+        from .pallas_thomas import _VMEM_LIMIT
+        if _VMEM_LIMIT:
+            kw.setdefault("compiler_params",
+                          pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT))
     return pl.pallas_call(*args, **kw)
 
 from .pallas_thomas import _inv, _mm, _mv, row_block
@@ -272,15 +277,18 @@ def _chunk_halo_window(cur, prev, nxt, h, periodic, tid, ntiles,
     """Assemble the (rows, Kb + 2h, 8, C8) haloed window of a
     (rows, Kb, 8, C8) tile.
 
-    prev/nxt are the +-1 K-tiles (modular index maps).  On the first/last
-    K-tile the out-of-chunk rows come from the neighboring CHUNK: a ring
-    shift by one chunk, which is exactly the periodic closure at the domain
-    ends; edge mode clamps chunk 0 / C-1 instead."""
+    prev/nxt are either the +-1 K-tiles (modular index maps) or, preferably,
+    h-row thin halo blocks (detected by shape): fetching full neighbor tiles
+    just to use h rows triples the operand's HBM traffic, so the spec
+    builders emit (rows, h, 8, C8) blocks whenever h divides Kb.  On the
+    first/last K-tile the out-of-chunk rows come from the neighboring
+    CHUNK: a ring shift by one chunk, which is exactly the periodic closure
+    at the domain ends; edge mode clamps chunk 0 / C-1 instead."""
     if h == 0:
         return cur
     first, last = _member_masks(plan)
 
-    prev_tail = prev[..., -h:, :, :]
+    prev_tail = prev if prev.shape[-3] == h else prev[..., -h:, :, :]
     # chunk-boundary variant: chunk c reads chunk c-1's last rows
     prev_wrap = _ring_shift(prev_tail, 1, plan)
     if not periodic:
@@ -288,7 +296,7 @@ def _chunk_halo_window(cur, prev, nxt, h, periodic, tid, ntiles,
         prev_wrap = jnp.where(first, edge, prev_wrap)
     prev_tail = jnp.where(tid == 0, prev_wrap, prev_tail)
 
-    nxt_head = nxt[..., :h, :, :]
+    nxt_head = nxt if nxt.shape[-3] == h else nxt[..., :h, :, :]
     nxt_wrap = _ring_shift(nxt_head, -1, plan)
     if not periodic:
         edge = jnp.broadcast_to(cur[..., -1:, :, :], nxt_wrap.shape)
@@ -301,7 +309,8 @@ def _chunk_halo_window(cur, prev, nxt, h, periodic, tid, ntiles,
 class _FoldedStencilCall:
     """Operand plumbing for the folded F / J / matvec kernels."""
 
-    def __init__(self, backend, periodic, plan: FoldPlan, per_row_extra=0):
+    def __init__(self, backend, periodic, plan: FoldPlan, per_row_extra=0,
+                 n_u=1):
         self.backend = backend
         self.system = backend.system
         self.periodic = periodic
@@ -311,8 +320,10 @@ class _FoldedStencilCall:
         self.nhelp = len(self.system.help_funcs)
         self.npar = len(self.system.pars)
         self.dtype = backend.dtype
+        self.n_u = n_u
         item = jnp.dtype(self.dtype).itemsize
-        rows = 4 * self.nvar + 3 * self.nhelp + self.npar + 1 + per_row_extra
+        rows = ((3 + n_u) * self.nvar + 3 * self.nhelp + self.npar + 1
+                + per_row_extra)
         self.Kb = _pick_kb(plan.K, rows * plan.Cp * item)
         self.ntiles = None if self.Kb is None else plan.K // self.Kb
 
@@ -320,19 +331,41 @@ class _FoldedStencilCall:
         return self.Kb is not None and self.h < self.Kb
 
     def operands(self, uf, helpersf, pstackf, xf, dx):
+        """``uf`` is one folded state array, or a list of them (stage-algebra
+        fusion: the kernel forms their linear combination in VMEM)."""
         Kb, C8 = self.Kb, self.plan.C8
         nt = self.ntiles
 
+        h = self.h
+        import os as _os
+        thin = (h > 0 and Kb % h == 0
+                and not _os.environ.get("TRIFLOW_NO_THINHALO"))
+
         def shifted(rows, s):
+            if thin and s:
+                # h-row halo block instead of the full neighbor tile:
+                # fetching Kb rows to use h of them triples the operand's
+                # HBM traffic.  Blocks of h rows tile the K axis into
+                # K//h blocks; tile i-1's tail block is (i*Kb - h)/h,
+                # tile i+1's head block is ((i+1)%nt)*Kb/h.
+                kph = Kb // h
+                if s < 0:
+                    kmap = lambda i: (0, ((i - 1) % nt + 1) * kph - 1, 0, 0)
+                else:
+                    kmap = lambda i: (0, ((i + 1) % nt) * kph, 0, 0)
+                return pl.BlockSpec((rows, h, 8, C8), kmap,
+                                    memory_space=pltpu.VMEM)
             return pl.BlockSpec(
                 (rows, Kb, 8, C8),
                 lambda i, s=s: (0, (i + s) % nt, 0, 0),
                 memory_space=pltpu.VMEM,
             )
 
-        ops = [uf, uf, uf]
-        specs = [shifted(self.nvar, -1), shifted(self.nvar, 0),
-                 shifted(self.nvar, 1)]
+        ops, specs = [], []
+        for u in (uf if isinstance(uf, (list, tuple)) else [uf]):
+            ops += [u, u, u]
+            specs += [shifted(self.nvar, -1), shifted(self.nvar, 0),
+                      shifted(self.nvar, 1)]
         if self.nhelp:
             ops += [helpersf, helpersf, helpersf]
             specs += [shifted(self.nhelp, -1), shifted(self.nhelp, 0),
@@ -348,11 +381,31 @@ class _FoldedStencilCall:
                                   memory_space=pltpu.SMEM))
         return ops, specs
 
-    def build_args(self, refs):
+    def build_args(self, refs, u_coefs=None):
+        """Stencil args from kernel refs.  With ``u_coefs`` (static floats,
+        one per u operand) the stencil input is their linear combination —
+        the center blocks are kept on ``self._u_centers`` so the caller can
+        reuse them (bias combos) without re-reading HBM."""
         it = iter(refs)
         tid = pl.program_id(0)
         h, nt = self.h, self.ntiles
-        u_l, u_c, u_r = next(it)[...], next(it)[...], next(it)[...]
+        if u_coefs is None:
+            u_l, u_c, u_r = next(it)[...], next(it)[...], next(it)[...]
+            self._u_centers = [u_c]
+        else:
+            u_l = u_c = u_r = None
+            self._u_centers = []
+            for c in u_coefs:
+                l, ce, r = next(it)[...], next(it)[...], next(it)[...]
+                self._u_centers.append(ce)
+                if not c:
+                    continue
+                lw = l if c == 1.0 else c * l
+                cw = ce if c == 1.0 else c * ce
+                rw = r if c == 1.0 else c * r
+                u_l = lw if u_l is None else u_l + lw
+                u_c = cw if u_c is None else u_c + cw
+                u_r = rw if u_r is None else u_r + rw
         u_win = _chunk_halo_window(u_c, u_l, u_r, h, self.periodic, tid, nt,
                                    self.plan)
         if self.nhelp:
@@ -390,13 +443,40 @@ class _FoldedStencilCall:
 
 
 def eval_F_folded(backend, uf, helpersf, pstackf, xf, dx, periodic, plan,
-                  scale=None, bias=None):
+                  scale=None, bias=None, u_terms=None):
     """F(u) in folded layout -> (nvar, K, 8, C8); dead chunks emit 0.
 
     With ``scale``/``bias`` the kernel emits ``scale * F(u) + bias``
     directly (the ROW stage RHS), fusing the stage-algebra axpy that would
-    otherwise re-read F from HBM."""
-    call = _FoldedStencilCall(backend, periodic, plan)
+    otherwise re-read F from HBM.
+
+    With ``u_terms = [(a_coef, bias_coef, array), ...]`` (static float
+    coefficients) the kernel evaluates F at ``Σ a_coef·array`` and adds
+    ``Σ bias_coef·array`` to the output — the full ROW stage RHS
+    ``gdt·F(u + Σa·u_j) + Σc·u_j`` in ONE pass over the stage vectors,
+    eliminating the materialize-then-reload of the combined stage input
+    and bias (4 extra HBM passes per stage without the fusion).  ``uf``
+    and ``bias`` must be None in this mode."""
+    if u_terms is not None:
+        a_coefs = [float(t[0]) for t in u_terms]
+        b_coefs = [float(t[1]) for t in u_terms]
+        u_ops = [t[2] for t in u_terms]
+    else:
+        a_coefs = b_coefs = None
+        u_ops = uf
+    call = _FoldedStencilCall(backend, periodic, plan,
+                              n_u=1 if u_terms is None else len(u_terms))
+    if u_terms is not None:
+        import os as _os
+        # Opt-in: measured on the v5e this fusion is FLAT on the KS N=1e6
+        # headline (3.07 vs 3.09 Gcells/s) and -5% on the B=1024 ensemble
+        # (8.2 vs 8.6e8) — the wider operand set shrinks the K-tile
+        # (Kb 32->8 at stage 6) and the deep sweep solves, not the stage
+        # algebra, dominate the merged-ensemble step.  Kept for shapes
+        # where a combine pass is the bottleneck.
+        if (not _os.environ.get("TRIFLOW_FUSED_STAGES")
+                or not call.applicable()):
+            return None     # caller falls back to combine + biased-F passes
     nvar, dtype, Kb, C8 = call.nvar, call.dtype, call.Kb, plan.C8
     has_scale = scale is not None
     has_bias = bias is not None
@@ -406,7 +486,7 @@ def eval_F_folded(backend, uf, helpersf, pstackf, xf, dx, periodic, plan,
         out_ref = refs.pop()
         bias_ref = refs.pop() if has_bias else None
         scale_ref = refs.pop() if has_scale else None
-        args = call.build_args(refs)
+        args = call.build_args(refs, u_coefs=a_coefs)
         rows = [jnp.broadcast_to(jnp.asarray(fn(*args), dtype), (Kb, 8, C8))
                 for fn in backend._F_fns]
         out = jnp.stack(rows)
@@ -420,9 +500,13 @@ def eval_F_folded(backend, uf, helpersf, pstackf, xf, dx, periodic, plan,
             out = jnp.where(dead, 0.0, out)
         if has_bias:
             out = out + bias_ref[...]
+        if b_coefs is not None:
+            for c, blk in zip(b_coefs, call._u_centers):
+                if c:
+                    out = out + (blk if c == 1.0 else c * blk)
         out_ref[...] = out
 
-    ops, specs = call.operands(uf, helpersf, pstackf, xf, dx)
+    ops, specs = call.operands(u_ops, helpersf, pstackf, xf, dx)
     if has_scale:
         ops.append(jnp.asarray(scale, dtype).reshape(1, 1))
         specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
@@ -439,6 +523,61 @@ def eval_F_folded(backend, uf, helpersf, pstackf, xf, dx, periodic, plan,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nvar, plan.K, 8, C8), dtype),
     )(*ops)
+
+
+def combine_folded(rows, arrays, plan):
+    """out[k] = Σ_j rows[k][j] · arrays[j] for every coefficient row, in ONE
+    memory pass: each input block is fetched once and every output written
+    once.  ``rows`` are static floats (ROW stage-algebra coefficients).
+
+    This replaces the per-combination XLA axpy chains of the stage algebra,
+    which re-stream every operand for every combination — measured 37% of a
+    production-size ensemble step (B=1024 x N=1e5); an einsum over a
+    stacked operand was tried first and is slower (XLA materializes the
+    stack)."""
+    a0 = arrays[0]
+    nvar, K = a0.shape[0], a0.shape[1]
+    C8 = plan.C8
+    item = jnp.dtype(a0.dtype).itemsize
+    nio = len(arrays) + len(rows)
+    Kb = _pick_kb(K, nio * nvar * 8 * C8 * item)
+    import os as _os
+    if _os.environ.get("TRIFLOW_NO_COMBINE"):
+        Kb = None
+    rows_t = tuple(tuple(float(c) for c in row) for row in rows)
+    if Kb is None:
+        outs = []
+        for row in rows_t:
+            acc = None
+            for c, arr in zip(row, arrays):
+                if c:
+                    t = arr if c == 1.0 else c * arr
+                    acc = t if acc is None else acc + t
+            outs.append(acc if acc is not None else jnp.zeros_like(a0))
+        return outs
+
+    def kernel(*refs):
+        ins = refs[:len(arrays)]
+        outs = refs[len(arrays):]
+        vals = [r[...] for r in ins]
+        for k, row in enumerate(rows_t):
+            acc = None
+            for c, v in zip(row, vals):
+                if c:
+                    t = v if c == 1.0 else c * v
+                    acc = t if acc is None else acc + t
+            outs[k][...] = (acc if acc is not None
+                            else jnp.zeros_like(vals[0]))
+
+    spec = pl.BlockSpec((nvar, Kb, 8, C8), lambda i: (0, i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return list(_pcall(
+        kernel,
+        grid=(K // Kb,),
+        in_specs=[spec] * len(arrays),
+        out_specs=[spec] * len(rows),
+        out_shape=[jax.ShapeDtypeStruct(a0.shape, a0.dtype) for _ in rows],
+    )(*arrays))
 
 
 def eval_J_folded(backend, uf, helpersf, pstackf, xf, dx, periodic, plan):
@@ -533,7 +672,19 @@ def matvec_folded(bands_f, vf, periodic, plan):
     Kb = _pick_kb(plan.K, (4 * nvar + W * nvar * nvar) * plan.Cp * item)
     nt = plan.K // Kb
 
+    import os as _os
+    thin = (h > 0 and Kb % h == 0
+            and not _os.environ.get("TRIFLOW_NO_THINHALO"))
+
     def shifted(rows, s):
+        if thin and s:
+            kph = Kb // h
+            if s < 0:
+                kmap = lambda i: (0, ((i - 1) % nt + 1) * kph - 1, 0, 0)
+            else:
+                kmap = lambda i: (0, ((i + 1) % nt) * kph, 0, 0)
+            return pl.BlockSpec((rows, h, 8, C8), kmap,
+                                memory_space=pltpu.VMEM)
         return pl.BlockSpec((rows, Kb, 8, C8),
                             lambda i, s=s: (0, (i + s) % nt, 0, 0),
                             memory_space=pltpu.VMEM)

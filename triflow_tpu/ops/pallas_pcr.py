@@ -36,6 +36,11 @@ def _pcall(*args, **kw):
     import os
     if os.environ.get("TRIFLOW_PALLAS_INTERPRET"):
         kw.setdefault("interpret", True)
+    else:
+        from .pallas_thomas import _VMEM_LIMIT
+        if _VMEM_LIMIT:
+            kw.setdefault("compiler_params",
+                          pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT))
     return pl.pallas_call(*args, **kw)
 
 

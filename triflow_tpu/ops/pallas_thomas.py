@@ -20,10 +20,22 @@ couplings (L[0] and U[Mc-1]) and passes them separately as Tl / Tr.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+#: Optional Mosaic scoped-VMEM ceiling override for the Pallas kernels
+#: (bytes; 0 = leave Mosaic's default).  Raising it was tried as a way to
+#: let deep-sweep plans use bigger row blocks, but measured a 3.7x
+#: REGRESSION on the KS N=1e6 headline (3.1e9 -> 0.84e9 cells/s): granting
+#: the kernels a 100MB scoped window evicts the XLA-managed VMEM residency
+#: of the ~100MB working set that the headline depends on.  Keep 0 unless
+#: experimenting.
+_VMEM_LIMIT = int(os.environ.get("TRIFLOW_VMEM_LIMIT", 0))
 
 
 def _pcall(*args, **kw):
@@ -31,6 +43,9 @@ def _pcall(*args, **kw):
     import os
     if os.environ.get("TRIFLOW_PALLAS_INTERPRET"):
         kw.setdefault("interpret", True)
+    elif _VMEM_LIMIT:
+        kw.setdefault("compiler_params",
+                      pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT))
     return pl.pallas_call(*args, **kw)
 
 
@@ -119,6 +134,14 @@ def _inv(D):
     return _inv_t(D, 1)
 
 
+#: tuning overrides for the sweep kernels' per-grid-step blocks: when set,
+#: they replace every call site's VMEM byte budget / row cap (deep-sweep
+#: plans amortize per-grid-step cost with larger row blocks as long as the
+#: blocks still fit in VMEM)
+_ROWBLOCK_BUDGET = int(os.environ.get("TRIFLOW_ROWBLOCK_BUDGET", 0))
+_ROWBLOCK_CAP = int(os.environ.get("TRIFLOW_ROWBLOCK_CAP", 0))
+
+
 def row_block(Mc: int, row_bytes: int, budget: int = 4 * 1024 * 1024,
               cap: int = 16, sub_unit: int = 0) -> int:
     """Largest divisor of Mc that is <= cap and keeps one grid step's blocks
@@ -127,6 +150,8 @@ def row_block(Mc: int, row_bytes: int, budget: int = 4 * 1024 * 1024,
     With ``sub_unit`` the kernel blocks a (Mc*sub_unit, C) array with
     (r*sub_unit, C) tiles, so Mosaic needs r*sub_unit to be a multiple of 8
     (or the whole dimension, r == Mc)."""
+    budget = _ROWBLOCK_BUDGET or budget
+    cap = _ROWBLOCK_CAP or cap
     cap = max(1, min(cap, budget // max(row_bytes, 1), Mc))
     for cand in range(cap, 0, -1):
         if Mc % cand:

@@ -165,14 +165,19 @@ class Ensemble:
         batch into a single system forces tiny per-member chunk counts
         whose deep sequential sweeps dominate (measured: B=1024 x N=1e5
         ran 6x slower than the per-cell rate of B=16 before grouping)."""
+        import os
+
         from ..ops import folded as fl
         from ..ops.pallas_thomas import row_block
 
         B, N = self.B, self.N
         item = jnp.dtype(backend.dtype).itemsize
+        forced = int(os.environ.get("TRIFLOW_ENSEMBLE_BG", 0))
         best = None
         for Bg in sorted({d for d in range(1, B + 1) if B % d == 0},
                          reverse=True):
+            if forced and Bg != forced:
+                continue
             plan = (fl.plan_for_ensemble(backend, N, Bg) if Bg > 1
                     else fl.plan_for_backend(backend, N))
             if plan is None:

@@ -28,6 +28,24 @@ import numpy as np
 DT = 0.05
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the merged-ensemble program takes
+    minutes to compile cold; cached reruns start in seconds."""
+    try:
+        import jax
+
+        cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.expanduser("~/.cache/jax"))
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compile_cache()
+
+
 def _emit(metric, value, n_cells, steps, extra=None):
     import jax
 

@@ -242,8 +242,15 @@ def _row_folded_core(backend, plan, tables, s, periodic,
     from ..ops import folded as fl
 
     a_t, c_t, m_t, m_pred_t, g00 = tables
-    bands_f = fl.eval_J_folded(backend, uf, hf, pf, xf, dx, periodic, plan)
-    fact = fl.factor_folded(1.0, -float(g00) * dt, bands_f, periodic, plan)
+    # fused J+factor: bands evaluated inside the factor sweep (no HBM band
+    # array); falls back to the two-pass eval_J + factor when inapplicable
+    fact = fl.factor_folded_direct(1.0, -float(g00) * dt, backend,
+                                   uf, hf, pf, xf, dx, periodic, plan)
+    if fact is None:
+        bands_f = fl.eval_J_folded(backend, uf, hf, pf, xf, dx, periodic,
+                                   plan)
+        fact = fl.factor_folded(1.0, -float(g00) * dt, bands_f, periodic,
+                                plan)
     gdt = float(g00) * dt
 
     def _combos(rows, arrays):
@@ -259,18 +266,28 @@ def _row_folded_core(backend, plan, tables, s, periodic,
                                   for k in range(len(rows))],
                                  [arrays[j] for j in cols], plan)
 
+    # Fused stage RHS policy: gdt·F(uf + Σa·u_j) + Σ g00·c·u_j in ONE
+    # stencil pass over the stage vectors.  Measured on the v5e: +10% on
+    # the B=1024 x N=1e5 merged ensemble (0.86 -> 0.95 Gcells/s, where the
+    # combine passes were 20% of the step) but flat on the single-grid KS
+    # headline whose working set is VMEM-resident — so the default is
+    # member-merged plans only (TRIFLOW_FUSED_STAGES=1/0 overrides).
+    import os as _os
+
+    _fused_env = _os.environ.get("TRIFLOW_FUSED_STAGES")
+    use_fused = (plan.Cm > 0 if _fused_env is None
+                 else _fused_env not in ("", "0"))
+
     us = []
     for i in range(s):
-        # the full stage RHS gdt·F(uf + Σa·u_j) + Σ g00·c·u_j in ONE fused
-        # stencil pass over the stage vectors (falls back to a combine pass
-        # + biased F pass when the wider operand set doesn't fit VMEM)
         terms = [(1.0, 0.0, uf)]
         for j in range(i):
             a, b = float(a_t[i, j]), float(g00 * c_t[i, j])
             if a or b:
                 terms.append((a, b, us[j]))
-        rhs = fl.eval_F_folded(backend, None, hf, pf, xf, dx, periodic,
-                               plan, scale=gdt, u_terms=terms)
+        rhs = (fl.eval_F_folded(backend, None, hf, pf, xf, dx, periodic,
+                                plan, scale=gdt, u_terms=terms)
+               if use_fused else None)
         if rhs is None:
             a_row = [t[0] for t in terms]
             c_row = [t[1] for t in terms]

@@ -324,7 +324,15 @@ class _FoldedStencilCall:
         item = jnp.dtype(self.dtype).itemsize
         rows = ((3 + n_u) * self.nvar + 3 * self.nhelp + self.npar + 1
                 + per_row_extra)
-        self.Kb = _pick_kb(plan.K, rows * plan.Cp * item)
+        # wide-operand (fused-stage) calls get a larger tile budget so the
+        # K-tile doesn't collapse (Kb 8 -> 4 at n_u=7 costs more in per-
+        # grid-step overhead than the fusion saves in traffic)
+        if n_u > 1:
+            import os as _os
+            budget = int(_os.environ.get("TRIFLOW_FUSED_BUDGET_MB", 8)) << 20
+        else:
+            budget = 2 << 20
+        self.Kb = _pick_kb(plan.K, rows * plan.Cp * item, budget=budget)
         self.ntiles = None if self.Kb is None else plan.K // self.Kb
 
     def applicable(self):
@@ -466,17 +474,8 @@ def eval_F_folded(backend, uf, helpersf, pstackf, xf, dx, periodic, plan,
         u_ops = uf
     call = _FoldedStencilCall(backend, periodic, plan,
                               n_u=1 if u_terms is None else len(u_terms))
-    if u_terms is not None:
-        import os as _os
-        # Opt-in: measured on the v5e this fusion is FLAT on the KS N=1e6
-        # headline (3.07 vs 3.09 Gcells/s) and -5% on the B=1024 ensemble
-        # (8.2 vs 8.6e8) — the wider operand set shrinks the K-tile
-        # (Kb 32->8 at stage 6) and the deep sweep solves, not the stage
-        # algebra, dominate the merged-ensemble step.  Kept for shapes
-        # where a combine pass is the bottleneck.
-        if (not _os.environ.get("TRIFLOW_FUSED_STAGES")
-                or not call.applicable()):
-            return None     # caller falls back to combine + biased-F passes
+    if u_terms is not None and not call.applicable():
+        return None         # caller falls back to combine + biased-F passes
     nvar, dtype, Kb, C8 = call.nvar, call.dtype, call.Kb, plan.C8
     has_scale = scale is not None
     has_bias = bias is not None
@@ -580,6 +579,67 @@ def combine_folded(rows, arrays, plan):
     )(*arrays))
 
 
+def _j_band_block(backend, call, refs, periodic, plan, dtype):
+    """One (W, nvar, nvar, Kb, 8, C8) tile of the banded Jacobian, computed
+    inside a pallas kernel from the stencil operand refs (the shared body
+    of eval_J_folded and the fused J+factor sweep).  ``call.Kb`` must match
+    the caller's grid tiling (grid step i covers K-rows [i*Kb, (i+1)*Kb))."""
+    Kb, nt = call.Kb, call.ntiles
+    nvar, W, h = call.nvar, plan.W, plan.halo
+    C8 = plan.C8
+    args = call.build_args(refs)
+    tid = pl.program_id(0)
+    krow = jax.lax.broadcasted_iota(jnp.int32, (Kb, 8, C8), 0)
+    first, last = _member_masks(plan)
+    zero = jnp.zeros((Kb, 8, C8), dtype)
+    rows = {}
+    for (m, n, kb), fn in backend._J_fns.items():
+        rows[(kb, m, n)] = jnp.broadcast_to(
+            jnp.asarray(fn(*args), dtype), (Kb, 8, C8))
+
+    def get(kb, m, n):
+        return rows.get((kb, m, n), zero)
+
+    if not periodic:
+        # left edge: global node i = k (row i, chunk 0) on tile 0
+        for m in range(nvar):
+            for n in range(nvar):
+                for i in range(h):
+                    for kb in range(h - i):
+                        mask = (tid == 0) & (krow == i) & first
+                        src = get(kb, m, n)
+                        rows[(h - i, m, n)] = jnp.where(
+                            mask, get(h - i, m, n) + src,
+                            get(h - i, m, n))
+                        rows[(kb, m, n)] = jnp.where(mask, 0.0, src)
+                for i in range(h):
+                    for kb in range(h - i):
+                        koff = W - 1 - kb
+                        mask = ((tid == nt - 1) & (krow == Kb - 1 - i)
+                                & last)
+                        src = get(koff, m, n)
+                        rows[(h + i, m, n)] = jnp.where(
+                            mask, get(h + i, m, n) + src,
+                            get(h + i, m, n))
+                        rows[(koff, m, n)] = jnp.where(mask, 0.0, src)
+
+    dead = call.dead_mask()
+    if dead is not None:
+        rows = {k: jnp.where(dead, 0.0, v) for k, v in rows.items()}
+
+    return jnp.stack(
+        [
+            jnp.stack(
+                [
+                    jnp.stack([get(kb, m, n) for n in range(nvar)])
+                    for m in range(nvar)
+                ]
+            )
+            for kb in range(W)
+        ]
+    )
+
+
 def eval_J_folded(backend, uf, helpersf, pstackf, xf, dx, periodic, plan):
     """Banded Jacobian in folded layout -> (W, nvar, nvar, K, 8, C8).
 
@@ -597,57 +657,8 @@ def eval_J_folded(backend, uf, helpersf, pstackf, xf, dx, periodic, plan):
 
     def kernel(*refs):
         out_ref = refs[-1]
-        args = call.build_args(refs[:-1])
-        tid = pl.program_id(0)
-        krow = jax.lax.broadcasted_iota(jnp.int32, (Kb, 8, C8), 0)
-        first, last = _member_masks(plan)
-        zero = jnp.zeros((Kb, 8, C8), dtype)
-        rows = {}
-        for (m, n, kb), fn in backend._J_fns.items():
-            rows[(kb, m, n)] = jnp.broadcast_to(
-                jnp.asarray(fn(*args), dtype), (Kb, 8, C8))
-
-        def get(kb, m, n):
-            return rows.get((kb, m, n), zero)
-
-        if not periodic:
-            # left edge: global node i = k (row i, chunk 0) on tile 0
-            for m in range(nvar):
-                for n in range(nvar):
-                    for i in range(h):
-                        for kb in range(h - i):
-                            mask = (tid == 0) & (krow == i) & first
-                            src = get(kb, m, n)
-                            rows[(h - i, m, n)] = jnp.where(
-                                mask, get(h - i, m, n) + src,
-                                get(h - i, m, n))
-                            rows[(kb, m, n)] = jnp.where(mask, 0.0, src)
-                    for i in range(h):
-                        for kb in range(h - i):
-                            koff = W - 1 - kb
-                            mask = ((tid == nt - 1) & (krow == Kb - 1 - i)
-                                    & last)
-                            src = get(koff, m, n)
-                            rows[(h + i, m, n)] = jnp.where(
-                                mask, get(h + i, m, n) + src,
-                                get(h + i, m, n))
-                            rows[(koff, m, n)] = jnp.where(mask, 0.0, src)
-
-        dead = call.dead_mask()
-        if dead is not None:
-            rows = {k: jnp.where(dead, 0.0, v) for k, v in rows.items()}
-
-        out_ref[...] = jnp.stack(
-            [
-                jnp.stack(
-                    [
-                        jnp.stack([get(kb, m, n) for n in range(nvar)])
-                        for m in range(nvar)
-                    ]
-                )
-                for kb in range(W)
-            ]
-        )
+        out_ref[...] = _j_band_block(backend, call, refs[:-1], periodic,
+                                     plan, dtype)
 
     ops, specs = call.operands(uf, helpersf, pstackf, xf, dx)
     return _pcall(
@@ -759,7 +770,8 @@ def _row_from_folded_bands(b_blk, alpha, beta, g, nvar, h, W, i, dblock,
     return jnp.stack(rows)
 
 
-def factor_sweeps_folded(bands_f, alpha, beta, plan: FoldPlan, cyclic: bool):
+def factor_sweeps_folded(bands_f, alpha, beta, plan: FoldPlan, cyclic: bool,
+                         stencil=None):
     """Factor sweeps reading the folded band array directly (no HBM-level
     chunk transpose).  With ``cyclic`` the wrap couplings of chunk 0 / C-1
     stay in Tl/Tr so the reduced interface system is block-cyclic (periodic
@@ -768,6 +780,12 @@ def factor_sweeps_folded(bands_f, alpha, beta, plan: FoldPlan, cyclic: bool):
     Dead padding chunks have zero bands (eval_J_folded masks them), so
     their factor rows reduce to alpha*I — decoupled and invertible.
 
+    With ``stencil = (backend, uf, helpersf, pstackf, xf, dx, periodic)``
+    the band rows are computed INSIDE the forward sweep from the state
+    (``bands_f`` must be None): the J array is never materialized in HBM,
+    saving its write + read (4.1GB per step on the B=1024 ensemble).
+    Falls back to the two-pass form when the fused tile doesn't apply.
+
     Returns fac, Dhinv, Uc, W, V, DU (all (Mc, s, s, 8, C8)) plus Tl, Tr."""
     from .pallas_thomas import _bwd_factor_call, _inv_t, _mm_t
 
@@ -775,7 +793,8 @@ def factor_sweeps_folded(bands_f, alpha, beta, plan: FoldPlan, cyclic: bool):
     C8 = plan.C8
     h = plan.halo
     s = plan.s
-    dtype = bands_f.dtype
+    dtype = (bands_f.dtype if bands_f is not None
+             else stencil[0].dtype)
     item = jnp.dtype(dtype).itemsize
     band_bytes = W * nvar * nvar * g * plan.Cp * item
     blk_bytes = s * s * plan.Cp * item
@@ -791,8 +810,28 @@ def factor_sweeps_folded(bands_f, alpha, beta, plan: FoldPlan, cyclic: bool):
     blk = (r, s, s, 8, C8)
     space = (8, C8)
 
-    def fwd_kernel(ab_ref, b_ref, fac_ref, Dhinv_ref, wt_ref, U_ref,
-                   Tl_ref, Tr_ref, dhinv_c, uprev_c, wt_c):
+    call = None
+    if stencil is not None:
+        backend, uf, hf, pf, xf, dx, periodic = stencil
+        call = _FoldedStencilCall(backend, periodic, plan)
+        # align the stencil tiling with the sweep's row blocks: grid step j
+        # covers K-rows [j*r*g, (j+1)*r*g)
+        call.Kb = r * g
+        call.ntiles = Nb
+        if not (h < call.Kb):
+            raise ValueError("fused J+factor tile smaller than the halo")
+        sten_ops, sten_specs = call.operands(uf, hf, pf, xf, dx)
+        n_sten = len(sten_ops)
+
+    def fwd_kernel(*krefs):
+        if call is None:
+            ab_ref, b_ref = krefs[0], krefs[1]
+            sten_refs = None
+        else:
+            ab_ref = krefs[0]
+            sten_refs = krefs[1:1 + n_sten]
+        (fac_ref, Dhinv_ref, wt_ref, U_ref, Tl_ref, Tr_ref,
+         dhinv_c, uprev_c, wt_c) = krefs[-9:]
         j = pl.program_id(0)
         Nb_n = pl.num_programs(0)
         alpha_v = ab_ref[0, 0]
@@ -805,7 +844,11 @@ def factor_sweeps_folded(bands_f, alpha, beta, plan: FoldPlan, cyclic: bool):
             uprev_c[...] = jnp.zeros_like(uprev_c)
             wt_c[...] = jnp.zeros_like(wt_c)
 
-        b_blk = b_ref[...]
+        if call is None:
+            b_blk = b_ref[...]
+        else:
+            b_blk = _j_band_block(backend, call, sten_refs,
+                                  periodic, plan, dtype)
         dhinv = dhinv_c[...]
         uprev = uprev_c[...]
         wt = wt_c[...]
@@ -850,14 +893,20 @@ def factor_sweeps_folded(bands_f, alpha, beta, plan: FoldPlan, cyclic: bool):
 
     ab = jnp.stack([jnp.asarray(alpha, dtype),
                     jnp.asarray(beta, dtype)]).reshape(1, 2)
+    ab_spec = pl.BlockSpec((1, 2), lambda j: (0, 0),
+                           memory_space=pltpu.SMEM)
+    if call is None:
+        in_ops = [ab, bands_f]
+        in_specs = [ab_spec,
+                    pl.BlockSpec(band_blk, lambda j: (0, 0, 0, j, 0, 0),
+                                 memory_space=pltpu.VMEM)]
+    else:
+        in_ops = [ab] + list(sten_ops)
+        in_specs = [ab_spec] + list(sten_specs)
     fac, Dhinv, wt, Uc, Tl, Tr = _pcall(
         fwd_kernel,
         grid=(Nb,),
-        in_specs=[
-            pl.BlockSpec((1, 2), lambda j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(band_blk, lambda j: (0, 0, 0, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(blk, lambda j: (j, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -885,7 +934,7 @@ def factor_sweeps_folded(bands_f, alpha, beta, plan: FoldPlan, cyclic: bool):
             pltpu.VMEM((s, s) + space, dtype),
             pltpu.VMEM((s, s) + space, dtype),
         ],
-    )(ab, bands_f)
+    )(*in_ops)
 
     if flat_solve_ok(plan, dtype):
         from .pallas_thomas import _bwd_factor_call_cols
@@ -1158,7 +1207,8 @@ def _reduced_factor(Lred, Ured, plan: FoldPlan, cyclic, wrap=False):
     return WrappedPcr(red0, Z, cap_inv, s, C, Cm)
 
 
-def factor_folded(alpha, beta, bands_f, periodic, plan: FoldPlan):
+def factor_folded(alpha, beta, bands_f, periodic, plan: FoldPlan,
+                  stencil=None):
     """Factor ``alpha*I + beta*J`` from folded bands.
 
     Periodic closure lives entirely in the reduced interface system (the
@@ -1167,13 +1217,32 @@ def factor_folded(alpha, beta, bands_f, periodic, plan: FoldPlan):
     reduced system (WrappedPcr).  No full-state correction is ever needed."""
     wrap = bool(periodic) and plan.halo > 0
     fac, Dhinv, Uc, Wsp, Vsp, DU, Tl, Tr = factor_sweeps_folded(
-        bands_f, alpha, beta, plan, wrap)
+        bands_f, alpha, beta, plan, wrap, stencil=stencil)
     cyclic = wrap and plan.cyclic_ok and plan.B == 1
-    col_split = flat_solve_ok(plan, bands_f.dtype)
+    col_split = flat_solve_ok(plan, fac.dtype)
     Lred, Ured = _reduced_LU(Wsp, Vsp, plan, col_split)
     red = _reduced_factor(Lred, Ured, plan, cyclic, wrap=wrap)
     return FoldedFactorization(fac, Dhinv, DU, Wsp, Vsp, red, plan, wrap,
                                col_split)
+
+
+def factor_folded_direct(alpha, beta, backend, uf, helpersf, pstackf, xf,
+                         dx, periodic, plan: FoldPlan):
+    """Fused J+factor: band rows are evaluated from the state INSIDE the
+    forward factor sweep, so the (W, nvar, nvar, K, 8, C8) band array is
+    never written to (or re-read from) HBM — its write+read is ~4GB per
+    step on the B=1024 x N=1e5 ensemble.  Returns None when the fused tile
+    doesn't apply (caller falls back to eval_J_folded + factor_folded)."""
+    import os
+
+    if os.environ.get("TRIFLOW_NO_FUSED_FACTOR"):
+        return None
+    try:
+        return factor_folded(
+            alpha, beta, None, periodic, plan,
+            stencil=(backend, uf, helpersf, pstackf, xf, dx, periodic))
+    except ValueError:
+        return None
 
 
 def _interface_shifts(fact, yred):
@@ -1249,7 +1318,13 @@ def solve_folded(fact: FoldedFactorization, bf):
 def _solve_folded_flat(fact: FoldedFactorization, bf):
     """nvar==1 fast path: the Thomas sweeps, interface gather and spike
     correction all run on the (K, 8, C8) folded layout directly — no
-    per-supernode relayout of the RHS or solution."""
+    per-supernode relayout of the RHS or solution.
+
+    The spike correction stays an XLA expression ON PURPOSE: it fuses at
+    full HBM rate (672GiB/s measured on the B=1024 ensemble trace), and a
+    dedicated pallas kernel was measured FLAT there and -9% on the KS
+    N=1e6 headline (the kernel boundary broke XLA's VMEM residency of the
+    working set)."""
     from .pallas_thomas import chunked_solve_flat
 
     plan = fact.plan

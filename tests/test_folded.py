@@ -103,7 +103,7 @@ def test_folded_adaptive_loop_matches_node_path(interpret_pallas,
     the trajectory must match the node-layout adaptive path."""
     model = Model("-dxxU - dxxxxU - U * dxU", "U")
     be = model.backend
-    N = 4096
+    N = 2048
     dtype = be.dtype
     x = np.arange(N) * 0.5
     rng = np.random.RandomState(5)
@@ -140,7 +140,9 @@ def test_folded_three_variable_system(interpret_pallas, monkeypatch,
     model = Model(["k1 * dxxA - B", "k2 * dxxB + A - C", "k3 * dxxC + B"],
                   ["A", "B", "C"], ["k1", "k2", "k3"])
     assert model.backend.system.nvar == 3 and model.halo == 1
-    N = 4096
+    # N=1536 -> C=96 (non-power-of-two: periodic goes through the Woodbury
+    # closure) at ~3x less interpret-mode cost than N=4096
+    N = 1536
     u_fold, u_node = _fixed_step_pair(model, N, periodic, monkeypatch)
     assert np.allclose(u_fold, u_node, rtol=1e-10, atol=1e-10)
 
@@ -160,9 +162,10 @@ def test_small_inv_odd_sizes():
 
 
 def test_fused_stage_algebra_matches_default(interpret_pallas, monkeypatch):
-    """Opt-in TRIFLOW_FUSED_STAGES=1 (stage combos + bias evaluated inside
-    the F kernel, ops/folded.eval_F_folded u_terms mode) is bit-comparable
-    to the default combine-pass path."""
+    """Fused stage RHS (combos + bias evaluated inside the F kernel,
+    ops/folded.eval_F_folded u_terms mode; default on member-merged plans,
+    forced here via TRIFLOW_FUSED_STAGES=1) matches the combine-pass
+    path."""
     model = Model("-dxxU - dxxxxU - U * dxU", "U")
     be = model.backend
     N = 4096

@@ -396,6 +396,12 @@ class ROW_general(_SchemeBase):
 
     def _fixed_step_fn(self, problem):
         tables = self._tables
+        if self._tol is None and not self._time_control:
+            # no controller will ever read the embedded error: drop the
+            # predictor row so the final stage combination emits one output
+            # instead of two (saves the diff write + its max-reduction read
+            # per step; err comes back as inf)
+            tables = tables[:3] + (None,) + tables[4:]
         a_t, c_t, m_t, m_pred_t, g00 = tables
         s = self._s
         periodic = problem.periodic
@@ -469,6 +475,10 @@ class ROW_general(_SchemeBase):
         if plan is None:
             return None
         tables, s = self._tables, self._s
+        if self._tol is None and not self._time_control:
+            # fixed-dt driver: no controller reads err — single-output
+            # final combination (see _fixed_step_fn)
+            tables = tables[:3] + (None,) + tables[4:]
 
         def fixed_f(t, uf, hf, pf, xf, dx, dt):
             return _row_folded_core(backend, plan, tables,

@@ -226,6 +226,11 @@ class Ensemble:
         self._merged_plan = plan
         self._merged_groups = (G, Bg)
         tables, s = scheme._tables, scheme._s
+        if not self._adaptive:
+            # fixed-dt ensemble: nothing reads the embedded error — drop
+            # the predictor row so the final stage combination emits one
+            # output (see schemes._fixed_step_fn)
+            tables = tables[:3] + (None,) + tables[4:]
         periodic = self.periodic
         B, N = self.B, self.N
 

@@ -92,8 +92,10 @@ class FoldPlan(NamedTuple):
         return divmod(self.C - 1, self.C8)
 
 
-def make_plan(N: int, nvar: int, halo: int, window: int):
-    """Choose (C, Mc) for the folded layout, or None when N doesn't fold."""
+def make_plan(N: int, nvar: int, halo: int, window: int, cap_C=None):
+    """Choose (C, Mc) for the folded layout, or None when N doesn't fold.
+    ``cap_C`` bounds the chunk count (used to shrink the reduced interface
+    system for large supernodes — see plan_for_backend)."""
     from .banded import _fused_chunk_plan, _CHUNK_MIN_M
 
     g = max(halo, 1)
@@ -102,7 +104,7 @@ def make_plan(N: int, nvar: int, halo: int, window: int):
     M = N // g
     if M < _CHUNK_MIN_M:
         return None
-    plan = _fused_chunk_plan(M)
+    plan = _fused_chunk_plan(M, cap_C=cap_C)
     if plan is None:
         return None
     C, Mc = plan
@@ -1367,20 +1369,33 @@ def plan_for_backend(backend, N):
             return None
         if jnp.dtype(backend.dtype) != jnp.float32:
             return None  # Mosaic f64: route doubles onto the XLA path
-    plan = make_plan(N, backend.system.nvar, backend.halo, backend.window)
-    if plan is None:
-        return None
-    call = _FoldedStencilCall(backend, True, plan,
-                              per_row_extra=plan.W * plan.nvar ** 2)
-    if not call.applicable():
-        return None
-    # the factor kernel blocks the folded bands with (r*g, 8, C8) tiles: a
-    # workable row block must exist (rows sit on a non-minor dim, so no
-    # sublane-alignment constraint)
+    from . import pallas_pcr
+
     item = jnp.dtype(backend.dtype).itemsize
-    band_bytes = plan.W * plan.nvar ** 2 * plan.g * plan.Cp * item
-    blk_bytes = plan.s * plan.s * plan.Cp * item
-    if not row_block(plan.Mc, band_bytes + 4 * blk_bytes,
-                     budget=6 * 1024 * 1024):
-        return None
-    return plan
+    cap = None
+    while True:
+        plan = make_plan(N, backend.system.nvar, backend.halo,
+                         backend.window, cap_C=cap)
+        if plan is None:
+            return None
+        call = _FoldedStencilCall(backend, True, plan,
+                                  per_row_extra=plan.W * plan.nvar ** 2)
+        # the factor kernel blocks the folded bands with (r*g, 8, C8)
+        # tiles: a workable row block must exist (rows sit on a non-minor
+        # dim, so no sublane-alignment constraint)
+        band_bytes = plan.W * plan.nvar ** 2 * plan.g * plan.Cp * item
+        blk_bytes = plan.s * plan.s * plan.Cp * item
+        ok = (call.applicable()
+              and row_block(plan.Mc, band_bytes + 4 * blk_bytes,
+                            budget=6 * 1024 * 1024))
+        if ok and pallas_pcr.applicable(2 * plan.s, plan.C, backend.dtype,
+                                        cyclic=plan.cyclic_ok):
+            return plan
+        # shrink the chunk count: big-supernode models (s = nvar*g > 2)
+        # overflow the fused reduced-PCR VMEM budget at the default chunk
+        # plan, and the XLA reduced fallback costs more than the whole
+        # rest of the step (measured 85% of the falling-film step at
+        # s=4, C=4096: thousands of unrolled 8x8 block ops)
+        if plan.C <= 8:
+            return None
+        cap = plan.C // 2

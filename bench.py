@@ -202,7 +202,6 @@ def bench_burgers():
 
     model = Model("-U * dxU + nu * dxxU", "U", "nu", double=False)
     scheme = schemes.Theta(model, theta=1.0)
-    fixed = scheme.device_fixed_step(periodic=True)
     dtype = model.backend.dtype
     x = jnp.asarray(np.arange(N, dtype=np.float64) * 0.5, dtype)
     u0 = jnp.asarray(np.cos(2 * np.pi * np.arange(N) / N * 4,
@@ -210,14 +209,37 @@ def bench_burgers():
     helpers = jnp.zeros((0, N), dtype)
     pstack = model.backend.pack_pars(dict(nu=0.5, periodic=True), x)
 
-    def chain(carry, _):
-        t, u = carry
-        u2, *_ = fixed(t, u, helpers, pstack, x, DT)
-        return (t + DT, u2), ()
+    folded_api = scheme.device_fixed_step_folded(N, periodic=True)
+    if folded_api is not None:
+        from triflow_tpu.ops import folded as fl
 
-    @jax.jit
-    def run_chunk(t, u):
-        return jax.lax.scan(chain, (t, u), length=STEPS)[0]
+        plan, fixed_f = folded_api
+        hf = fl.fold(helpers, plan)
+        pf = fl.fold(pstack, plan)
+        xf = fl.fold(x, plan)
+        dx_val = jnp.asarray((x[-1] - x[0]) / (N - 1), dtype)
+
+        def chain(carry, _):
+            t, uf = carry
+            uf2, _err = fixed_f(t, uf, hf, pf, xf, dx_val, DT)
+            return (t + DT, uf2), ()
+
+        @jax.jit
+        def run_chunk(t, u):
+            uf = fl.fold(u, plan)
+            (t2, uf2), _ = jax.lax.scan(chain, (t, uf), length=STEPS)
+            return t2, fl.unfold(uf2, plan)
+    else:
+        fixed = scheme.device_fixed_step(periodic=True)
+
+        def chain(carry, _):
+            t, u = carry
+            u2, *_ = fixed(t, u, helpers, pstack, x, DT)
+            return (t + DT, u2), ()
+
+        @jax.jit
+        def run_chunk(t, u):
+            return jax.lax.scan(chain, (t, u), length=STEPS)[0]
 
     best, (t, u) = _time_chunks(run_chunk, (jnp.asarray(0.0, dtype), u0),
                                 REPEATS, N * STEPS)

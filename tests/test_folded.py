@@ -184,3 +184,37 @@ def test_fused_stage_algebra_matches_default(interpret_pallas, monkeypatch):
     scheme2 = schemes.RODASPR(model, time_stepping=False, tol=None)
     u_fused = np.asarray(scheme2.device_fixed_step(periodic=True)(*args)[0])
     assert np.allclose(u_fused, u_default, rtol=1e-6, atol=1e-8)
+
+
+def test_folded_theta_matches_node_path(interpret_pallas, monkeypatch):
+    """Theta's folded route (u2 = u + A^-1(dt F), fused J+factor) matches
+    the node-layout banded step."""
+    model = Model("-U * dxU + nu * dxxU", "U", "nu")
+    be = model.backend
+    N = 4096
+    x = np.arange(N) * 0.5
+    u0 = np.cos(2 * np.pi * np.arange(N) / N * 4)[None]
+    pstack = be.pack_pars(dict(nu=0.5, periodic=True), x)
+    helpers = jnp.zeros((0, N), be.dtype)
+    args = (jnp.asarray(0.0, be.dtype), jnp.asarray(u0, be.dtype), helpers,
+            jnp.asarray(pstack, be.dtype), jnp.asarray(x, be.dtype), 0.05)
+
+    for theta in (1.0, 0.5):
+        sch = schemes.Theta(model, theta=theta)
+        u_fold = np.asarray(sch.device_fixed_step(periodic=True)(*args)[0])
+        monkeypatch.setenv("TRIFLOW_NO_FOLDED", "1")
+        sch2 = schemes.Theta(model, theta=theta)
+        u_node = np.asarray(sch2.device_fixed_step(periodic=True)(*args)[0])
+        monkeypatch.delenv("TRIFLOW_NO_FOLDED")
+        assert np.allclose(u_fold, u_node, rtol=1e-9, atol=1e-11), theta
+        # folded-native scan API agrees too
+        api = sch.device_fixed_step_folded(N, periodic=True)
+        assert api is not None
+        from triflow_tpu.ops import folded as fl
+        plan, fixed_f = api
+        uf2, _ = fixed_f(0.0, fl.fold(jnp.asarray(u0, be.dtype), plan),
+                         fl.fold(helpers, plan), fl.fold(pstack, plan),
+                         fl.fold(jnp.asarray(x, be.dtype), plan),
+                         jnp.asarray(0.5, be.dtype), 0.05)
+        assert np.allclose(np.asarray(fl.unfold(uf2, plan)), u_fold,
+                           rtol=1e-9, atol=1e-11)

@@ -827,6 +827,31 @@ class Theta(_SchemeBase):
         self._theta = theta
         self._solver = solver  # optional custom (A_bands, B, periodic) -> x
 
+    def _folded_core(self, problem, plan, periodic):
+        """Folded-native theta step.  Uses the identity
+        ``B = dt*(F - θ·J·u) + u = A·u + dt·F`` with ``A = I - θ·dt·J``,
+        so ``u2 = A⁻¹B = u + A⁻¹(dt·F)`` — no banded matvec, no RHS
+        assembly; one fused J+factor sweep, one F pass, one solve."""
+        from ..ops import folded as fl
+
+        theta = self._theta
+        backend = problem.backend
+
+        def folded_step(t, uf, hf, pf, xf, dx, dt):
+            fact = fl.factor_folded_direct(1.0, -theta * dt, backend,
+                                           uf, hf, pf, xf, dx, periodic,
+                                           plan)
+            if fact is None:
+                bands_f = fl.eval_J_folded(backend, uf, hf, pf, xf, dx,
+                                           periodic, plan)
+                fact = fl.factor_folded(1.0, -theta * dt, bands_f,
+                                        periodic, plan)
+            rhs = fl.eval_F_folded(backend, uf, hf, pf, xf, dx, periodic,
+                                   plan, scale=dt)
+            return uf + fact.solve(rhs)
+
+        return folded_step
+
     def _fixed_step_fn(self, problem):
         theta = self._theta
         periodic = problem.periodic
@@ -834,6 +859,21 @@ class Theta(_SchemeBase):
 
         def fixed_step(t, u, helpers, pstack, x, dt):
             u, helpers, pstack, x = problem.apply_hook(t, u, helpers, pstack, x)
+            if theta != 0 and solver is None:
+                from ..ops import folded as _folded
+
+                plan = _folded.folded_plan_for(problem.backend, u, x)
+                if plan is not None:
+                    uf = _folded.fold(u, plan)
+                    hf = _folded.fold(helpers, plan)
+                    pf = _folded.fold(pstack, plan)
+                    xf = _folded.fold(x, plan)
+                    N = x.shape[-1]
+                    dx = (x[..., -1] - x[..., 0]) / (N - 1)
+                    u2f = self._folded_core(problem, plan, periodic)(
+                        t, uf, hf, pf, xf, dx, dt)
+                    return (_folded.unfold(u2f, plan), helpers, pstack, x,
+                            jnp.zeros((), dtype=u.dtype))
             F = problem.F(u, helpers, pstack, x)
             if theta == 0:
                 u2 = u + dt * F
@@ -848,6 +888,26 @@ class Theta(_SchemeBase):
             return u2, helpers, pstack, x, jnp.zeros((), dtype=u.dtype)
 
         return fixed_step
+
+    def device_fixed_step_folded(self, N, periodic=True):
+        """Folded-native theta step for scan-level stepping (state stays in
+        the chunk-native layout across steps — see the ROW twin).  Returns
+        ``(plan, fixed_f)`` with ``fixed_f(t, uf, hf, pf, xf, dx, dt) ->
+        (uf', err)`` or None when the folded path does not apply."""
+        if self._theta == 0 or self._solver is not None:
+            return None
+        from ..ops import folded as fl
+
+        problem = _DeviceProblem(self._model, null_hook, periodic)
+        plan = fl.plan_for_backend(problem.backend, N)
+        if plan is None:
+            return None
+        core = self._folded_core(problem, plan, periodic)
+
+        def fixed_f(t, uf, hf, pf, xf, dx, dt):
+            return core(t, uf, hf, pf, xf, dx, dt), jnp.zeros((), uf.dtype)
+
+        return plan, fixed_f
 
     def _build_stepper(self, problem):
         fixed_step = self._fixed_step_fn(problem)

@@ -822,6 +822,12 @@ def factor_sweeps_folded(bands_f, alpha, beta, plan: FoldPlan, cyclic: bool,
         call.ntiles = Nb
         if not (h < call.Kb):
             raise ValueError("fused J+factor tile smaller than the halo")
+        # helper/param-heavy models can blow the sweep's VMEM with their
+        # stencil operands (Kb here is fixed by the row block, not by
+        # _pick_kb's budget): bail to the two-pass form instead
+        rows_est = 3 * call.nvar + 3 * call.nhelp + call.npar + 1
+        if rows_est * call.Kb * plan.Cp * item > (8 << 20):
+            raise ValueError("fused J+factor stencil operands exceed VMEM")
         sten_ops, sten_specs = call.operands(uf, hf, pf, xf, dx)
         n_sten = len(sten_ops)
 

@@ -570,8 +570,33 @@ class ROW_general(_SchemeBase):
                 carry = (t, uf, jnp.zeros_like(uf),
                          jnp.minimum(internal_dt, dt),
                          jnp.int32(0), jnp.int32(0))
-                t2, uf2, _cf, dt_i, niter, status = jax.lax.while_loop(
-                    cond_f, body_f, carry)
+                import os as _os
+
+                chunk = int(_os.environ.get("TRIFLOW_ADAPT_SCAN", 0))
+                if chunk > 1:
+                    # experimental: run the retry loop as a while_loop of
+                    # CHUNK-length scans with no-op masking after
+                    # completion — scan iterations pipeline (prefetch
+                    # overlaps compute) where while_loop iterations
+                    # serialize, at the cost of <= CHUNK-1 masked wasted
+                    # attempts per output step.  Decisions are identical,
+                    # so the trajectory is bit-equal to the plain loop.
+                    def body_scan(c, _):
+                        t_, _uf, _cf, _dt, _n, status = c
+                        live = (t_ < next_t - eps) & (status == 0)
+                        new = body_f(c)
+                        c = jax.tree_util.tree_map(
+                            lambda o, nw: jnp.where(live, nw, o), c, new)
+                        return c, ()
+
+                    def body_chunk(c):
+                        return jax.lax.scan(body_scan, c, length=chunk)[0]
+
+                    t2, uf2, _cf, dt_i, niter, status = jax.lax.while_loop(
+                        cond_f, body_chunk, carry)
+                else:
+                    t2, uf2, _cf, dt_i, niter, status = jax.lax.while_loop(
+                        cond_f, body_f, carry)
                 return (next_t, _folded.unfold(uf2, plan), helpers, pstack,
                         x, dt_i, niter, status)
 

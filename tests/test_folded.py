@@ -218,3 +218,23 @@ def test_folded_theta_matches_node_path(interpret_pallas, monkeypatch):
                          jnp.asarray(0.5, be.dtype), 0.05)
         assert np.allclose(np.asarray(fl.unfold(uf2, plan)), u_fold,
                            rtol=1e-9, atol=1e-11)
+
+
+def test_plan_reduced_system_fits_pcr(interpret_pallas):
+    """plan_for_backend caps the chunk count until the reduced interface
+    system (2s blocks over C chunks) passes the fused-PCR VMEM gate — a
+    big-supernode model must NOT land on the XLA reduced fallback (which
+    measured 85% of the falling-film step at s=4, C=4096)."""
+    from triflow_tpu.ops import pallas_pcr
+
+    model = Model(
+        ["-dxq",
+         "9/7 * q**2 / h**2 * dxh - upwind(17/7 * q / h, q, 2)"
+         " + (h - q / h**2) / delta"],
+        ["h", "q"], ["delta"])
+    be = model.backend
+    assert be.system.nvar == 2 and be.halo == 2
+    plan = folded.plan_for_backend(be, 262144)
+    assert plan is not None and plan.s == 4
+    assert pallas_pcr.applicable(2 * plan.s, plan.C, be.dtype,
+                                 cyclic=plan.cyclic_ok), plan

@@ -245,3 +245,29 @@ def test_sharded_adaptive_raw_stepper(ks_model):
         t_ref, f = scheme(t_ref, f, 0.25, dict(periodic=True))
     assert np.allclose(np.asarray(u_sh), np.asarray(f["U"])[None],
                        rtol=1e-8, atol=1e-8)
+
+
+def test_sharded_checkpoint_resume(ks_model, tmpdir):
+    """Checkpoint/resume works with a sharded (mesh=) simulation: the
+    resumed sharded trajectory matches the uninterrupted one."""
+    N = 128
+    x, u, fields = _states(ks_model, N)
+    pars = dict(periodic=True)
+    kw = dict(dt=0.5, tmax=2.0, tol=1e-6)
+
+    ref = Simulation(ks_model, fields, dict(pars), mesh=make_mesh(), **kw)
+    t_ref, f_ref = ref.run(progress=False)
+
+    first = Simulation(ks_model, fields, dict(pars), mesh=make_mesh(), **kw)
+    for t, _f in first:
+        if t >= 1.0:
+            break
+    ckpt = str(tmpdir.join("sharded.ckpt.h5"))
+    first.save_checkpoint(ckpt)
+    resumed = Simulation.from_checkpoint(ckpt, ks_model, mesh=make_mesh(),
+                                         tol=1e-6)
+    assert resumed.t == pytest.approx(1.0)
+    t2, f2 = resumed.run(progress=False)
+    assert t2 == pytest.approx(2.0)
+    assert np.allclose(np.asarray(f2["U"]), np.asarray(f_ref["U"]),
+                       rtol=1e-8, atol=1e-10)

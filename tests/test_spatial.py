@@ -271,3 +271,34 @@ def test_sharded_checkpoint_resume(ks_model, tmpdir):
     assert t2 == pytest.approx(2.0)
     assert np.allclose(np.asarray(f2["U"]), np.asarray(f_ref["U"]),
                        rtol=1e-8, atol=1e-10)
+
+
+def test_sharded_folded_local_solve_matches(ks_model, monkeypatch):
+    """The folded-layout local SPIKE factor/solve (interpret mode; engages
+    when each shard's grid is big enough to fold, Nl >= 2048) matches the
+    node-layout local path on the same sharded step."""
+    monkeypatch.setenv("TRIFLOW_PALLAS_INTERPRET", "1")
+    from triflow_tpu.ops import folded
+
+    N = 16384                       # 2048 nodes per shard -> plan applies
+    assert folded.plan_for_local_bands(1, 2, 5, N // 8,
+                                       jnp.float32) is not None
+    x, u, fields = _states(ks_model, N)
+    be = ks_model.backend
+    helpers = jnp.zeros((0, N), be.dtype)
+    pstack = jnp.zeros((0, N), be.dtype)
+
+    sm = SpatialModel(ks_model, make_mesh(), periodic=True)
+    step = sm.row_stepper(schemes.RODASPR)
+    _, u_folded = step(0.0, sm.shard(u), sm.shard(helpers),
+                       sm.shard(pstack), sm.shard(x), 0.02)
+
+    monkeypatch.setenv("TRIFLOW_NO_FOLDED_SPATIAL", "1")
+    sm2 = SpatialModel(ks_model, make_mesh(), periodic=True)
+    step2 = sm2.row_stepper(schemes.RODASPR)
+    _, u_node = step2(0.0, sm2.shard(u), sm2.shard(helpers),
+                      sm2.shard(pstack), sm2.shard(x), 0.02)
+    monkeypatch.delenv("TRIFLOW_NO_FOLDED_SPATIAL")
+
+    assert np.allclose(np.asarray(u_folded), np.asarray(u_node),
+                       rtol=1e-9, atol=1e-10)

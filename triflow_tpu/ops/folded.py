@@ -1405,3 +1405,73 @@ def plan_for_backend(backend, N):
         if plan.C <= 8:
             return None
         cap = plan.C // 2
+
+
+def plan_for_local_bands(nvar, halo, window, N, dtype):
+    """FoldPlan for factor/solve-only use on an N-node pre-assembled banded
+    system (no stencil kernels) — the sharded SPIKE local solve.  Same
+    gates as plan_for_backend minus the stencil-call check; the reduced
+    interface system is acyclic (the shard couplings are peeled out)."""
+    import os
+
+    if os.environ.get("TRIFLOW_NO_PALLAS") or os.environ.get(
+            "TRIFLOW_NO_FOLDED"):
+        return None
+    if not os.environ.get("TRIFLOW_PALLAS_INTERPRET"):
+        try:
+            if jax.default_backend() != "tpu":
+                return None
+        except RuntimeError:  # pragma: no cover
+            return None
+        if jnp.dtype(dtype) != jnp.float32:
+            return None
+    from . import pallas_pcr
+
+    item = jnp.dtype(dtype).itemsize
+    cap = None
+    while True:
+        plan = make_plan(N, nvar, halo, window, cap_C=cap)
+        if plan is None:
+            return None
+        band_bytes = plan.W * plan.nvar ** 2 * plan.g * plan.Cp * item
+        blk_bytes = plan.s * plan.s * plan.Cp * item
+        if (row_block(plan.Mc, band_bytes + 4 * blk_bytes,
+                      budget=6 * 1024 * 1024)
+                and pallas_pcr.applicable(2 * plan.s, plan.C, dtype,
+                                          cyclic=False)):
+            return plan
+        if plan.C <= 8:
+            return None
+        cap = plan.C // 2
+
+
+class FoldedBandedLocal:
+    """Folded factor/solve for a pre-assembled ACYCLIC banded system: the
+    chunk-native sweeps without the per-solve node<->block transposes of
+    the generic BandedFactorization.  Used as the local factorization of
+    the sharded SPIKE solve (parallel/spatial.py), where every stage pays
+    the local solve and the relayouts were the dominant cost class the
+    folded layout removed on one chip.
+
+    The bands are folded as ``A = I + (A - I)`` (alpha=1, beta=1 on the
+    diagonal-shifted bands) so the dead padding chunks factor as identity
+    rows instead of singular zeros."""
+
+    def __init__(self, bands, plan: FoldPlan):
+        self.N = int(bands.shape[-1])
+        self.nvar = plan.nvar
+        self.plan = plan
+        h = plan.W // 2
+        shifted = bands
+        for m in range(plan.nvar):
+            shifted = shifted.at[h, m, m, :].add(-1.0)
+        self.fact = factor_folded(1.0, 1.0, fold(shifted, plan),
+                                  False, plan)
+
+    def solve(self, rhs):
+        """rhs (..., nvar, N) -> x (..., nvar, N)."""
+        xf = solve_folded(self.fact, fold(rhs, self.plan))
+        return unfold(xf, self.plan)
+
+    # duck-type the BandedFactorization surface used by SpikeFactorization
+    _tri_solve_nodes = solve

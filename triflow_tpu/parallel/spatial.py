@@ -263,13 +263,26 @@ def spike_factor(A_bands, axis_name: str, ndev: int,
     -> right neighbor's first h).  In edge mode those entries were already
     folded onto the boundary columns, so T = B = 0 on the boundary shards
     and the interface system closes acyclically."""
+    import os
+
     W, nvar, _, Nl = A_bands.shape[-4:]
     h = W // 2
     P = nvar * h
     bands_tri, T, B = _extract_wrap(A_bands, periodic=True)
-    L, D, U, g, s, M, Np = _assemble_blocks(bands_tri)
-    tri = _tri_factor(L, D, U)  # chunked/pallas for large local grids
-    local_fact = BandedFactorization(tri, g, s, Nl, nvar, False, halo=h)
+    plan = None
+    if ndev > 1 and not os.environ.get("TRIFLOW_NO_FOLDED_SPATIAL"):
+        from ..ops import folded as _folded
+
+        plan = _folded.plan_for_local_bands(nvar, h, W, Nl, A_bands.dtype)
+    if plan is not None:
+        # chunk-native local factor/solve: the per-stage local solves run
+        # on the folded layout (no node<->block relayouts around each
+        # sweep — the cost class the folded path removed on one chip)
+        local_fact = _folded.FoldedBandedLocal(bands_tri, plan)
+    else:
+        L, D, U, g, s, M, Np = _assemble_blocks(bands_tri)
+        tri = _tri_factor(L, D, U)  # chunked/pallas for large local grids
+        local_fact = BandedFactorization(tri, g, s, Nl, nvar, False, halo=h)
     if h == 0:
         return SpikeFactorization(local_fact, None, None, h, P, ndev,
                                   axis_name)

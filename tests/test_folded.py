@@ -238,3 +238,33 @@ def test_plan_reduced_system_fits_pcr(interpret_pallas):
     assert plan is not None and plan.s == 4
     assert pallas_pcr.applicable(2 * plan.s, plan.C, be.dtype,
                                  cyclic=plan.cyclic_ok), plan
+
+
+def test_device_time_stepping_folded_carry(interpret_pallas, monkeypatch):
+    """DeviceTimeStepping carries FOLDED state through its whole
+    coarse-vs-fine Richardson loop when the inner scheme exposes a folded
+    core (one fold/unfold per output step instead of 2(m+1) relayouts per
+    attempt); trajectory must match the node-layout controller."""
+    from triflow_tpu.core.schemes import DeviceTimeStepping
+
+    model = Model("k * dxxU", "U", parameters=["k"])
+    N = 4096
+    be = model.backend
+    assert folded.plan_for_backend(be, N) is not None
+    x = np.linspace(0, 10, N, endpoint=False)
+    U = np.cos(2 * np.pi * x / 10) + 0.3 * np.sin(6 * np.pi * x / 10)
+    pars = {"k": 0.5, "periodic": True}
+
+    def run():
+        sch = DeviceTimeStepping(schemes.Theta(model, theta=0.5), tol=1e-6)
+        t, f = 0.0, model.fields_template(x=x, U=U)
+        for _ in range(3):
+            t, f = sch(t, f, 0.1, pars)
+        return np.asarray(f["U"]), sch._internal_iter
+
+    u_fold, it_fold = run()
+    monkeypatch.setenv("TRIFLOW_NO_FOLDED", "1")
+    u_node, _ = run()
+    monkeypatch.delenv("TRIFLOW_NO_FOLDED")
+    assert it_fold >= 1
+    assert np.allclose(u_fold, u_node, rtol=1e-10, atol=1e-12)

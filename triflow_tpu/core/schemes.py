@@ -1024,9 +1024,91 @@ class DeviceTimeStepping(_SchemeBase):
             err = jnp.where(jnp.isnan(err) | jnp.isinf(err), jnp.inf, err)
             return uf, hf, pf, xf, err
 
+        core_builder = getattr(self._inner, "_folded_core", None)
+
         def stepper(t, u, helpers, pstack, x, dt, internal_dt):
             next_t = t + dt
             eps = 1e-12 * jnp.maximum(jnp.abs(next_t), 1.0)
+
+            # folded-carry variant: when the inner scheme exposes a
+            # chunk-native core and no hook runs inside the loop, the whole
+            # coarse-vs-fine Richardson loop stays in the folded layout —
+            # one fold/unfold per OUTPUT step instead of two relayouts per
+            # sub-step (2(m+1) per attempt)
+            from ..ops import folded as _folded
+
+            plan = (_folded.folded_plan_for(problem.backend, u, x)
+                    if core_builder is not None
+                    and problem.hook is null_hook else None)
+            if plan is not None:
+                core = core_builder(problem, plan, problem.periodic)
+                hf0 = _folded.fold(helpers, plan)
+                pf0 = _folded.fold(pstack, plan)
+                xf0 = _folded.fold(x, plan)
+                N = x.shape[-1]
+                dxv = (x[..., -1] - x[..., 0]) / (N - 1)
+
+                def norm_f(diff):
+                    if self._ord == np.inf:
+                        per_var = jnp.max(jnp.abs(diff), axis=(-3, -2, -1))
+                    elif self._ord == 2:
+                        per_var = jnp.sqrt(
+                            jnp.sum(diff * diff, axis=(-3, -2, -1)))
+                    else:
+                        per_var = jnp.sum(
+                            jnp.abs(diff) ** self._ord,
+                            axis=(-3, -2, -1)) ** (1.0 / self._ord)
+                    return jnp.max(per_var)
+
+                def attempt_f(t_, uf_, dt_eff):
+                    uc = core(t_, uf_, hf0, pf0, xf0, dxv, dt_eff)
+                    dt_f = dt_eff / m
+
+                    def fine(c, _):
+                        tf, uff = c
+                        return (tf + dt_f,
+                                core(tf, uff, hf0, pf0, xf0, dxv, dt_f)), \
+                            None
+
+                    (_tf, uff), _ = jax.lax.scan(fine, (t_, uf_), length=m)
+                    err = norm_f(uc - uff) / mm1
+                    err = jnp.where(jnp.isnan(err) | jnp.isinf(err),
+                                    jnp.inf, err)
+                    return uff, err
+
+                def cond_f(carry):
+                    t_, _uf, _dt_i, _niter, status = carry
+                    return (t_ < next_t - eps) & (status == 0)
+
+                def body_f(carry):
+                    t_, uf_, dt_i, niter, status = carry
+                    remaining = next_t - t_
+                    clamped = dt_i >= remaining
+                    dt_eff = jnp.minimum(dt_i, remaining)
+                    uff, err = attempt_f(t_, uf_, dt_eff)
+                    err_safe = jnp.maximum(err,
+                                           jnp.finfo(dt_eff.dtype).tiny)
+                    dt_next = jnp.clip(dt_eff * jnp.sqrt(tol / err_safe),
+                                       0.1 * dt_eff, 10.0 * dt_eff)
+                    accept = dt_next >= dt_eff / reject
+                    t_ = jnp.where(accept, t_ + dt_eff, t_)
+                    uf_ = jnp.where(accept, uff, uf_)
+                    dt_i = jnp.where(accept & clamped, dt_i, dt_next)
+                    niter = niter + jnp.int32(1)
+                    dt_floor = (1e3 * jnp.finfo(dt_eff.dtype).tiny
+                                + 2.0 * jnp.finfo(dt_eff.dtype).eps
+                                * jnp.abs(next_t))
+                    status = jnp.where(dt_i < dt_floor, jnp.int32(2),
+                                       status)
+                    return (t_, uf_, dt_i, niter, status)
+
+                carry_f = (t, _folded.fold(u, plan),
+                           jnp.minimum(internal_dt, dt),
+                           jnp.int32(0), jnp.int32(0))
+                t2, uf2, dt_i, niter, status = jax.lax.while_loop(
+                    cond_f, body_f, carry_f)
+                return (next_t, _folded.unfold(uf2, plan), helpers, pstack,
+                        x, dt_i, niter, status)
 
             def cond(carry):
                 t_, _u, _h, _p, _x, _dt_i, _niter, status = carry

@@ -341,14 +341,22 @@ class Ensemble:
             def scan_run(t, u, helpers, pstack, x, dt, internal_dt, n):
                 uf, hf, pf, xf, dx = prepare(u, helpers, pstack, x)
 
-                def body(carry, _):
-                    t_, uf_, dti, status = carry
+                # early-exit while_loop (nothing is stacked per step): a
+                # tripped status code stops the whole chunk instead of
+                # running the remaining steps on garbage state
+                def cond(carry):
+                    i, _t, _uf, _dti, status = carry
+                    return (i < n) & (status == 0)
+
+                def body(carry):
+                    i, t_, uf_, dti, status = carry
                     t2, uf2, dti2, st2 = folded_step(t_, uf_, hf, pf, xf,
                                                      dx, dt, dti)
-                    return (t2, uf2, dti2, jnp.maximum(status, st2)), ()
-                carry = (t, uf, internal_dt, jnp.int32(0))
-                (t2, uf2, dti2, status), _ = jax.lax.scan(
-                    body, carry, length=n)
+                    return (i + jnp.int32(1), t2, uf2, dti2,
+                            jnp.maximum(status, st2))
+                carry = (jnp.int32(0), t, uf, internal_dt, jnp.int32(0))
+                _i, t2, uf2, dti2, status = jax.lax.while_loop(
+                    cond, body, carry)
                 return t2, finish(uf2), dti2, status
 
             self._merged_scan = jax.jit(scan_run, static_argnums=(7,))
@@ -557,19 +565,26 @@ class Ensemble:
             B = self.B
 
             def scan_run(t, u, h, p, x, dt, internal_dt, n):
-                def body(carry, _):
-                    t, u, h, p, dt_i, status, nb = carry
+                # early-exit while_loop (no per-step outputs are stacked):
+                # once any member trips a status code the remaining output
+                # steps are NOT computed on garbage state
+                def cond(carry):
+                    i, _t, _u, _h, _p, _dti, status, _nb = carry
+                    return (i < n) & (status == 0)
+
+                def body(carry):
+                    i, t, u, h, p, dt_i, status, nb = carry
                     out = stepper(t, u, h, p, x, dt, dt_i)
                     if per_member:
                         t2, u2, h2, p2, dt_i2, st2, nb2 = out
                         nb = nb + nb2
                     else:
                         t2, u2, h2, p2, dt_i2, st2 = out
-                    return (t2, u2, h2, p2, dt_i2,
-                            jnp.maximum(status, st2), nb), ()
-                carry = (t, u, h, p, internal_dt, jnp.int32(0),
+                    return (i + jnp.int32(1), t2, u2, h2, p2, dt_i2,
+                            jnp.maximum(status, st2), nb)
+                carry = (jnp.int32(0), t, u, h, p, internal_dt, jnp.int32(0),
                          jnp.zeros((B,), jnp.int32))
-                return jax.lax.scan(body, carry, length=n)[0]
+                return jax.lax.while_loop(cond, body, carry)[1:]
 
             self._scan_stepper = jax.jit(scan_run, static_argnums=(7,))
         idt = jnp.asarray(internal_dt, backend.dtype)

@@ -27,3 +27,15 @@ for t, fields in simulation:
     pass
 print(f"t = {t:g}; reflected pulse max = "
       f"{np.abs(np.asarray(fields['u'])).max():.3f}")
+
+# hyperbolic systems are non-stiff: the explicit Dormand-Prince 5(4) pair
+# (stages = stencil F evals only, no factorization) is the cheap option
+from triflow_tpu import schemes  # noqa: E402
+
+explicit = Simulation(model, model.fields_template(x=x, v=v, u=u),
+                      dict(periodic=False, c=1.0), hook=dirichlet,
+                      scheme=schemes.DOPRI5, dt=0.1, tmax=5, tol=1e-8)
+for t, fields in explicit:
+    pass
+print(f"explicit DOPRI5: t = {t:g}; reflected pulse max = "
+      f"{np.abs(np.asarray(fields['u'])).max():.3f}")

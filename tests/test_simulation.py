@@ -26,17 +26,22 @@ def make_fields(model, N=50):
 
 
 @pytest.mark.parametrize(
-    "scheme",
-    [schemes.ROS2, schemes.ROS3PRL, schemes.ROS3PRw, schemes.RODASPR,
-     schemes.Theta, schemes.scipy_ode,
-     ft.partial(schemes.scipy_ode, integrator="vode", method="bdf")],
+    "scheme,tol",
+    [(schemes.ROS2, 1e-1), (schemes.ROS3PRL, 1e-1), (schemes.ROS3PRw, 1e-1),
+     (schemes.RODASPR, 1e-1), (schemes.Theta, 1e-1),
+     (schemes.scipy_ode, 1e-1),
+     (ft.partial(schemes.scipy_ode, integrator="vode", method="bdf"), 1e-1),
+     # explicit pairs need a tighter tol on this stiff target: at loose tol
+     # the controller tolerates a marginally-damped Nyquist mode of
+     # amplitude ~ tol (the classic explicit-on-stiff behavior)
+     (schemes.DOPRI5, 1e-4), (schemes.BS32, 1e-4)],
 )
-def test_simul_heat_eq(heat_model, scheme):
+def test_simul_heat_eq(heat_model, scheme, tol):
     initial_fields = make_fields(heat_model)
     parameters = dict(periodic=True, k=1)
     for i, (t, fields) in enumerate(
         Simulation(heat_model, initial_fields, parameters, scheme=scheme,
-                   dt=1, tmax=100, tol=1e-1)
+                   dt=1, tmax=100, tol=tol)
     ):
         continue
     assert t == 100

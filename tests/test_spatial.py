@@ -177,6 +177,23 @@ def test_sharded_adaptive_matches_single_device(ks_model):
                        rtol=1e-8, atol=1e-8)
 
 
+def test_sharded_erk_matches_single_device():
+    """Explicit adaptive RK (DOPRI5) on the sharded grid: stages are halo
+    rings + local F, error pmax-reduced; must match the single-device
+    adaptive trajectory to 1e-8."""
+    model = Model("k * dxxU - c * dxU", "U", ["k", "c"])
+    N = 256
+    x = np.linspace(0, 10, N, endpoint=False)
+    fields0 = model.fields_template(x=x, U=np.cos(2 * np.pi * x / 10))
+    pars = dict(periodic=True, k=1e-2, c=0.5)
+    kw = dict(dt=0.25, tmax=1.0, scheme=schemes.DOPRI5, tol=1e-8)
+    _, t_ref, f_ref = _run(model, fields0, pars, **kw)
+    _, t_sh, f_sh = _run(model, fields0, pars, mesh=make_mesh(), **kw)
+    assert t_sh == pytest.approx(t_ref)
+    assert np.allclose(np.asarray(f_sh["U"]), np.asarray(f_ref["U"]),
+                       rtol=1e-8, atol=1e-8)
+
+
 def test_sharded_dirichlet_hook_matches_single_device():
     """VERDICT r1 item 3: the README advection-diffusion workload (BASELINE
     config 1, Dirichlet hook, edge BC) runs sharded through Simulation and

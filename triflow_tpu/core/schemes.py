@@ -331,6 +331,116 @@ def _row_fixed_step_folded(backend, plan, tables, s,
     return fl.unfold(u_new, plan), helpers, pstack, x, err
 
 
+def _adaptive_embedded_loop(fixed_step, *, tol, safety, max_iter, dt_min,
+                            compensated, exponent=0.5, interpolate=False):
+    """Generic embedded-error adaptive retry loop over a fixed step.
+
+    ``fixed_step(t, u, helpers, pstack, x, dt) -> (u', h', p', x', err)``
+    supplies the attempt and its embedded error estimate; the returned
+    ``loop(t, u, helpers, pstack, x, dt, internal_dt) -> (next_t, u', h',
+    p', x', dt_i, niter, status)`` advances from ``t`` to ``t + dt`` in a
+    single ``lax.while_loop`` carrying (t, state, dt, status) — one device
+    dispatch per output step no matter how many internal attempts run.
+    The caller applies the output-time hook.
+
+    ``exponent`` is the controller exponent in
+    ``dt <- safety * dt * (tol/err)**exponent``: 1/2 reproduces the
+    reference's ROW controller (schemes.py:203-204); an embedded RK pair
+    whose lower order is q wants 1/(q+1).
+
+    ``interpolate=True`` is the reference's ``recompute_target=False``
+    semantics (schemes.py:213-227): internal steps never clamp to the
+    output time — the loop overshoots and the state at ``t + dt`` is
+    linearly interpolated between the bracketing internal steps, so the
+    adapted dt is undisturbed by the output grid (O(dt_i^2) interpolation
+    error, the documented tradeoff)."""
+
+    def loop(t, u, helpers, pstack, x, dt, internal_dt):
+        next_t = t + dt
+        eps = 1e-12 * jnp.maximum(jnp.abs(next_t), 1.0)
+
+        def cond(carry):
+            t_, tp, up, u_, cu, h, p, x_, dt_i, niter, status = carry
+            return (t_ < next_t - eps) & (status == 0)
+
+        def body(carry):
+            t_, tp, up, u_, cu, h, p, x_, dt_i, niter, status = carry
+            if interpolate:
+                clamped = jnp.full((), False)
+                dt_eff = dt_i
+            else:
+                remaining = next_t - t_
+                clamped = dt_i >= remaining
+                dt_eff = jnp.minimum(dt_i, remaining)
+            u2, h2, p2, x2, err = fixed_step(t_, u_, h, p, x_, dt_eff)
+            accept = err <= tol
+            if interpolate:
+                # remember the bracketing pre-step state for the final
+                # interpolation to next_t
+                tp = jnp.where(accept, t_, tp)
+                up = jnp.where(accept, u_, up)
+            # controller: dt <- safety * dt * (tol / err)**exponent
+            # (reference schemes.py:203-204), with growth capped at 10x
+            # per step (the reference's uncapped controller can jump to
+            # inf when err underflows); when the step was clamped to hit
+            # the target and accepted, keep the pre-clamp dt so the next
+            # output step doesn't lose the adapted step size
+            err_safe = jnp.maximum(err, jnp.finfo(dt_eff.dtype).tiny)
+            if exponent == 0.5:
+                dt_next = safety * dt_eff * jnp.sqrt(tol / err_safe)
+            else:
+                dt_next = safety * dt_eff * (tol / err_safe) ** exponent
+            # clamp growth AND shrink (10x / 0.1x per attempt): an
+            # inf/NaN stage must retry at a smaller dt, not jump to zero
+            dt_next = jnp.clip(dt_next, 0.1 * dt_eff, 10.0 * dt_eff)
+            dt_i_new = jnp.where(accept & clamped, dt_i, dt_next)
+            t_ = jnp.where(accept, t_ + dt_eff, t_)
+            if compensated:
+                from ..ops.compensated import kahan_update
+
+                uk, ck = kahan_update(u_, cu, u2)
+                u_ = jnp.where(accept, uk, u_)
+                cu = jnp.where(accept, ck, cu)
+            else:
+                u_ = jax.tree_util.tree_map(
+                    lambda a, bnew: jnp.where(accept, bnew, a), u_, u2
+                )
+            h = jax.tree_util.tree_map(
+                lambda a, bnew: jnp.where(accept, bnew, a), h, h2
+            )
+            p = jax.tree_util.tree_map(
+                lambda a, bnew: jnp.where(accept, bnew, a), p, p2
+            )
+            niter = niter + jnp.int32(1)
+            if max_iter is not None:
+                status = jnp.where(niter > jnp.int32(max_iter),
+                                   jnp.int32(1), status)
+            # dt floor: the user's dt_min if given, else the roundoff
+            # no-progress threshold (t + dt == t) so a diverging problem
+            # (err -> inf, dt -> 0) raises instead of spinning the
+            # while_loop forever
+            dt_floor = dt_min if dt_min is not None else (
+                1e3 * jnp.finfo(dt_eff.dtype).tiny
+                + 2.0 * jnp.finfo(dt_eff.dtype).eps * jnp.abs(next_t)
+            )
+            status = jnp.where(dt_i_new < dt_floor, jnp.int32(2), status)
+            return (t_, tp, up, u_, cu, h, p, x_, dt_i_new, niter, status)
+
+        carry = (t, t, u, u, jnp.zeros_like(u), helpers, pstack, x,
+                 jnp.minimum(internal_dt, dt), jnp.int32(0), jnp.int32(0))
+        (t2, tp, up, u2, _cu, h2, p2, x2, dt_i, niter,
+         status) = jax.lax.while_loop(cond, body, carry)
+        if interpolate:
+            # state at next_t from the bracketing internal steps
+            # (reference schemes.py:213-227); t2 >= next_t on a clean exit
+            span = jnp.maximum(t2 - tp, jnp.finfo(u.dtype).tiny)
+            w = jnp.clip((next_t - tp) / span, 0.0, 1.0)
+            u2 = up + w * (u2 - up)
+        return next_t, u2, h2, p2, x2, dt_i, niter, status
+
+    return loop
+
+
 class ROW_general(_SchemeBase):
     """Generic s-stage Rosenbrock-Wanner solver with one banded factorization
     per step reused across all stages, embedded-order error estimate and an
@@ -371,6 +481,7 @@ class ROW_general(_SchemeBase):
         self._safety_factor = safety_factor
         self._max_iter = max_iter
         self._dt_min = dt_min
+        self._err_exponent = 0.5  # reference ROW controller (schemes.py:203)
         self._recompute_target = recompute_target
         self._internal_dt = None
         self._internal_iter = None
@@ -505,6 +616,11 @@ class ROW_general(_SchemeBase):
         compensated = self._compensated
 
         tables, s = self._tables, self._s
+        interp = not self._recompute_target
+        generic_loop = _adaptive_embedded_loop(
+            fixed_step, tol=tol, safety=safety, max_iter=max_iter,
+            dt_min=dt_min, compensated=compensated, exponent=0.5,
+            interpolate=interp)
 
         def stepper(t, u, helpers, pstack, x, dt, internal_dt):
             next_t = t + dt
@@ -513,10 +629,12 @@ class ROW_general(_SchemeBase):
             # folded-carry variant: with no hook the entire adaptive loop
             # runs on the chunk-native layout — fold once, unfold once,
             # instead of a fold/unfold transpose per internal attempt
+            # (clamp-and-recompute only: the interpolating variant goes
+            # through the generic loop, which carries the bracketing state)
             from ..ops import folded as _folded
 
             plan = (self._folded_plan_for(problem, u, x)
-                    if problem.hook is null_hook else None)
+                    if problem.hook is null_hook and not interp else None)
             if plan is not None:
                 uf = _folded.fold(u, plan)
                 hf = _folded.fold(helpers, plan)
@@ -600,66 +718,8 @@ class ROW_general(_SchemeBase):
                 return (next_t, _folded.unfold(uf2, plan), helpers, pstack,
                         x, dt_i, niter, status)
 
-            def cond(carry):
-                t, u, cu, h, p, x_, dt_i, niter, status = carry
-                return (t < next_t - eps) & (status == 0)
-
-            def body(carry):
-                t, u, cu, h, p, x_, dt_i, niter, status = carry
-                remaining = next_t - t
-                clamped = dt_i >= remaining
-                dt_eff = jnp.minimum(dt_i, remaining)
-                u2, h2, p2, x2, err = fixed_step(t, u, h, p, x_, dt_eff)
-                accept = err <= tol
-                # controller: dt <- safety * dt * sqrt(tol / err)
-                # (reference schemes.py:203-204), with growth capped at 10x
-                # per step (the reference's uncapped controller can jump to
-                # inf when err underflows); when the step was clamped to hit
-                # the target and accepted, keep the pre-clamp dt so the next
-                # output step doesn't lose the adapted step size
-                err_safe = jnp.maximum(err, jnp.finfo(dt_eff.dtype).tiny)
-                dt_next = safety * dt_eff * jnp.sqrt(tol / err_safe)
-                # clamp growth AND shrink (10x / 0.1x per attempt): an
-                # inf/NaN stage must retry at a smaller dt, not jump to zero
-                dt_next = jnp.clip(dt_next, 0.1 * dt_eff, 10.0 * dt_eff)
-                dt_i_new = jnp.where(accept & clamped, dt_i, dt_next)
-                t = jnp.where(accept, t + dt_eff, t)
-                if compensated:
-                    from ..ops.compensated import kahan_update
-
-                    uk, ck = kahan_update(u, cu, u2)
-                    u = jnp.where(accept, uk, u)
-                    cu = jnp.where(accept, ck, cu)
-                else:
-                    u = jax.tree_util.tree_map(
-                        lambda a, bnew: jnp.where(accept, bnew, a), u, u2
-                    )
-                h = jax.tree_util.tree_map(
-                    lambda a, bnew: jnp.where(accept, bnew, a), h, h2
-                )
-                p = jax.tree_util.tree_map(
-                    lambda a, bnew: jnp.where(accept, bnew, a), p, p2
-                )
-                niter = niter + jnp.int32(1)
-                if max_iter is not None:
-                    status = jnp.where(niter > jnp.int32(max_iter),
-                                       jnp.int32(1), status)
-                # dt floor: the user's dt_min if given, else the roundoff
-                # no-progress threshold (t + dt == t) so a diverging problem
-                # (err -> inf, dt -> 0) raises instead of spinning the
-                # while_loop forever
-                dt_floor = dt_min if dt_min is not None else (
-                    1e3 * jnp.finfo(dt_eff.dtype).tiny
-                    + 2.0 * jnp.finfo(dt_eff.dtype).eps * jnp.abs(next_t)
-                )
-                status = jnp.where(dt_i_new < dt_floor, jnp.int32(2), status)
-                return (t, u, cu, h, p, x_, dt_i_new, niter, status)
-
-            carry = (t, u, jnp.zeros_like(u), helpers, pstack, x,
-                     jnp.minimum(internal_dt, dt), jnp.int32(0), jnp.int32(0))
-            t2, u2, _cu, h2, p2, x2, dt_i, niter, status = jax.lax.while_loop(
-                cond, body, carry
-            )
+            (_nt, u2, h2, p2, x2, dt_i, niter,
+             status) = generic_loop(t, u, helpers, pstack, x, dt, internal_dt)
             # final hook at the output time (schemes.py:233-236)
             u2, h2, p2, x2 = problem.apply_hook(next_t, u2, h2, p2, x2)
             return next_t, u2, h2, p2, x2, dt_i, niter, status
@@ -835,6 +895,315 @@ class RODASPR(ROW_general):
                          max_iter=max_iter, dt_min=dt_min,
                          recompute_target=recompute_target,
                          compensated=compensated, refine=refine)
+
+
+# ---------------------------------------------------------------------------
+# Explicit embedded Runge-Kutta family (non-stiff models)
+# ---------------------------------------------------------------------------
+
+class ERK_general(_SchemeBase):
+    """Generic s-stage explicit Runge-Kutta scheme with an optional embedded
+    error estimate and the same device-resident adaptive controller as the
+    ROW family.
+
+    This is the TPU-native replacement for the reference's explicit
+    ``scipy.integrate.ode`` integrators (dopri5/dop853 — reference
+    schemes.py:430-499): stages are pure stencil F evaluations (no Jacobian,
+    no banded solve), the whole step — hooks included — traces into one
+    jitted function, and the adaptive retry loop is a ``lax.while_loop``
+    carrying status codes, so one output step is one device dispatch.  For
+    stiff systems (the framework's main audience) prefer the ROW family;
+    explicit steps only pay off when dt is accuracy-limited rather than
+    stability-limited.
+
+    Butcher arrays: ``a`` strictly lower triangular (s x s), ``b`` the
+    update weights, ``b_pred`` the embedded lower-order weights (required
+    for ``time_stepping=True``).  ``order`` is the LOWER order of the
+    embedded pair — the controller exponent is ``1/(order + 1)``.
+
+    FSAL (first-same-as-last) pairs are detected from the tableau and the
+    adaptive loop carries the last stage's F across attempts WITHIN an
+    output step (one fewer F eval per attempt); across output steps the
+    stepper stays stateless/pure so it composes with scan/vmap/shard_map.
+    Subclasses that reroute the fixed step (e.g. the sharded mixin) set
+    ``_fsal_capable = False`` — the FSAL loop evaluates ``problem.F``
+    directly and would bypass their rerouted step.
+    """
+
+    _fsal_capable = True
+
+    def __init__(self, model, a, b, b_pred=None, order=2,
+                 time_stepping=False, tol=None, max_iter=None, dt_min=None,
+                 safety_factor=0.9, recompute_target=True,
+                 compensated=False):
+        super().__init__(model)
+        self._compensated = compensated
+        self._a = np.asarray(a, dtype=np.float64)
+        self._b = np.asarray(b, dtype=np.float64)
+        self._b_pred = (None if b_pred is None
+                        else np.asarray(b_pred, dtype=np.float64))
+        self._s = len(b)
+        self._order = int(order)
+        self._recompute_target = recompute_target
+        self._time_control = time_stepping
+        self._tol = tol
+        self._safety_factor = safety_factor
+        self._max_iter = max_iter
+        self._dt_min = dt_min
+        self._err_exponent = 1.0 / (self._order + 1)
+        self._internal_dt = None
+        self._internal_iter = None
+        if time_stepping and b_pred is None:
+            raise NotImplementedError(
+                "time stepping requires the predictor (b_pred) coefficients"
+            )
+        if time_stepping and tol is None:
+            raise ValueError("time_stepping=True requires a tolerance (tol)")
+
+    def _fixed_step_fn(self, problem):
+        a, b, b_pred = self._a, self._b, self._b_pred
+        s = self._s
+        if self._tol is None and not self._time_control:
+            b_pred = None  # no controller ever reads the embedded error
+
+        def fixed_step(t, u, helpers, pstack, x, dt):
+            u, helpers, pstack, x = problem.apply_hook(t, u, helpers,
+                                                       pstack, x)
+            ks = []
+            for i in range(s):
+                u_i = u
+                for j in range(i):
+                    if a[i, j]:
+                        u_i = u_i + (float(a[i, j]) * dt) * ks[j]
+                ks.append(problem.F(u_i, helpers, pstack, x))
+            u_new = u
+            for i in range(s):
+                if b[i]:
+                    u_new = u_new + (float(b[i]) * dt) * ks[i]
+            if b_pred is not None:
+                diff = None
+                for i in range(s):
+                    c = b[i] - b_pred[i]
+                    if c:
+                        term = (float(c) * dt) * ks[i]
+                        diff = term if diff is None else diff + term
+                err = jnp.max(jnp.abs(diff))
+                err = jnp.where(jnp.isnan(err) | jnp.isinf(err),
+                                jnp.inf, err)
+            else:
+                err = jnp.asarray(jnp.inf, dtype=u.dtype)
+            return u_new, helpers, pstack, x, err
+
+        return fixed_step
+
+    def _build_stepper(self, problem):
+        fixed_step = self._fixed_step_fn(problem)
+
+        if not self._time_control:
+            def stepper(t, u, helpers, pstack, x, dt, internal_dt):
+                u2, h2, p2, x2, _ = fixed_step(t, u, helpers, pstack, x, dt)
+                u2, h2, p2, x2 = problem.apply_hook(t + dt, u2, h2, p2, x2)
+                return (t + dt, u2, h2, p2, x2, internal_dt,
+                        jnp.int32(0), jnp.int32(0))
+            return jax.jit(stepper)
+
+        # first-same-as-last pairs (DOPRI5, BS32: last stage input == the
+        # accepted state): inside the while_loop the last stage's F can be
+        # carried as the next attempt's first stage — one fewer F eval per
+        # attempt.  Requires a null hook (a hook rewrites u between
+        # attempts, invalidating the carried evaluation) and plain
+        # accumulation; trajectories are bit-equal to the generic loop.
+        a, b, b_pred = self._a, self._b, self._b_pred
+        s = self._s
+        fsal = (self._fsal_capable
+                and b_pred is not None and b[s - 1] == 0.0
+                and np.allclose(a[s - 1, :s - 1], b[:s - 1]))
+        if (fsal and problem.hook is null_hook
+                and self._recompute_target
+                and not self._compensated):
+            return self._build_fsal_stepper(problem)
+
+        loop = _adaptive_embedded_loop(
+            fixed_step, tol=self._tol, safety=self._safety_factor,
+            max_iter=self._max_iter, dt_min=self._dt_min,
+            compensated=self._compensated,
+            exponent=self._err_exponent,
+            interpolate=not self._recompute_target)
+
+        def stepper(t, u, helpers, pstack, x, dt, internal_dt):
+            (next_t, u2, h2, p2, x2, dt_i, niter,
+             status) = loop(t, u, helpers, pstack, x, dt, internal_dt)
+            u2, h2, p2, x2 = problem.apply_hook(next_t, u2, h2, p2, x2)
+            return next_t, u2, h2, p2, x2, dt_i, niter, status
+
+        return jax.jit(stepper)
+
+    def _build_fsal_stepper(self, problem):
+        """Adaptive loop with the FSAL stage carried across attempts (see
+        _build_stepper).  On accept the carried k1 becomes the last stage's
+        F (== F of the accepted state); on reject the state is unchanged so
+        the old k1 stays valid either way."""
+        a, b, b_pred = self._a, self._b, self._b_pred
+        s = self._s
+        tol, safety = self._tol, self._safety_factor
+        max_iter, dt_min = self._max_iter, self._dt_min
+        expo = self._err_exponent
+
+        def stages(u, helpers, pstack, x, dt, k1):
+            ks = [k1]
+            for i in range(1, s):
+                u_i = u
+                for j in range(i):
+                    if a[i, j]:
+                        u_i = u_i + (float(a[i, j]) * dt) * ks[j]
+                ks.append(problem.F(u_i, helpers, pstack, x))
+            u_new = u
+            for i in range(s):
+                if b[i]:
+                    u_new = u_new + (float(b[i]) * dt) * ks[i]
+            diff = None
+            for i in range(s):
+                c = b[i] - b_pred[i]
+                if c:
+                    term = (float(c) * dt) * ks[i]
+                    diff = term if diff is None else diff + term
+            err = jnp.max(jnp.abs(diff))
+            err = jnp.where(jnp.isnan(err) | jnp.isinf(err), jnp.inf, err)
+            return u_new, err, ks[s - 1]
+
+        def stepper(t, u, helpers, pstack, x, dt, internal_dt):
+            next_t = t + dt
+            eps = 1e-12 * jnp.maximum(jnp.abs(next_t), 1.0)
+            k1_0 = problem.F(u, helpers, pstack, x)
+
+            def cond(carry):
+                t_, _u, _k1, dt_i, niter, status = carry
+                return (t_ < next_t - eps) & (status == 0)
+
+            def body(carry):
+                t_, u_, k1, dt_i, niter, status = carry
+                remaining = next_t - t_
+                clamped = dt_i >= remaining
+                dt_eff = jnp.minimum(dt_i, remaining)
+                u2, err, k_last = stages(u_, helpers, pstack, x, dt_eff, k1)
+                accept = err <= tol
+                err_safe = jnp.maximum(err, jnp.finfo(dt_eff.dtype).tiny)
+                dt_next = jnp.clip(
+                    safety * dt_eff * (tol / err_safe) ** expo,
+                    0.1 * dt_eff, 10.0 * dt_eff)
+                dt_i = jnp.where(accept & clamped, dt_i, dt_next)
+                t_ = jnp.where(accept, t_ + dt_eff, t_)
+                u_ = jnp.where(accept, u2, u_)
+                k1 = jnp.where(accept, k_last, k1)
+                niter = niter + jnp.int32(1)
+                if max_iter is not None:
+                    status = jnp.where(niter > jnp.int32(max_iter),
+                                       jnp.int32(1), status)
+                dt_floor = dt_min if dt_min is not None else (
+                    1e3 * jnp.finfo(dt_eff.dtype).tiny
+                    + 2.0 * jnp.finfo(dt_eff.dtype).eps * jnp.abs(next_t)
+                )
+                status = jnp.where(dt_i < dt_floor, jnp.int32(2), status)
+                return (t_, u_, k1, dt_i, niter, status)
+
+            carry = (t, u, k1_0, jnp.minimum(internal_dt, dt),
+                     jnp.int32(0), jnp.int32(0))
+            _t2, u2, _k1, dt_i, niter, status = jax.lax.while_loop(
+                cond, body, carry)
+            return next_t, u2, helpers, pstack, x, dt_i, niter, status
+
+        return jax.jit(stepper)
+
+    def __call__(self, t, fields, dt, pars, hook=null_hook):
+        """Advance the system from t to t+dt (one output step; any number of
+        adaptive internal steps happen on-device)."""
+        periodic = bool(pars.get("periodic", False))
+        stepper = self._get_stepper(hook, periodic)
+        u, helpers, pstack, x = self._split(fields, pars)
+        internal_dt = self._internal_dt
+        if internal_dt is None:
+            internal_dt = 1e-6 if self._time_control else dt
+        t2, u2, h2, p2, x2, dt_i, niter, status = stepper(
+            jnp.asarray(t, dtype=u.dtype), u, helpers, pstack, x,
+            jnp.asarray(dt, dtype=u.dtype), jnp.asarray(internal_dt, u.dtype),
+        )
+        status = int(status)
+        if status == 1:
+            raise RuntimeError(
+                "explicit RK internal iteration above max iterations "
+                "authorized"
+            )
+        if status == 2:
+            raise RuntimeError(
+                "explicit RK internal time step less than authorized"
+            )
+        self._internal_dt = float(dt_i)
+        self._internal_iter = int(niter)
+        return float(t2), self._rebuild(fields, u2, h2, x2)
+
+
+class RK4(ERK_general):
+    """Classic 4th-order Runge-Kutta, fixed dt (no embedded estimate; wrap
+    in :func:`time_stepping` for Richardson-based adaptivity)."""
+
+    def __init__(self, model, compensated=False):
+        a = np.array([[0, 0, 0, 0],
+                      [1 / 2, 0, 0, 0],
+                      [0, 1 / 2, 0, 0],
+                      [0, 0, 1, 0]])
+        b = np.array([1 / 6, 1 / 3, 1 / 3, 1 / 6])
+        super().__init__(model, a, b, time_stepping=False,
+                         compensated=compensated)
+
+
+class BS32(ERK_general):
+    """Bogacki-Shampine 3(2) embedded pair — the low-cost adaptive explicit
+    choice (4 stages; scipy's RK23)."""
+
+    def __init__(self, model, time_stepping=True, tol=1e-2, max_iter=None,
+                 dt_min=None, safety_factor=0.9, recompute_target=True,
+                 compensated=False):
+        a = np.array([[0, 0, 0, 0],
+                      [1 / 2, 0, 0, 0],
+                      [0, 3 / 4, 0, 0],
+                      [2 / 9, 1 / 3, 4 / 9, 0]])
+        b = np.array([2 / 9, 1 / 3, 4 / 9, 0])
+        b_pred = np.array([7 / 24, 1 / 4, 1 / 3, 1 / 8])
+        super().__init__(model, a, b, b_pred=b_pred, order=2,
+                         time_stepping=time_stepping, tol=tol,
+                         max_iter=max_iter, dt_min=dt_min,
+                         safety_factor=safety_factor,
+                         recompute_target=recompute_target,
+                         compensated=compensated)
+
+
+class DOPRI5(ERK_general):
+    """Dormand-Prince 5(4) embedded pair — parity with the reference's
+    ``scipy_ode(..., integrator='dopri5')`` (reference schemes.py:430-443),
+    stepping on-device instead of through scipy's Fortran loop."""
+
+    def __init__(self, model, time_stepping=True, tol=1e-2, max_iter=None,
+                 dt_min=None, safety_factor=0.9, recompute_target=True,
+                 compensated=False):
+        a = np.zeros((7, 7))
+        a[1, 0] = 1 / 5
+        a[2, :2] = [3 / 40, 9 / 40]
+        a[3, :3] = [44 / 45, -56 / 15, 32 / 9]
+        a[4, :4] = [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729]
+        a[5, :5] = [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176,
+                    -5103 / 18656]
+        a[6, :6] = [35 / 384, 0, 500 / 1113, 125 / 192, -2187 / 6784,
+                    11 / 84]
+        b = np.array([35 / 384, 0, 500 / 1113, 125 / 192, -2187 / 6784,
+                      11 / 84, 0])
+        b_pred = np.array([5179 / 57600, 0, 7571 / 16695, 393 / 640,
+                           -92097 / 339200, 187 / 2100, 1 / 40])
+        super().__init__(model, a, b, b_pred=b_pred, order=4,
+                         time_stepping=time_stepping, tol=tol,
+                         max_iter=max_iter, dt_min=dt_min,
+                         safety_factor=safety_factor,
+                         recompute_target=recompute_target,
+                         compensated=compensated)
 
 
 # ---------------------------------------------------------------------------
@@ -1228,7 +1597,12 @@ class scipy_ode:
     The integrator sees the interleaved flat state vector; each RHS/Jacobian
     callback scatters it back into a Fields workspace, re-applies the hook
     (so boundary values hold at every internal evaluation) and dispatches to
-    the model."""
+    the model.
+
+    For compiled Models the device-resident equivalents are faster: the ROW
+    family replaces vode/BDF (stiff), :class:`DOPRI5`/:class:`BS32` replace
+    dopri5/rk23 (non-stiff) — this proxy remains for scipy-exact oracle
+    trajectories and for duck-typed models whose F is host-only code."""
 
     def __init__(self, model, jac=False, integrator="vode",
                  **integrator_kwargs):

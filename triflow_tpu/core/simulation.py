@@ -158,10 +158,12 @@ class Simulation(object):
         self._scheme = scheme(
             model, **intersection_kwargs(kwargs, scheme.__init__)
         )
-        has_builtin_control = (
-            isinstance(self._scheme, schemes.ROW_general)
-            and self._scheme._time_control
-        )
+        # any scheme carrying its own adaptive controller (ROW and explicit
+        # RK families with time_stepping=True) must not be double-wrapped in
+        # the universal step-doubling wrapper (the reference's membership
+        # test got this wrong — SURVEY.md §2 "implement the intent")
+        has_builtin_control = bool(getattr(self._scheme, "_time_control",
+                                           False))
         if time_stepping and not has_builtin_control:
             self._scheme = schemes.time_stepping(
                 self._scheme,

@@ -115,10 +115,10 @@ class Ensemble:
 
         scheme = schemes_mod.ROS2 if scheme is None else scheme
         self._scheme = scheme(model, **scheme_kwargs)
-        self._adaptive = (
-            isinstance(self._scheme, schemes_mod.ROW_general)
-            and self._scheme._time_control
-        )
+        # any scheme with a built-in embedded-error controller (ROW family,
+        # explicit RK family) drives the shared/per-member dt machinery;
+        # schemes without one (Theta, RK4) step at fixed dt
+        self._adaptive = bool(getattr(self._scheme, "_time_control", False))
         self._hook = hook
         self._per_member_dt = bool(per_member_dt) and self._adaptive
         self._internal_dt = None
@@ -397,6 +397,7 @@ class Ensemble:
         safety = self._scheme._safety_factor
         max_iter = self._scheme._max_iter
         dt_min = self._scheme._dt_min
+        expo = getattr(self._scheme, "_err_exponent", 0.5)
 
         def stepper(t, u, helpers, pstack, x, dt, internal_dt):
             next_t = t + dt
@@ -416,7 +417,7 @@ class Ensemble:
                 accept = err <= tol
                 err_safe = jnp.maximum(err, jnp.finfo(dt_eff.dtype).tiny)
                 dt_next = jnp.clip(
-                    safety * dt_eff * jnp.sqrt(tol / err_safe),
+                    safety * dt_eff * (tol / err_safe) ** expo,
                     0.1 * dt_eff, 10.0 * dt_eff,
                 )
                 dt_i = jnp.where(accept & clamped, dt_i, dt_next)
@@ -459,6 +460,7 @@ class Ensemble:
         safety = self._scheme._safety_factor
         max_iter = self._scheme._max_iter
         dt_min = self._scheme._dt_min
+        expo = getattr(self._scheme, "_err_exponent", 0.5)
         B = self.B
 
         def stepper(t, u, helpers, pstack, x, dt, internal_dt):
@@ -482,7 +484,7 @@ class Ensemble:
                 accept = (errs <= tol) & active
                 err_safe = jnp.maximum(errs, jnp.finfo(dtype).tiny)
                 dt_next = jnp.clip(
-                    safety * dt_eff * jnp.sqrt(tol / err_safe),
+                    safety * dt_eff * (tol / err_safe) ** expo,
                     0.1 * dt_eff, 10.0 * dt_eff,
                 )
                 dtb = jnp.where(active & ~(accept & clamped), dt_next, dtb)

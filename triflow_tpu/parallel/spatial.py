@@ -494,23 +494,70 @@ class SpatialModel:
             out_specs=(spec_state, none),
         )
 
+    def _erk_core(self, a, b, b_pred, s, periodic):
+        """Shard-mapped explicit RK step: stages are local F evaluations
+        behind one halo ring each (no solve, no interface system), embedded
+        error pmax-reduced across shards."""
+        ndev, axis, h = self.ndev, self.axis, self.h
+        backend = self.backend
+
+        def local_core(t, u, helpers, pstack, x, dt):
+            dx = x[..., 1] - x[..., 0]
+            helpers_ext = halo_extend(helpers, h, axis, ndev, periodic)
+            ks = []
+            for i in range(s):
+                u_i = u
+                for j in range(i):
+                    if a[i, j]:
+                        u_i = u_i + (float(a[i, j]) * dt) * ks[j]
+                u_i_ext = halo_extend(u_i, h, axis, ndev, periodic)
+                ks.append(backend.F_ext_impl(u_i_ext, helpers_ext, pstack,
+                                             x, dx))
+            u_new = u
+            for i in range(s):
+                if b[i]:
+                    u_new = u_new + (float(b[i]) * dt) * ks[i]
+            if b_pred is not None:
+                diff = None
+                for i in range(s):
+                    c = b[i] - b_pred[i]
+                    if c:
+                        term = (float(c) * dt) * ks[i]
+                        diff = term if diff is None else diff + term
+                err = jnp.max(jnp.abs(diff))
+                err = jnp.where(jnp.isnan(err) | jnp.isinf(err), jnp.inf, err)
+                err = jax.lax.pmax(err, axis)
+            else:
+                err = jnp.full((), jnp.inf, dtype=u.dtype)
+            return u_new, err
+
+        spec_state, spec_x, none = self._specs()
+        return shard_map(
+            local_core, self.mesh,
+            in_specs=(none, spec_state, spec_state, spec_state, spec_x, none),
+            out_specs=(spec_state, none),
+        )
+
     # -- scheme integration ---------------------------------------------------
     def scheme_class(self, scheme_cls=None):
-        """A scheme class (ROW family or Theta) rebound to this sharded
-        model: same constructor signature and full _SchemeBase surface
-        (hooks, adaptive while_loop dt control, device_steps scans), with
-        the fixed step running under shard_map and errors reduced across
-        the mesh axis.  Feed it to ``Simulation(..., scheme=...)`` or use
-        ``Simulation(..., mesh=mesh)`` which does this wiring itself."""
+        """A scheme class (ROW family, explicit RK family, or Theta) rebound
+        to this sharded model: same constructor signature and full
+        _SchemeBase surface (hooks, adaptive while_loop dt control,
+        device_steps scans), with the fixed step running under shard_map and
+        errors reduced across the mesh axis.  Feed it to
+        ``Simulation(..., scheme=...)`` or use ``Simulation(..., mesh=mesh)``
+        which does this wiring itself."""
         scheme_cls = scheme_cls or schemes_mod.RODASPR
         if issubclass(scheme_cls, schemes_mod.ROW_general):
             mixin = _SpatialROWMixin
+        elif issubclass(scheme_cls, schemes_mod.ERK_general):
+            mixin = _SpatialERKMixin
         elif issubclass(scheme_cls, schemes_mod.Theta):
             mixin = _SpatialThetaMixin
         else:
             raise TypeError(
                 f"{scheme_cls.__name__} has no sharded implementation "
-                "(supported: ROW family, Theta)"
+                "(supported: ROW family, explicit RK family, Theta)"
             )
         return type("Spatial" + scheme_cls.__name__, (mixin, scheme_cls),
                     {"_spatial": self})
@@ -601,6 +648,28 @@ class _SpatialROWMixin(_SpatialSchemeMixin):
     def _fixed_step_fn(self, problem):
         sm = self._spatial
         core = sm._row_core(self._tables, self._s, problem.periodic)
+
+        def fixed_step(t, u, helpers, pstack, x, dt):
+            u, helpers, pstack, x = problem.apply_hook(t, u, helpers,
+                                                       pstack, x)
+            u2, err = core(t, u, helpers, pstack, x, dt)
+            return u2, helpers, pstack, x, err
+
+        return fixed_step
+
+
+class _SpatialERKMixin(_SpatialSchemeMixin):
+    # the FSAL fast loop calls problem.F directly, which would bypass the
+    # shard-mapped halo-ring core below — force the generic loop
+    _fsal_capable = False
+
+    def _fixed_step_fn(self, problem):
+        sm = self._spatial
+        b_pred = self._b_pred
+        if self._tol is None and not self._time_control:
+            b_pred = None  # no controller ever reads the embedded error
+        core = sm._erk_core(self._a, self._b, b_pred, self._s,
+                            problem.periodic)
 
         def fixed_step(t, u, helpers, pstack, x, dt):
             u, helpers, pstack, x = problem.apply_hook(t, u, helpers,

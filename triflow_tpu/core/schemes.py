@@ -355,16 +355,31 @@ def _adaptive_embedded_loop(fixed_step, *, tol, safety, max_iter, dt_min,
     adapted dt is undisturbed by the output grid (O(dt_i^2) interpolation
     error, the documented tradeoff)."""
 
+    def unpack(carry):
+        # the bracketing (tp, up) pre-step snapshot rides in the carry ONLY
+        # in interpolate mode — in the default mode it would be a dead full
+        # state copy written back every while iteration
+        if interpolate:
+            return carry
+        t_, u_, cu, h, p, x_, dt_i, niter, status = carry
+        return (t_, None, None, u_, cu, h, p, x_, dt_i, niter, status)
+
+    def pack(t_, tp, up, u_, cu, h, p, x_, dt_i, niter, status):
+        if interpolate:
+            return (t_, tp, up, u_, cu, h, p, x_, dt_i, niter, status)
+        return (t_, u_, cu, h, p, x_, dt_i, niter, status)
+
     def loop(t, u, helpers, pstack, x, dt, internal_dt):
         next_t = t + dt
         eps = 1e-12 * jnp.maximum(jnp.abs(next_t), 1.0)
 
         def cond(carry):
-            t_, tp, up, u_, cu, h, p, x_, dt_i, niter, status = carry
+            t_ = carry[0]
+            status = carry[-1]
             return (t_ < next_t - eps) & (status == 0)
 
         def body(carry):
-            t_, tp, up, u_, cu, h, p, x_, dt_i, niter, status = carry
+            t_, tp, up, u_, cu, h, p, x_, dt_i, niter, status = unpack(carry)
             if interpolate:
                 clamped = jnp.full((), False)
                 dt_eff = dt_i
@@ -424,12 +439,14 @@ def _adaptive_embedded_loop(fixed_step, *, tol, safety, max_iter, dt_min,
                 + 2.0 * jnp.finfo(dt_eff.dtype).eps * jnp.abs(next_t)
             )
             status = jnp.where(dt_i_new < dt_floor, jnp.int32(2), status)
-            return (t_, tp, up, u_, cu, h, p, x_, dt_i_new, niter, status)
+            return pack(t_, tp, up, u_, cu, h, p, x_, dt_i_new, niter,
+                        status)
 
-        carry = (t, t, u, u, jnp.zeros_like(u), helpers, pstack, x,
-                 jnp.minimum(internal_dt, dt), jnp.int32(0), jnp.int32(0))
+        carry = pack(t, t, u, u, jnp.zeros_like(u), helpers, pstack, x,
+                     jnp.minimum(internal_dt, dt), jnp.int32(0),
+                     jnp.int32(0))
         (t2, tp, up, u2, _cu, h2, p2, x2, dt_i, niter,
-         status) = jax.lax.while_loop(cond, body, carry)
+         status) = unpack(jax.lax.while_loop(cond, body, carry))
         if interpolate:
             # state at next_t from the bracketing internal steps
             # (reference schemes.py:213-227); t2 >= next_t on a clean exit

@@ -89,6 +89,32 @@ def test_erk_dt_min_guard():
         scheme(0.0, fields, 5.0, dict(periodic=True))
 
 
+def test_dt_min_healthy_problem_does_not_trip(heat_model):
+    """Regression: the first-call internal-dt seed must respect dt_min —
+    a seed below the floor can never grow past it (10x/accept cap) and
+    used to trip the dt-floor status code on a perfectly healthy run."""
+    x, omega, lam, fields = heat_setup(heat_model)
+    scheme = schemes.DOPRI5(heat_model, tol=1e-6, dt_min=1e-4)
+    t, fields = scheme(0.0, fields, 0.25, dict(periodic=True, k=1.0))
+    assert t == 0.25
+    expected = np.cos(omega * x) * np.exp(-lam * t)
+    assert np.allclose(np.asarray(fields["T"]), expected, atol=1e-4)
+
+
+def test_interpolate_mode_keeps_internal_dt_unclamped(heat_model):
+    """Regression: with recompute_target=False the adapted internal dt must
+    not be re-clamped to the output dt at every output step — that is the
+    documented point of the mode."""
+    x, _omega, _lam, fields = heat_setup(heat_model)
+    scheme = schemes.DOPRI5(heat_model, tol=1e-3, recompute_target=False)
+    pars = dict(periodic=True, k=1.0)
+    t = 0.0
+    for _ in range(30):            # tiny output dt << adapted internal dt
+        t, fields = scheme(t, fields, 1e-3, pars)
+    assert scheme._internal_dt > 5e-3
+    assert scheme._internal_iter == 1  # one overshooting attempt per call
+
+
 def test_erk_ctor_validation(heat_model):
     with pytest.raises(ValueError, match="requires a tolerance"):
         schemes.ERK_general(heat_model, np.zeros((2, 2)), [0.5, 0.5],

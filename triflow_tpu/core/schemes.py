@@ -48,6 +48,21 @@ def null_hook(t, fields, pars):
     return fields, pars
 
 
+def _seed_internal_dt(scheme, dt):
+    """First-call internal dt for an adaptive scheme: small (1e-6) so the
+    controller ramps up safely from an unknown state, but never below the
+    user's dt_min — the 10x-per-accept growth cap cannot escape a seed
+    under the floor, so a smaller seed would trip the dt-floor status code
+    on a perfectly healthy problem."""
+    if not getattr(scheme, "_time_control", False):
+        return dt
+    dt_min = getattr(scheme, "_dt_min", None)
+    seed = 1e-6
+    if dt_min is not None:
+        seed = max(seed, dt_min)
+    return min(seed, dt)
+
+
 # ---------------------------------------------------------------------------
 # device-state plumbing shared by all schemes
 # ---------------------------------------------------------------------------
@@ -189,8 +204,7 @@ class _SchemeBase:
         u, helpers, pstack, x = self._split(fields, pars)
         internal_dt = getattr(self, "_internal_dt", None)
         if internal_dt is None:
-            internal_dt = (1e-6 if getattr(self, "_time_control", False)
-                           else dt)
+            internal_dt = _seed_internal_dt(self, dt)
         carry, (ts, us, hs, sts) = self._steppers[key](
             jnp.asarray(t, u.dtype), u, helpers, pstack, x,
             jnp.asarray(dt, u.dtype), jnp.asarray(internal_dt, u.dtype),
@@ -442,9 +456,11 @@ def _adaptive_embedded_loop(fixed_step, *, tol, safety, max_iter, dt_min,
             return pack(t_, tp, up, u_, cu, h, p, x_, dt_i_new, niter,
                         status)
 
+        # in interpolate mode the whole point is that the internal dt is
+        # NOT disturbed by the output cadence — never clamp it to dt
+        dt0 = internal_dt if interpolate else jnp.minimum(internal_dt, dt)
         carry = pack(t, t, u, u, jnp.zeros_like(u), helpers, pstack, x,
-                     jnp.minimum(internal_dt, dt), jnp.int32(0),
-                     jnp.int32(0))
+                     dt0, jnp.int32(0), jnp.int32(0))
         (t2, tp, up, u2, _cu, h2, p2, x2, dt_i, niter,
          status) = unpack(jax.lax.while_loop(cond, body, carry))
         if interpolate:
@@ -752,7 +768,7 @@ class ROW_general(_SchemeBase):
         u, helpers, pstack, x = self._split(fields, pars)
         internal_dt = self._internal_dt
         if internal_dt is None:
-            internal_dt = 1e-6 if self._time_control else dt
+            internal_dt = _seed_internal_dt(self, dt)
         t2, u2, h2, p2, x2, dt_i, niter, status = stepper(
             jnp.asarray(t, dtype=u.dtype), u, helpers, pstack, x,
             jnp.asarray(dt, dtype=u.dtype), jnp.asarray(internal_dt, u.dtype),
@@ -918,6 +934,39 @@ class RODASPR(ROW_general):
 # Explicit embedded Runge-Kutta family (non-stiff models)
 # ---------------------------------------------------------------------------
 
+def _erk_stage_combination(a, b, b_pred, s, dt, eval_F, u, k1=None):
+    """Explicit Butcher-tableau stage accumulation shared by the plain,
+    FSAL-carrying and sharded ERK steps: stages are ``eval_F(u_i)`` (the
+    caller decides how F is evaluated — local stencil, carried first
+    stage, or halo-ring + local F), the update uses ``b``, the embedded
+    error uses ``b - b_pred``.  Returns ``(u_new, err, k_last)``; ``err``
+    is inf when no predictor row is given (nothing reads it), NaN/inf
+    stage blowups are mapped to inf so the controller rejects."""
+    ks = [] if k1 is None else [k1]
+    for i in range(len(ks), s):
+        u_i = u
+        for j in range(i):
+            if a[i, j]:
+                u_i = u_i + (float(a[i, j]) * dt) * ks[j]
+        ks.append(eval_F(u_i))
+    u_new = u
+    for i in range(s):
+        if b[i]:
+            u_new = u_new + (float(b[i]) * dt) * ks[i]
+    if b_pred is not None:
+        diff = None
+        for i in range(s):
+            c = b[i] - b_pred[i]
+            if c:
+                term = (float(c) * dt) * ks[i]
+                diff = term if diff is None else diff + term
+        err = jnp.max(jnp.abs(diff))
+        err = jnp.where(jnp.isnan(err) | jnp.isinf(err), jnp.inf, err)
+    else:
+        err = jnp.asarray(jnp.inf, dtype=u.dtype)
+    return u_new, err, ks[s - 1]
+
+
 class ERK_general(_SchemeBase):
     """Generic s-stage explicit Runge-Kutta scheme with an optional embedded
     error estimate and the same device-resident adaptive controller as the
@@ -986,29 +1035,9 @@ class ERK_general(_SchemeBase):
         def fixed_step(t, u, helpers, pstack, x, dt):
             u, helpers, pstack, x = problem.apply_hook(t, u, helpers,
                                                        pstack, x)
-            ks = []
-            for i in range(s):
-                u_i = u
-                for j in range(i):
-                    if a[i, j]:
-                        u_i = u_i + (float(a[i, j]) * dt) * ks[j]
-                ks.append(problem.F(u_i, helpers, pstack, x))
-            u_new = u
-            for i in range(s):
-                if b[i]:
-                    u_new = u_new + (float(b[i]) * dt) * ks[i]
-            if b_pred is not None:
-                diff = None
-                for i in range(s):
-                    c = b[i] - b_pred[i]
-                    if c:
-                        term = (float(c) * dt) * ks[i]
-                        diff = term if diff is None else diff + term
-                err = jnp.max(jnp.abs(diff))
-                err = jnp.where(jnp.isnan(err) | jnp.isinf(err),
-                                jnp.inf, err)
-            else:
-                err = jnp.asarray(jnp.inf, dtype=u.dtype)
+            u_new, err, _k = _erk_stage_combination(
+                a, b, b_pred, s, dt,
+                lambda u_i: problem.F(u_i, helpers, pstack, x), u)
             return u_new, helpers, pstack, x, err
 
         return fixed_step
@@ -1067,26 +1096,9 @@ class ERK_general(_SchemeBase):
         expo = self._err_exponent
 
         def stages(u, helpers, pstack, x, dt, k1):
-            ks = [k1]
-            for i in range(1, s):
-                u_i = u
-                for j in range(i):
-                    if a[i, j]:
-                        u_i = u_i + (float(a[i, j]) * dt) * ks[j]
-                ks.append(problem.F(u_i, helpers, pstack, x))
-            u_new = u
-            for i in range(s):
-                if b[i]:
-                    u_new = u_new + (float(b[i]) * dt) * ks[i]
-            diff = None
-            for i in range(s):
-                c = b[i] - b_pred[i]
-                if c:
-                    term = (float(c) * dt) * ks[i]
-                    diff = term if diff is None else diff + term
-            err = jnp.max(jnp.abs(diff))
-            err = jnp.where(jnp.isnan(err) | jnp.isinf(err), jnp.inf, err)
-            return u_new, err, ks[s - 1]
+            return _erk_stage_combination(
+                a, b, b_pred, s, dt,
+                lambda u_i: problem.F(u_i, helpers, pstack, x), u, k1=k1)
 
         def stepper(t, u, helpers, pstack, x, dt, internal_dt):
             next_t = t + dt
@@ -1139,7 +1151,7 @@ class ERK_general(_SchemeBase):
         u, helpers, pstack, x = self._split(fields, pars)
         internal_dt = self._internal_dt
         if internal_dt is None:
-            internal_dt = 1e-6 if self._time_control else dt
+            internal_dt = _seed_internal_dt(self, dt)
         t2, u2, h2, p2, x2, dt_i, niter, status = stepper(
             jnp.asarray(t, dtype=u.dtype), u, helpers, pstack, x,
             jnp.asarray(dt, dtype=u.dtype), jnp.asarray(internal_dt, u.dtype),

@@ -249,6 +249,7 @@ class Ensemble:
         safety = scheme._safety_factor if adaptive else None
         max_iter = scheme._max_iter if adaptive else None
         dt_min = scheme._dt_min if adaptive else None
+        expo = getattr(scheme, "_err_exponent", 0.5)
 
         def all_groups_fixed(uf, hf, pf, xf, dx, dt_eff):
             """One fixed step of every member group (scanned launches) ->
@@ -288,8 +289,11 @@ class Ensemble:
                 u2f, err = all_groups_fixed(uf_, hf, pf, xf, dx, dt_eff)
                 accept = err <= tol
                 err_safe = jnp.maximum(err, jnp.finfo(dt_eff.dtype).tiny)
+                # controller exponent: this folded path is gated to the ROW
+                # family (exponent 1/2); take it from the scheme anyway so
+                # the formula cannot drift from _adaptive_embedded_loop
                 dt_next = jnp.clip(
-                    safety * dt_eff * jnp.sqrt(tol / err_safe),
+                    safety * dt_eff * (tol / err_safe) ** expo,
                     0.1 * dt_eff, 10.0 * dt_eff)
                 dt_i = jnp.where(accept & clamped, dt_i, dt_next)
                 t_ = jnp.where(accept, t_ + dt_eff, t_)
@@ -338,25 +342,41 @@ class Ensemble:
         backend = self.model.backend
         folded_step, prepare, finish, G = self._merged_parts
         if self._merged_scan is None:
+            adaptive = self._adaptive
+
             def scan_run(t, u, helpers, pstack, x, dt, internal_dt, n):
                 uf, hf, pf, xf, dx = prepare(u, helpers, pstack, x)
 
-                # early-exit while_loop (nothing is stacked per step): a
-                # tripped status code stops the whole chunk instead of
-                # running the remaining steps on garbage state
-                def cond(carry):
-                    i, _t, _uf, _dti, status = carry
-                    return (i < n) & (status == 0)
+                if adaptive:
+                    # early-exit while_loop (nothing is stacked per step):
+                    # a tripped status code stops the whole chunk instead
+                    # of running the remaining steps on garbage state
+                    def cond(carry):
+                        i, _t, _uf, _dti, status = carry
+                        return (i < n) & (status == 0)
 
-                def body(carry):
-                    i, t_, uf_, dti, status = carry
-                    t2, uf2, dti2, st2 = folded_step(t_, uf_, hf, pf, xf,
-                                                     dx, dt, dti)
-                    return (i + jnp.int32(1), t2, uf2, dti2,
-                            jnp.maximum(status, st2))
-                carry = (jnp.int32(0), t, uf, internal_dt, jnp.int32(0))
-                _i, t2, uf2, dti2, status = jax.lax.while_loop(
-                    cond, body, carry)
+                    def body(carry):
+                        i, t_, uf_, dti, status = carry
+                        t2, uf2, dti2, st2 = folded_step(
+                            t_, uf_, hf, pf, xf, dx, dt, dti)
+                        return (i + jnp.int32(1), t2, uf2, dti2,
+                                jnp.maximum(status, st2))
+                    carry = (jnp.int32(0), t, uf, internal_dt, jnp.int32(0))
+                    _i, t2, uf2, dti2, status = jax.lax.while_loop(
+                        cond, body, carry)
+                else:
+                    # fixed-dt: status is a constant 0 — the early exit can
+                    # never fire, so keep lax.scan (static trip count
+                    # pipelines where a while_loop serializes)
+                    def body(carry, _):
+                        t_, uf_, dti, status = carry
+                        t2, uf2, dti2, st2 = folded_step(
+                            t_, uf_, hf, pf, xf, dx, dt, dti)
+                        return (t2, uf2, dti2,
+                                jnp.maximum(status, st2)), ()
+                    carry = (t, uf, internal_dt, jnp.int32(0))
+                    (t2, uf2, dti2, status), _ = jax.lax.scan(
+                        body, carry, length=n)
                 return t2, finish(uf2), dti2, status
 
             self._merged_scan = jax.jit(scan_run, static_argnums=(7,))
@@ -370,7 +390,7 @@ class Ensemble:
         if idt_dev is None:
             idt = self._internal_dt
             if idt is None:
-                idt = 1e-6 if self._adaptive else dt
+                idt = schemes_mod._seed_internal_dt(self._scheme, dt)
             idt_dev = jnp.asarray(idt, backend.dtype)
         t2, u2, dt_i, status = self._merged_scan(
             t_dev, self.u, self.helpers, self.pstack, self.x,
@@ -389,58 +409,27 @@ class Ensemble:
         return self.t, self.u
 
     def _build_adaptive(self):
-        """Shared-dt adaptive loop: one lax.while_loop whose error is the max
-        over members (every member meets the tolerance)."""
-        fixed = self._scheme.device_fixed_step(self._hook, self.periodic)
+        """Shared-dt adaptive loop: the scheme's generic embedded-error
+        controller (schemes._adaptive_embedded_loop) wrapped around the
+        vmapped fixed step with the error max-reduced over members — every
+        member meets the tolerance, one lax.while_loop for the batch."""
+        scheme = self._scheme
+        fixed = scheme.device_fixed_step(self._hook, self.periodic)
         vfixed = jax.vmap(fixed, in_axes=(None, 0, 0, 0, None, None))
-        tol = self._scheme._tol
-        safety = self._scheme._safety_factor
-        max_iter = self._scheme._max_iter
-        dt_min = self._scheme._dt_min
-        expo = getattr(self._scheme, "_err_exponent", 0.5)
+
+        def batch_fixed(t, u, h, p, x, dt):
+            u2, h2, p2, _x, errs = vfixed(t, u, h, p, x, dt)
+            return u2, h2, p2, x, jnp.max(errs)
+
+        loop = schemes_mod._adaptive_embedded_loop(
+            batch_fixed, tol=scheme._tol, safety=scheme._safety_factor,
+            max_iter=scheme._max_iter, dt_min=scheme._dt_min,
+            compensated=scheme._compensated,
+            exponent=getattr(scheme, "_err_exponent", 0.5))
 
         def stepper(t, u, helpers, pstack, x, dt, internal_dt):
-            next_t = t + dt
-            eps = 1e-12 * jnp.maximum(jnp.abs(next_t), 1.0)
-
-            def cond(carry):
-                t, u, h, p, dt_i, niter, status = carry
-                return (t < next_t - eps) & (status == 0)
-
-            def body(carry):
-                t, u, h, p, dt_i, niter, status = carry
-                remaining = next_t - t
-                clamped = dt_i >= remaining
-                dt_eff = jnp.minimum(dt_i, remaining)
-                u2, h2, p2, _x, errs = vfixed(t, u, h, p, x, dt_eff)
-                err = jnp.max(errs)
-                accept = err <= tol
-                err_safe = jnp.maximum(err, jnp.finfo(dt_eff.dtype).tiny)
-                dt_next = jnp.clip(
-                    safety * dt_eff * (tol / err_safe) ** expo,
-                    0.1 * dt_eff, 10.0 * dt_eff,
-                )
-                dt_i = jnp.where(accept & clamped, dt_i, dt_next)
-                t = jnp.where(accept, t + dt_eff, t)
-                u = jnp.where(accept, u2, u)
-                h = jnp.where(accept, h2, h)
-                p = jnp.where(accept, p2, p)
-                niter = niter + jnp.int32(1)
-                if max_iter is not None:
-                    status = jnp.where(niter > jnp.int32(max_iter),
-                                       jnp.int32(1), status)
-                dt_floor = dt_min if dt_min is not None else (
-                    1e3 * jnp.finfo(dt_eff.dtype).tiny
-                    + 2.0 * jnp.finfo(dt_eff.dtype).eps * jnp.abs(next_t)
-                )
-                status = jnp.where(dt_i < dt_floor, jnp.int32(2), status)
-                return (t, u, h, p, dt_i, niter, status)
-
-            carry = (t, u, helpers, pstack,
-                     jnp.minimum(internal_dt, dt), jnp.int32(0), jnp.int32(0))
-            t2, u2, h2, p2, dt_i, niter, status = jax.lax.while_loop(
-                cond, body, carry
-            )
+            (next_t, u2, h2, p2, _x, dt_i, _niter,
+             status) = loop(t, u, helpers, pstack, x, dt, internal_dt)
             return next_t, u2, h2, p2, dt_i, status
 
         return stepper
@@ -526,7 +515,7 @@ class Ensemble:
         backend = self.model.backend
         internal_dt = self._internal_dt
         if internal_dt is None:
-            internal_dt = 1e-6 if self._adaptive else dt
+            internal_dt = schemes_mod._seed_internal_dt(self._scheme, dt)
         out = self._stepper(
             jnp.asarray(self.t, backend.dtype), self.u, self.helpers,
             self.pstack, self.x, jnp.asarray(dt, backend.dtype),
@@ -560,22 +549,16 @@ class Ensemble:
         backend = self.model.backend
         internal_dt = self._internal_dt
         if internal_dt is None:
-            internal_dt = 1e-6 if self._adaptive else dt
+            internal_dt = schemes_mod._seed_internal_dt(self._scheme, dt)
         if self._scan_stepper is None:
             stepper = self._stepper
             per_member = self._per_member_dt
             B = self.B
 
-            def scan_run(t, u, h, p, x, dt, internal_dt, n):
-                # early-exit while_loop (no per-step outputs are stacked):
-                # once any member trips a status code the remaining output
-                # steps are NOT computed on garbage state
-                def cond(carry):
-                    i, _t, _u, _h, _p, _dti, status, _nb = carry
-                    return (i < n) & (status == 0)
+            adaptive = self._adaptive
 
-                def body(carry):
-                    i, t, u, h, p, dt_i, status, nb = carry
+            def scan_run(t, u, h, p, x, dt, internal_dt, n):
+                def step_once(i, t, u, h, p, dt_i, status, nb):
                     out = stepper(t, u, h, p, x, dt, dt_i)
                     if per_member:
                         t2, u2, h2, p2, dt_i2, st2, nb2 = out
@@ -584,9 +567,25 @@ class Ensemble:
                         t2, u2, h2, p2, dt_i2, st2 = out
                     return (i + jnp.int32(1), t2, u2, h2, p2, dt_i2,
                             jnp.maximum(status, st2), nb)
-                carry = (jnp.int32(0), t, u, h, p, internal_dt, jnp.int32(0),
-                         jnp.zeros((B,), jnp.int32))
-                return jax.lax.while_loop(cond, body, carry)[1:]
+
+                carry = (jnp.int32(0), t, u, h, p, internal_dt,
+                         jnp.int32(0), jnp.zeros((B,), jnp.int32))
+                if adaptive:
+                    # early-exit while_loop (no per-step outputs are
+                    # stacked): once any member trips a status code the
+                    # remaining output steps are NOT computed on garbage
+                    # state
+                    def cond(c):
+                        i, _t, _u, _h, _p, _dti, status, _nb = c
+                        return (i < n) & (status == 0)
+
+                    return jax.lax.while_loop(
+                        cond, lambda c: step_once(*c), carry)[1:]
+                # fixed-dt: status is constant 0 — keep lax.scan (static
+                # trip count pipelines where a while_loop serializes)
+                final, _ = jax.lax.scan(
+                    lambda c, _: (step_once(*c), ()), carry, length=n)
+                return final[1:]
 
             self._scan_stepper = jax.jit(scan_run, static_argnums=(7,))
         idt = jnp.asarray(internal_dt, backend.dtype)

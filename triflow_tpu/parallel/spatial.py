@@ -502,33 +502,20 @@ class SpatialModel:
         backend = self.backend
 
         def local_core(t, u, helpers, pstack, x, dt):
+            from ..core.schemes import _erk_stage_combination
+
             dx = x[..., 1] - x[..., 0]
             helpers_ext = halo_extend(helpers, h, axis, ndev, periodic)
-            ks = []
-            for i in range(s):
-                u_i = u
-                for j in range(i):
-                    if a[i, j]:
-                        u_i = u_i + (float(a[i, j]) * dt) * ks[j]
+
+            def eval_F(u_i):
                 u_i_ext = halo_extend(u_i, h, axis, ndev, periodic)
-                ks.append(backend.F_ext_impl(u_i_ext, helpers_ext, pstack,
-                                             x, dx))
-            u_new = u
-            for i in range(s):
-                if b[i]:
-                    u_new = u_new + (float(b[i]) * dt) * ks[i]
+                return backend.F_ext_impl(u_i_ext, helpers_ext, pstack,
+                                          x, dx)
+
+            u_new, err, _k = _erk_stage_combination(a, b, b_pred, s, dt,
+                                                    eval_F, u)
             if b_pred is not None:
-                diff = None
-                for i in range(s):
-                    c = b[i] - b_pred[i]
-                    if c:
-                        term = (float(c) * dt) * ks[i]
-                        diff = term if diff is None else diff + term
-                err = jnp.max(jnp.abs(diff))
-                err = jnp.where(jnp.isnan(err) | jnp.isinf(err), jnp.inf, err)
                 err = jax.lax.pmax(err, axis)
-            else:
-                err = jnp.full((), jnp.inf, dtype=u.dtype)
             return u_new, err
 
         spec_state, spec_x, none = self._specs()

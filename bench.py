@@ -350,9 +350,40 @@ BENCHES = [
 ]
 
 
+def _probe_device(timeout_s=300):
+    """Fail fast when the device backend is unreachable: a dead axon tunnel
+    makes the first jax backend touch hang indefinitely — probe it in a
+    subprocess with a hard timeout so the bench reports an error line
+    instead of hanging the driver."""
+    import subprocess
+
+    if os.environ.get("BENCH_SKIP_PROBE"):
+        return None
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return "device backend init timed out after %ss" % timeout_s
+    if res.returncode != 0:
+        return "device backend init failed: %s" % res.stderr.strip()[-200:]
+    return None
+
+
 def main():
     only = os.environ.get("BENCH_ONLY")
     selected = {s.strip() for s in only.split(",")} if only else None
+    err = _probe_device()
+    if err is not None:
+        for name, _fn in BENCHES:
+            if selected is not None and name not in selected:
+                continue
+            print(json.dumps({"metric": name, "value": 0.0,
+                              "unit": "cells/s", "vs_baseline": 0.0,
+                              "error": err}), flush=True)
+        return 1
     rc = 0
     for name, fn in BENCHES:
         if selected is not None and name not in selected:

@@ -205,6 +205,32 @@ def test_rk4_universal_time_stepping(heat_model):
     assert np.allclose(np.asarray(fields["T"]), expected, atol=1e-3)
 
 
+def test_erk_per_member_dt(heat_model):
+    """Explicit schemes compose with the per-member adaptive machinery:
+    each member's internal clock follows its own stability/accuracy limit
+    (dt ~ 1/k for explicit diffusion), so iteration counts spread with
+    stiffness."""
+    from triflow_tpu.parallel import Ensemble
+
+    N = 64
+    x = np.linspace(0, 10, N, endpoint=False)
+    omega = 2 * np.pi / 10
+    u0 = np.cos(omega * x)
+    dx = x[1] - x[0]
+    ks = [0.05, 2.0]
+    pars = [dict(k=k, periodic=True) for k in ks]
+    ens = Ensemble(heat_model, np.tile(u0, (2, 1)), pars, x,
+                   scheme=schemes.DOPRI5, tol=1e-6, per_member_dt=True)
+    t, u = ens.step(0.5)
+    assert t == pytest.approx(0.5)
+    iters = ens.member_iters
+    assert iters[0] < iters[1]  # stiffer member needs more attempts
+    for i, k in enumerate(ks):
+        lam = k * (2 - 2 * np.cos(omega * dx)) / dx ** 2
+        expected = np.cos(omega * x) * np.exp(-lam * 0.5)
+        assert np.allclose(np.asarray(u)[i, 0], expected, atol=1e-4)
+
+
 def test_erk_hook_dirichlet(heat_model):
     """Dirichlet hook traced inside the adaptive explicit loop."""
     N = 50

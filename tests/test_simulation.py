@@ -245,6 +245,29 @@ def test_run_device_chunk_matches_stepwise(heat_model):
     assert sim_b.status == "finished"
 
 
+def test_run_device_chunk_hook_tail(heat_model):
+    """Regression: after the chunked loop the state is bulk-fetched host
+    arrays; the stepwise tail (tmax not a multiple of dt) applies the hook
+    host-side and relies on jax .at[...] semantics — the driver must
+    restore device arrays before it."""
+    initial = make_fields(heat_model)
+    pars = dict(k=1.0, periodic=False)
+
+    def dirichlet(t, fields, parameters):
+        fields["T"] = fields["T"].at[0].set(1.0).at[-1].set(1.0)
+        return fields, parameters
+
+    kw = dict(hook=dirichlet, dt=1.0, tmax=6.5, tol=1e-2)
+    sim_a = Simulation(heat_model, initial.copy(), dict(pars), **kw)
+    ta, fa = sim_a.run(progress=False)
+    sim_b = Simulation(heat_model, initial.copy(), dict(pars), **kw)
+    tb, fb = sim_b.run(progress=False, device_chunk=4)
+    assert np.isclose(ta, tb)
+    assert np.asarray(fb["T"])[0] == pytest.approx(1.0)
+    assert np.allclose(np.asarray(fa["T"]), np.asarray(fb["T"]),
+                       rtol=1e-10, atol=1e-12)
+
+
 def test_device_time_stepping_theta(heat_model):
     """The universal step-doubling wrapper runs as ONE device-resident
     lax.while_loop per output step (VERDICT r1: the host-loop formulation

@@ -209,18 +209,26 @@ class _SchemeBase:
             jnp.asarray(t, u.dtype), u, helpers, pstack, x,
             jnp.asarray(dt, u.dtype), jnp.asarray(internal_dt, u.dtype),
             int(n))
-        t2, _u2, _c2, _h2, _p2, x2, dt_i, status = carry
+        _t2, _u2, _c2, _h2, _p2, x2, dt_i, _status = carry
         if hasattr(self, "_internal_dt"):
-            self._internal_dt = float(dt_i)
+            # keep the adapted dt device-resident: it is fed straight back
+            # into the next chunk's scan, and a float() here is a full
+            # device->host scalar roundtrip per chunk (~25 ms tunneled)
+            self._internal_dt = dt_i
+        # ONE bulk transfer per stacked output instead of a scalar sync for
+        # t/status plus one array fetch per snapshot downstream
         ts = np.asarray(ts)
-        status = int(status)
         sts = np.asarray(sts)
+        us = np.asarray(us)
+        hs = np.asarray(hs)
+        status = int(sts[-1]) if int(n) else 0
         n_valid = int(n) if status == 0 else int(np.argmax(sts != 0))
         snapshots = [
             (float(ts[i]), self._rebuild(fields, us[i], hs[i], x2))
             for i in range(n_valid)
         ]
-        return float(t2), snapshots, status
+        t_final = float(ts[-1]) if int(n) else float(t)
+        return t_final, snapshots, status
 
     def _fixed_step_fn(self, problem):
         raise NotImplementedError(
@@ -461,8 +469,31 @@ def _adaptive_embedded_loop(fixed_step, *, tol, safety, max_iter, dt_min,
         dt0 = internal_dt if interpolate else jnp.minimum(internal_dt, dt)
         carry = pack(t, t, u, u, jnp.zeros_like(u), helpers, pstack, x,
                      dt0, jnp.int32(0), jnp.int32(0))
+        import os as _os
+
+        chunk = int(_os.environ.get("TRIFLOW_ADAPT_SCAN", 0))
+        if chunk > 1:
+            # experimental (same knob as the ROW folded path): run the
+            # retry loop as a while_loop of CHUNK-length scans with no-op
+            # masking after completion — scan iterations pipeline where
+            # while_loop iterations serialize, at the cost of <= CHUNK-1
+            # masked wasted attempts per output step.  Decisions are
+            # identical, so the trajectory is bit-equal to the plain loop.
+            def body_scan(c, _):
+                live = (c[0] < next_t - eps) & (c[-1] == 0)
+                new = body(c)
+                c = jax.tree_util.tree_map(
+                    lambda o, nw: jnp.where(live, nw, o), c, new)
+                return c, ()
+
+            def body_chunk(c):
+                return jax.lax.scan(body_scan, c, length=chunk)[0]
+
+            final = jax.lax.while_loop(cond, body_chunk, carry)
+        else:
+            final = jax.lax.while_loop(cond, body, carry)
         (t2, tp, up, u2, _cu, h2, p2, x2, dt_i, niter,
-         status) = unpack(jax.lax.while_loop(cond, body, carry))
+         status) = unpack(final)
         if interpolate:
             # state at next_t from the bracketing internal steps
             # (reference schemes.py:213-227); t2 >= next_t on a clean exit

@@ -356,6 +356,16 @@ class Simulation(object):
                 if status == 2:
                     raise RuntimeError(
                         "Rosenbrock internal time step less than authorized")
+            # chunk snapshots are bulk-fetched host arrays; restore jax
+            # array semantics (hooks rely on .at[...] functional updates)
+            # for the stepwise tail and any later host-side stepping
+            if hasattr(self.model, "backend"):
+                import jax.numpy as jnp
+
+                dtype = self.model.backend.dtype
+                for key in self.fields.keys():
+                    self.fields[key] = jnp.asarray(self.fields[key],
+                                                   dtype=dtype)
             # final partial step (if tmax is not a multiple of dt)
             while not np.isclose(self.t, self.tmax):
                 t, fields, pars = self._compute_one_step(

@@ -128,6 +128,32 @@ def test_ensemble_scanned_steps_match_loop(burgers):
                        rtol=1e-12, atol=1e-14)
 
 
+def test_ensemble_merged_gated_off_for_compensated_refine(monkeypatch):
+    """Regression: the merged folded core has no Kahan accumulation and no
+    refinement hook — constructing an Ensemble with compensated=True or
+    refine>0 must fall back to the vmapped paths (which honor both), not
+    silently drop the options."""
+    monkeypatch.setenv("TRIFLOW_PALLAS_INTERPRET", "1")
+    model = Model("-dxxU - dxxxxU - U * dxU", "U")
+    N, B = 1024, 4
+    x = np.arange(N) * 0.5
+    rng = np.random.RandomState(3)
+    u0 = np.stack([np.cos(2 * np.pi * np.arange(N) / N * (3 + m))
+                   + 0.05 * rng.randn(N) for m in range(B)])
+    base = Ensemble(model, u0, dict(periodic=True), x,
+                    scheme=schemes.RODASPR, time_stepping=False, tol=None)
+    assert base._merged_plan is not None
+    base.step(0.02)
+    for kw in (dict(compensated=True), dict(refine=1)):
+        ens = Ensemble(model, u0, dict(periodic=True), x,
+                       scheme=schemes.RODASPR, time_stepping=False,
+                       tol=None, **kw)
+        assert ens._merged_plan is None, kw
+        ens.step(0.02)
+        assert np.allclose(np.asarray(ens.u), np.asarray(base.u),
+                           rtol=1e-6, atol=1e-8), kw
+
+
 @pytest.mark.parametrize("periodic", [True, False])
 def test_ensemble_merged_members_as_chunks(monkeypatch, periodic):
     """The members-as-chunks folded ensemble (ops/folded.py

@@ -177,6 +177,41 @@ def test_sharded_adaptive_matches_single_device(ks_model):
                        rtol=1e-8, atol=1e-8)
 
 
+def test_sharded_time_stepping_wrapper_plan_gate(ks_model, monkeypatch):
+    """Regression: DeviceTimeStepping's folded-carry gate must route
+    through the INNER scheme's _folded_plan_for — the sharded mixin
+    overrides it to None, and bypassing that would fold mesh-sharded
+    global state through single-address-space kernels."""
+    monkeypatch.setenv("TRIFLOW_PALLAS_INTERPRET", "1")
+    sm = SpatialModel(ks_model, make_mesh(), periodic=True)
+    cls = sm.scheme_class(schemes.Theta)
+    inner = cls(ks_model, theta=1.0)
+    wrapped = schemes.time_stepping(inner, tol=1e-2, m=4)
+    assert isinstance(wrapped, schemes.DeviceTimeStepping)
+    problem = schemes._DeviceProblem(ks_model, schemes.null_hook, True)
+    N = 2048  # large enough that a fold plan exists in interpret mode
+    x = np.arange(N) * 0.5
+    u = jnp.asarray(np.cos(0.1 * x)[None], ks_model.backend.dtype)
+    # a plain Theta in interpret mode DOES yield a plan — the override,
+    # not the environment, is what disables the folded path here
+    plain = schemes.Theta(ks_model, theta=1.0)
+    assert plain._folded_plan_for(
+        problem, u, jnp.asarray(x, ks_model.backend.dtype)) is not None
+    # the wrapper's gate resolves the plan via the inner (sharded) scheme
+    assert wrapped._inner._folded_plan_for(
+        problem, u, jnp.asarray(x, ks_model.backend.dtype)) is None
+
+
+def test_sharded_refine_raises(ks_model):
+    """refine>0 has no sharded implementation — the scheme must say so
+    instead of silently returning unrefined solves."""
+    sm = SpatialModel(ks_model, make_mesh(), periodic=True)
+    cls = sm.scheme_class(schemes.RODASPR)
+    scheme = cls(ks_model, time_stepping=False, tol=None, refine=1)
+    with pytest.raises(NotImplementedError, match="refine"):
+        scheme.device_fixed_step(periodic=True)
+
+
 def test_sharded_erk_matches_single_device():
     """Explicit adaptive RK (DOPRI5) on the sharded grid: stages are halo
     rings + local F, error pmax-reduced; must match the single-device

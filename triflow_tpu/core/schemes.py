@@ -56,6 +56,11 @@ def _seed_internal_dt(scheme, dt):
     on a perfectly healthy problem."""
     if not getattr(scheme, "_time_control", False):
         return dt
+    if getattr(scheme, "_seed_with_dt", False):
+        # Richardson wrapper semantics (reference schemes.py:33-66): the
+        # first coarse attempt IS the output dt; seeding smaller makes
+        # chunked runs diverge from the stepwise __call__ path
+        return dt
     dt_min = getattr(scheme, "_dt_min", None)
     seed = 1e-6
     if dt_min is not None:
@@ -234,6 +239,17 @@ class _SchemeBase:
         raise NotImplementedError(
             f"{type(self).__name__} does not expose a single fixed step"
         )
+
+    def _folded_plan_for(self, problem, u, x):
+        """Folded-layout plan for the hot path; spatial/sharded subclasses
+        override this to return None (the folded kernels assume a single
+        address space).  EVERY folded-path gate must go through this
+        method — never call ops.folded.folded_plan_for directly on a
+        scheme's state — or sharded schemes get routed through
+        single-device kernels."""
+        from ..ops import folded as _folded
+
+        return _folded.folded_plan_for(problem.backend, u, x)
 
     def _split(self, fields, pars):
         backend = self._model.backend
@@ -561,13 +577,6 @@ class ROW_general(_SchemeBase):
     def _tables(self):
         return (self._a_t, self._c_t, self._m_t, self._m_pred_t,
                 self._gamma[0, 0])
-
-    def _folded_plan_for(self, problem, u, x):
-        """Folded-layout plan for the hot path; spatial/sharded subclasses
-        return None (the folded kernels assume a single address space)."""
-        from ..ops import folded as _folded
-
-        return _folded.folded_plan_for(problem.backend, u, x)
 
     def _fixed_step_fn(self, problem):
         tables = self._tables
@@ -1411,6 +1420,7 @@ class DeviceTimeStepping(_SchemeBase):
         self._m = m
         self._reject_factor = reject_factor
         self._time_control = True
+        self._seed_with_dt = True  # first coarse attempt = the output dt
         self._internal_dt = None
         self._internal_iter = None
 
@@ -1466,7 +1476,10 @@ class DeviceTimeStepping(_SchemeBase):
             # sub-step (2(m+1) per attempt)
             from ..ops import folded as _folded
 
-            plan = (_folded.folded_plan_for(problem.backend, u, x)
+            # route through the INNER scheme's plan hook: sharded mixins
+            # override it to None, and bypassing that would fold/unfold
+            # mesh-sharded global state through single-device kernels
+            plan = (self._inner._folded_plan_for(problem, u, x)
                     if core_builder is not None
                     and problem.hook is null_hook else None)
             if plan is not None:
@@ -1605,23 +1618,31 @@ def _host_time_stepping(scheme, tol=1e-1, ord=2, m=10, reject_factor=2):
         target = t + dt
         h = carry["dt"] or dt
         while target - t > 1e-10 * max(1.0, abs(target)):
-            h = min(h, target - t)
-            _tc, coarse = scheme(t, fields, h, pars, hook)
+            # clamp only the attempt, not the carried step size: feeding
+            # the clamped final sliver back into h would collapse the
+            # adapted dt at every output boundary (DeviceTimeStepping's
+            # accept&clamped rule, reference wrapper semantics)
+            h_eff = min(h, target - t)
+            clamped = h_eff < h
+            _tc, coarse = scheme(t, fields, h_eff, pars, hook)
             t_f, fine = t, fields
             for _ in range(m):
-                t_f, fine = scheme(t_f, fine, h / m, pars, hook)
+                t_f, fine = scheme(t_f, fine, h_eff / m, pars, hook)
             err = max(
                 np.linalg.norm(
                     np.asarray(coarse[v]) - np.asarray(fine[v]), ord
                 ) / (m * m - 1)
                 for v in fields.dependent_variables
             )
-            h_next = np.sqrt(h * h * tol / err) if err > 0 else 2 * h
-            h_next = float(np.clip(h_next, 0.1 * h, 10.0 * h))
-            if h_next < h / reject_factor:
+            h_next = (np.sqrt(h_eff * h_eff * tol / err) if err > 0
+                      else 2 * h_eff)
+            h_next = float(np.clip(h_next, 0.1 * h_eff, 10.0 * h_eff))
+            if h_next < h_eff / reject_factor:
                 h = h_next  # rejected: retry the same interval smaller
                 continue
-            t, fields, h = t_f, fine, h_next
+            t, fields = t_f, fine
+            if not clamped:
+                h = h_next
         carry["dt"] = h
         return target, fields
 

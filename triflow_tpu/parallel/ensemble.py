@@ -217,6 +217,11 @@ class Ensemble:
             return None
         if not isinstance(scheme, schemes_mod.ROW_general):
             return None
+        if scheme._compensated or getattr(scheme, "_refine", 0):
+            # the merged folded core has no Kahan accumulation and no
+            # residual-refinement hook: fall back to the vmapped paths,
+            # which honor both, rather than silently dropping the options
+            return None
         backend = self.model.backend
         picked = self._pick_group_plan(backend)
         if picked is None:
@@ -450,6 +455,7 @@ class Ensemble:
         max_iter = self._scheme._max_iter
         dt_min = self._scheme._dt_min
         expo = getattr(self._scheme, "_err_exponent", 0.5)
+        compensated = self._scheme._compensated
         B = self.B
 
         def stepper(t, u, helpers, pstack, x, dt, internal_dt):
@@ -460,11 +466,11 @@ class Ensemble:
             dtb0 = jnp.minimum(jnp.broadcast_to(internal_dt, (B,)), dt)
 
             def cond(carry):
-                tb, u, h, p, dtb, nb, status = carry
+                tb, u, cu, h, p, dtb, nb, status = carry
                 return jnp.any(tb < next_t - eps) & (status == 0)
 
             def body(carry):
-                tb, u, h, p, dtb, nb, status = carry
+                tb, u, cu, h, p, dtb, nb, status = carry
                 active = tb < next_t - eps
                 remaining = next_t - tb
                 clamped = dtb >= remaining
@@ -479,7 +485,14 @@ class Ensemble:
                 dtb = jnp.where(active & ~(accept & clamped), dt_next, dtb)
                 tb = jnp.where(accept, tb + dt_eff, tb)
                 sel = accept[:, None, None]
-                u = jnp.where(sel, u2, u)
+                if compensated:
+                    from ..ops.compensated import kahan_update
+
+                    uk, ck = kahan_update(u, cu, u2)
+                    u = jnp.where(sel, uk, u)
+                    cu = jnp.where(sel, ck, cu)
+                else:
+                    u = jnp.where(sel, u2, u)
                 h = jnp.where(sel, h2, h)
                 p = jnp.where(sel, p2, p)
                 nb = nb + active.astype(jnp.int32)
@@ -494,11 +507,11 @@ class Ensemble:
                 still = tb < next_t - eps
                 status = jnp.where(jnp.any(still & (dtb < dt_floor)),
                                    jnp.int32(2), status)
-                return (tb, u, h, p, dtb, nb, status)
+                return (tb, u, cu, h, p, dtb, nb, status)
 
-            carry = (tb0, u, helpers, pstack, dtb0,
+            carry = (tb0, u, jnp.zeros_like(u), helpers, pstack, dtb0,
                      jnp.zeros((B,), jnp.int32), jnp.int32(0))
-            tb, u2, h2, p2, dtb, nb, status = jax.lax.while_loop(
+            tb, u2, _cu, h2, p2, dtb, nb, status = jax.lax.while_loop(
                 cond, body, carry)
             return next_t, u2, h2, p2, dtb, status, nb
 
@@ -556,36 +569,49 @@ class Ensemble:
             B = self.B
 
             adaptive = self._adaptive
+            compensated = (self._scheme._compensated and not adaptive)
 
             def scan_run(t, u, h, p, x, dt, internal_dt, n):
-                def step_once(i, t, u, h, p, dt_i, status, nb):
+                def step_once(i, t, u, cu, h, p, dt_i, status, nb):
                     out = stepper(t, u, h, p, x, dt, dt_i)
                     if per_member:
                         t2, u2, h2, p2, dt_i2, st2, nb2 = out
                         nb = nb + nb2
                     else:
                         t2, u2, h2, p2, dt_i2, st2 = out
-                    return (i + jnp.int32(1), t2, u2, h2, p2, dt_i2,
+                    if compensated:
+                        # Kahan-compensate the per-step increments across
+                        # the scan (the adaptive steppers compensate inside
+                        # their own while_loops)
+                        from ..ops.compensated import kahan_update
+
+                        u2, cu = kahan_update(u, cu, u2)
+                    return (i + jnp.int32(1), t2, u2, cu, h2, p2, dt_i2,
                             jnp.maximum(status, st2), nb)
 
-                carry = (jnp.int32(0), t, u, h, p, internal_dt,
-                         jnp.int32(0), jnp.zeros((B,), jnp.int32))
+                carry = (jnp.int32(0), t, u, jnp.zeros_like(u), h, p,
+                         internal_dt, jnp.int32(0),
+                         jnp.zeros((B,), jnp.int32))
                 if adaptive:
                     # early-exit while_loop (no per-step outputs are
                     # stacked): once any member trips a status code the
                     # remaining output steps are NOT computed on garbage
                     # state
                     def cond(c):
-                        i, _t, _u, _h, _p, _dti, status, _nb = c
+                        i = c[0]
+                        status = c[-2]
                         return (i < n) & (status == 0)
 
-                    return jax.lax.while_loop(
-                        cond, lambda c: step_once(*c), carry)[1:]
-                # fixed-dt: status is constant 0 — keep lax.scan (static
-                # trip count pipelines where a while_loop serializes)
-                final, _ = jax.lax.scan(
-                    lambda c, _: (step_once(*c), ()), carry, length=n)
-                return final[1:]
+                    final = jax.lax.while_loop(
+                        cond, lambda c: step_once(*c), carry)
+                else:
+                    # fixed-dt: status is constant 0 — keep lax.scan
+                    # (static trip count pipelines where a while_loop
+                    # serializes)
+                    final, _ = jax.lax.scan(
+                        lambda c, _: (step_once(*c), ()), carry, length=n)
+                i_, t2, u2, _cu, h2, p2, dti2, st2, nb2 = final
+                return t2, u2, h2, p2, dti2, st2, nb2
 
             self._scan_stepper = jax.jit(scan_run, static_argnums=(7,))
         idt = jnp.asarray(internal_dt, backend.dtype)

@@ -634,6 +634,12 @@ class _SpatialSchemeMixin:
 class _SpatialROWMixin(_SpatialSchemeMixin):
     def _fixed_step_fn(self, problem):
         sm = self._spatial
+        if getattr(self, "_refine", 0):
+            # the sharded SPIKE core has no residual-matvec refinement pass
+            # — failing beats silently returning unrefined solves
+            raise NotImplementedError(
+                "refine > 0 is not implemented for mesh-sharded schemes; "
+                "use compensated=True or f64 for extra accuracy")
         core = sm._row_core(self._tables, self._s, problem.periodic)
 
         def fixed_step(t, u, helpers, pstack, x, dt):

@@ -246,12 +246,15 @@ class LazyTimeSeries:
             if not len(sel):
                 continue
             local = rows[sel] - lo
-            order = np.argsort(local)
+            # h5py fancy selection requires strictly increasing unique
+            # indices: read each distinct row once, then scatter it to
+            # every output position that requested it (repeats allowed)
+            uniq, inverse = np.unique(local, return_inverse=True)
             with h5py.File(p, "r") as f:
                 for k in self._var_names:
-                    block = f["data_vars"][k][np.asarray(local)[order]]
-                    for j, i_out in enumerate(sel[order]):
-                        out[k][i_out] = block[j]
+                    block = f["data_vars"][k][uniq]
+                    for j, i_out in enumerate(sel):
+                        out[k][i_out] = block[inverse[j]]
         return {k: np.stack(v) for k, v in out.items()}
 
     def isel(self, t=None, **ignored):

@@ -72,7 +72,18 @@ class Display:
         self._on_disk_name = on_disk_name
         self._fmt = fmt
         self._renderer_args = renderer_args
-        self._fig = self._plt.figure()
+        if asynchronous:
+            # the worker thread renders the figure: GUI backends (Tk/Qt)
+            # forbid drawing off the main thread, so the async path uses a
+            # standalone Agg figure decoupled from any pyplot event loop
+            # (off-screen rendering; frames still reach on_disk)
+            from matplotlib.backends.backend_agg import FigureCanvasAgg
+            from matplotlib.figure import Figure
+
+            self._fig = Figure()
+            FigureCanvasAgg(self._fig)
+        else:
+            self._fig = self._plt.figure()
         self._writers = []
         self._every = max(1, int(every))
         self._count = 0

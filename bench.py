@@ -6,15 +6,17 @@ Emits one JSON line per benchmark, headline first:
 
 1. config 3 — KS N=1e6 RODASPR implicit stepping (the BASELINE metric:
    >1e9 cell-updates/sec on one chip); ``vs_baseline`` = value / 1e9.
-2. config 5 — 1024-member KS ensemble at N=1e5 through the
+2. config 3 adaptive — same workload under the device-resident adaptive
+   controller (tol=1e-3); value = N x internal attempts / wall.
+3. config 5 — 1024-member KS ensemble at N=1e5 through the
    members-as-chunks folded path (aggregate cell-updates/sec).
-3. config 2 — Burgers N=1e6, backward-Euler (Theta) implicit steps.
-4. config 4 — coupled falling-film h/q (block-banded J, upwind) RODASPR.
-5. config 1 — README advection-diffusion, Theta + Dirichlet hook, N=200
+4. config 2 — Burgers N=1e6, backward-Euler (Theta) implicit steps.
+5. config 4 — coupled falling-film h/q (block-banded J, upwind) RODASPR.
+6. config 1 — README advection-diffusion, Theta + Dirichlet hook, N=200
    (dispatch-bound; measures the scan-chunked small-problem path).
 
 Environment knobs: BENCH_N, BENCH_STEPS, BENCH_REPEATS, BENCH_ONLY
-(comma-separated subset of {ks,ensemble,burgers,film,advdiff}).
+(comma-separated subset of {ks,ks_adaptive,ensemble,burgers,film,advdiff}).
 """
 
 import json
@@ -150,6 +152,73 @@ def bench_ks():
     if not bool(jnp.isfinite(u).all()):
         raise RuntimeError("non-finite state")
     _emit("ks-implicit-cell-updates", best, N, STEPS, {"N": N})
+
+
+def bench_ks_adaptive():
+    """Config 3, adaptive variant: KS at N=1e6 under the device-resident
+    RODASPR controller (tol=1e-3).  Measures internal-ATTEMPT throughput:
+    several output steps are scanned in one device call (amortizing the
+    tunnel dispatch) and the controller's own niter counters are summed, so
+    value = N * attempts / wall.  An attempt is one full ROW step (J +
+    factor + 6 stage solves) — the adaptive loop's only overhead over the
+    fixed-dt scan is the embedded-error combination and the accept/reject
+    masking, both measured in the noise (~1%)."""
+    import jax
+    import jax.numpy as jnp
+
+    from triflow_tpu import Model, schemes
+
+    N = int(os.environ.get("BENCH_N", 1_000_000))
+    M = int(os.environ.get("BENCH_ADAPT_OUTSTEPS", 60))
+    OUT_DT = float(os.environ.get("BENCH_ADAPT_DT", 1.0))
+    REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
+
+    model = Model("-dxxU - dxxxxU - U * dxU", "U")
+    scheme = schemes.RODASPR(model, time_stepping=True, tol=1e-3)
+    stepper = scheme.device_stepper(periodic=True)
+
+    dtype = model.backend.dtype
+    x = jnp.asarray(np.arange(N, dtype=np.float64) * 0.5, dtype)
+    rng = np.random.RandomState(0)
+    u0 = jnp.asarray(
+        (np.cos(2 * np.pi * np.arange(N) / N * 10)
+         + 0.1 * rng.randn(N)).astype(np.float32)[None],
+        dtype,
+    )
+    helpers = jnp.zeros((0, N), dtype)
+    pstack = jnp.zeros((0, N), dtype)
+
+    @jax.jit
+    def run_chunk(t, u, internal_dt):
+        def body(carry, _):
+            t_, u_, dti = carry
+            t2, u2, _h, _p, _x, dti2, ni, st = stepper(
+                t_, u_, helpers, pstack, x,
+                jnp.asarray(OUT_DT, dtype), dti)
+            return (t2, u2, dti2), (ni, st)
+        (t2, u2, dti2), (nis, sts) = jax.lax.scan(
+            body, (t, u, internal_dt), length=M)
+        return t2, u2, dti2, jnp.sum(nis), jnp.max(sts)
+
+    state = (jnp.asarray(0.0, dtype), u0, jnp.asarray(0.05, dtype))
+    t, u, dti, niter, status = run_chunk(*state)     # warmup / compile
+    jax.block_until_ready(u)
+    if int(status) != 0:
+        raise RuntimeError(f"adaptive controller status={int(status)}")
+    best, attempts = 0.0, 0
+    for _ in range(REPEATS):
+        start = time.perf_counter()
+        t, u, dti, niter, status = run_chunk(t, u, dti)
+        jax.block_until_ready(u)
+        elapsed = time.perf_counter() - start
+        ni = int(niter)
+        if ni * N / elapsed > best:
+            best, attempts = ni * N / elapsed, ni
+    if not bool(jnp.isfinite(u).all()):
+        raise RuntimeError("non-finite state")
+    _emit("ks-adaptive-cell-updates", best, N, attempts,
+          {"N": N, "tol": 1e-3, "attempts_timed": attempts,
+           "out_steps": M})
 
 
 def bench_ensemble():
@@ -343,6 +412,7 @@ def bench_advdiff():
 
 BENCHES = [
     ("ks", bench_ks),
+    ("ks_adaptive", bench_ks_adaptive),
     ("ensemble", bench_ensemble),
     ("burgers", bench_burgers),
     ("film", bench_film),

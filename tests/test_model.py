@@ -157,6 +157,22 @@ def test_model_api(compiler, periodic):
     model.J(fields, parameters)
 
 
+def test_functional_form_with_order():
+    """``dx(U, n)`` functional form: the explicit order wins over the
+    token's order (docstring contract of generate_sympify_namespace)."""
+    x = np.linspace(0, 2 * np.pi, 256, endpoint=False)
+    m_tok = Model("k * dxxU", "U", "k")
+    m_fun = Model("k * dx(U, 2)", "U", "k")
+    fields_tok = m_tok.fields_template(x=x, U=np.cos(x))
+    fields_fun = m_fun.fields_template(x=x, U=np.cos(x))
+    pars = dict(k=1.0, periodic=True)
+    assert np.allclose(np.asarray(m_tok.F(fields_tok, pars)),
+                       np.asarray(m_fun.F(fields_fun, pars)))
+    # beyond the centered library without high_order -> NotImplementedError
+    with pytest.raises(NotImplementedError):
+        Model("dx(U, 12)", "U")
+
+
 def test_high_order_extension():
     """Beyond-reference capability: arbitrary-order stencils behind the
     high_order opt-in."""

@@ -69,8 +69,10 @@ def generate_sympify_namespace(independent_variable, dependent_variables, helper
     """
     x = Symbol(independent_variable)
 
-    def partial_derivative(order, expr):
-        return Derivative(expr, x, order)
+    def partial_derivative(order, expr, n=None):
+        # ``dx(U)`` / ``dxx(U)`` use the token's order; ``dx(U, n)`` names
+        # the order explicitly (n wins over the token form)
+        return Derivative(expr, x, int(n) if n is not None else order)
 
     namespace = {independent_variable: x}
     namespace.update(

@@ -328,10 +328,16 @@ class _FoldedStencilCall:
                 + per_row_extra)
         # wide-operand (fused-stage) calls get a larger tile budget so the
         # K-tile doesn't collapse (Kb 8 -> 4 at n_u=7 costs more in per-
-        # grid-step overhead than the fusion saves in traffic)
+        # grid-step overhead than the fusion saves in traffic).  4MB is the
+        # measured ceiling: the ``rows`` estimate below undercounts the
+        # kernel's scoped-VMEM stack (halo windows appear per stage vector,
+        # plus the combined window and centers kept for the bias combos), and
+        # 8MB admitted tiles whose true stack hit ~18MB > the 16MB Mosaic
+        # scoped limit (grouped-ensemble OOM at B_g=32); 4MB also measures
+        # FASTER at the B=1024 x N=1e5 spec point (4.6 vs 3.8 G cells/s).
         if n_u > 1:
             import os as _os
-            budget = int(_os.environ.get("TRIFLOW_FUSED_BUDGET_MB", 8)) << 20
+            budget = int(_os.environ.get("TRIFLOW_FUSED_BUDGET_MB", 4)) << 20
         else:
             budget = 2 << 20
         self.Kb = _pick_kb(plan.K, rows * plan.Cp * item, budget=budget)

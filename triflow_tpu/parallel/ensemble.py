@@ -157,14 +157,29 @@ class Ensemble:
             self.pstack = jax.device_put(self.pstack, sharding)
         return stepper
 
+    # group-plan cost-model constants, fitted to measured v5e step times at
+    # B=1024 x N=1e5 (KS/RODASPR, 50-step scans) — see _pick_group_plan:
+    #   B_g  =    8     16     32     64    1024
+    #   meas = 25.6   22.2   66.3   96.6    99.2   ms/step
+    #   model= 25.3   22.1  128.0    ...   123.0   (ranking preserved)
+    _GROUP_OVERHEAD_US = 70.0      # per-group launch-sequence overhead
+    _SWEEP_ITER_US = 5.0           # per sequential sweep row-block iteration
+    _CELL_RESIDENT_US = 1.1e-4     # ~9 G cells/s when the group fits VMEM
+    _CELL_SPILLED_US = 1.15e-3     # ~0.9 G cells/s once buffers hit HBM
+    _VMEM_RESIDENT_BYTES = 100 << 20   # v5e VMEM is 128MB; leave headroom
+
     def _pick_group_plan(self, backend):
         """Choose the member-group size B_g (a divisor of B): each group of
-        members folds into one chunk system, picked for the SHALLOWEST
-        factor/solve sweep depth, and the groups run under a lax.scan (one
-        launch sequence per group, all device-resident).  Folding a huge
-        batch into a single system forces tiny per-member chunk counts
-        whose deep sequential sweeps dominate (measured: B=1024 x N=1e5
-        ran 6x slower than the per-cell rate of B=16 before grouping)."""
+        members folds into one chunk system and the groups run under a
+        lax.scan (one launch sequence per group, all device-resident).
+
+        Three measured effects compete (constants above).  Folding the whole
+        batch into one system forces tiny per-member chunk counts whose deep
+        sequential sweeps dominate; thousands of tiny groups lose to the
+        fixed per-group overhead; and — the largest effect — once the
+        group's per-step working set (state + stage vectors + band/factor
+        rows) spills out of VMEM, per-cell cost rises ~10x (B=1024 x N=1e5
+        measured 4.6 G cells/s at B_g=16 vs 1.03 at B_g=1024)."""
         import os
 
         from ..ops import folded as fl
@@ -172,6 +187,13 @@ class Ensemble:
 
         B, N = self.B, self.N
         item = jnp.dtype(backend.dtype).itemsize
+        nvar = backend.system.nvar
+        stages = getattr(self._scheme, "_s", 6)
+        # rows of the per-cell working set live across one step: state +
+        # output, s stage vectors, the banded J/factor block rows, plus one
+        # slot per helper/parameter operand
+        ws_rows = (2 + stages + 0 + len(backend.system.help_funcs)
+                   + len(backend.system.pars))
         forced = int(os.environ.get("TRIFLOW_ENSEMBLE_BG", 0))
         best = None
         for Bg in sorted({d for d in range(1, B + 1) if B % d == 0},
@@ -186,13 +208,15 @@ class Ensemble:
             blk = plan.s * plan.s * plan.Cp * item
             r = row_block(plan.Mc, band + 4 * blk,
                           budget=6 * 1024 * 1024) or 1
-            # cost model (measured on v5p): a step costs roughly
-            # (fixed per-group kernel overhead ~= 150 grid-steps-equivalent)
-            # + the sequential sweep depth, summed over groups.  Minimizing
-            # depth alone picks thousands of tiny groups and loses 25x to
-            # the fixed overhead.
             groups = B // Bg
-            score = (groups * (150 + plan.Mc // r), groups)
+            ws = Bg * N * nvar * item * (ws_rows + plan.W * nvar)
+            per_cell = (self._CELL_RESIDENT_US
+                        if ws <= self._VMEM_RESIDENT_BYTES
+                        else self._CELL_SPILLED_US)
+            est_us = (groups * (self._GROUP_OVERHEAD_US
+                                + self._SWEEP_ITER_US * (plan.Mc // r))
+                      + B * N * nvar * per_cell)
+            score = (est_us, groups)
             if best is None or score < best[0]:
                 best = (score, Bg, plan)
         if best is None:

@@ -326,7 +326,9 @@ def bench_film():
     from triflow_tpu import Model, schemes
 
     N = int(os.environ.get("BENCH_FILM_N", 262_144))
-    STEPS = int(os.environ.get("BENCH_FILM_STEPS", 100))
+    # 1000 steps per device call: at 100 the ~20ms tunnel dispatch was 60%
+    # of wall (device rate 2.8 G cells/s, wall reported 1.15)
+    STEPS = int(os.environ.get("BENCH_FILM_STEPS", 1000))
     REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
     dt = 0.01
 

@@ -16,7 +16,8 @@ Emits one JSON line per benchmark, headline first:
    (dispatch-bound; measures the scan-chunked small-problem path).
 
 Environment knobs: BENCH_N, BENCH_STEPS, BENCH_REPEATS, BENCH_ONLY
-(comma-separated subset of {ks,ks_adaptive,ensemble,burgers,film,advdiff}).
+(comma-separated subset of {ks,ks_scaling,ks_adaptive,ensemble,burgers,
+film,advdiff}).
 """
 
 import json
@@ -79,21 +80,15 @@ def _time_chunks(run_chunk, state, repeats, work_per_chunk):
     return best, state
 
 
-def bench_ks():
-    """Config 3: KS at N=1e6, RODASPR fixed implicit steps, folded-native
-    scan (the headline BASELINE metric)."""
+def _ks_throughput(N, STEPS, REPEATS, double=False):
+    """Best-of-repeats cell-updates/s of KS RODASPR fixed implicit steps at
+    grid size N, folded-native scan of STEPS steps per device call."""
     import jax
     import jax.numpy as jnp
 
     from triflow_tpu import Model, schemes
 
-    N = int(os.environ.get("BENCH_N", 1_000_000))
-    STEPS = int(os.environ.get("BENCH_STEPS", 500))
-    REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
-    double = bool(int(os.environ.get("BENCH_DOUBLE", "0")))
     if double:
-        import jax
-
         jax.config.update("jax_enable_x64", True)
 
     model = Model("-dxxU - dxxxxU - U * dxU", "U", double=double)
@@ -151,7 +146,30 @@ def bench_ks():
                                 REPEATS, N * STEPS)
     if not bool(jnp.isfinite(u).all()):
         raise RuntimeError("non-finite state")
+    return best
+
+
+def bench_ks():
+    """Config 3: KS at N=1e6, RODASPR fixed implicit steps, folded-native
+    scan (the headline BASELINE metric)."""
+    N = int(os.environ.get("BENCH_N", 1_000_000))
+    STEPS = int(os.environ.get("BENCH_STEPS", 500))
+    REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
+    double = bool(int(os.environ.get("BENCH_DOUBLE", "0")))
+    best = _ks_throughput(N, STEPS, REPEATS, double=double)
     _emit("ks-implicit-cell-updates", best, N, STEPS, {"N": N})
+
+
+def bench_ks_scaling():
+    """BASELINE metric's scaling dimension: cell-updates/s and wall-time
+    per implicit step at KS N=1e4 and 1e5 (N=1e6 is the headline line).
+    Steps per device call scale inversely with N so device work stays
+    ~O(100ms) and the tunnel dispatch is amortized at every size."""
+    REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
+    for N, steps in ((10_000, 20_000), (100_000, 4_000)):
+        best = _ks_throughput(N, steps, REPEATS)
+        _emit("ks-scaling-cell-updates", best, N, steps,
+              {"N": N, "us_per_step": round(N / best * 1e6, 2)})
 
 
 def bench_ks_adaptive():
@@ -414,6 +432,7 @@ def bench_advdiff():
 
 BENCHES = [
     ("ks", bench_ks),
+    ("ks_scaling", bench_ks_scaling),
     ("ks_adaptive", bench_ks_adaptive),
     ("ensemble", bench_ensemble),
     ("burgers", bench_burgers),

@@ -395,7 +395,9 @@ def bench_advdiff():
     from triflow_tpu import Model, schemes
 
     N = 200
-    STEPS = int(os.environ.get("BENCH_ADVDIFF_STEPS", 500))
+    # 5000 steps per device call: the step is 13.4us of device
+    # time at N=200, so 500-step scans were 4:1 dispatch-dominated
+    STEPS = int(os.environ.get("BENCH_ADVDIFF_STEPS", 5000))
     REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
     dt = 5.0
 

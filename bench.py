@@ -113,7 +113,24 @@ def _ks_throughput(N, STEPS, REPEATS, double=False):
     # the chunk-native layout, paying the fold/unfold transpose once per
     # chunk instead of per step (ops/folded.py)
     folded_api = scheme.device_fixed_step_folded(N, periodic=True)
-    if folded_api is not None:
+    scan_api = scheme.device_fixed_scan_folded(N, periodic=True)
+    if scan_api is not None:
+        # launch-bound small grids: STEPS steps = ONE pallas_call (the
+        # in-kernel fori_loop of ops/megastep.py)
+        from triflow_tpu.ops import folded as fl
+
+        plan, scan_f = scan_api
+        hf = fl.fold(helpers, plan)
+        pf = fl.fold(pstack, plan)
+        xf = fl.fold(x, plan)
+        dx_val = jnp.asarray((x[-1] - x[0]) / (N - 1), dtype)
+
+        @jax.jit
+        def run_chunk(t, u):
+            uf = fl.fold(u, plan)
+            uf2 = scan_f(t, uf, hf, pf, xf, dx_val, DT, STEPS)
+            return t + STEPS * DT, fl.unfold(uf2, plan)
+    elif folded_api is not None:
         from triflow_tpu.ops import folded as fl
 
         plan, fixed_f = folded_api

@@ -1,0 +1,144 @@
+"""Single-launch whole-step kernel (ops/megastep.py) equivalence vs the
+grid-blocked folded path, in pallas interpret mode.
+
+The megastep kernel serves the launch-bound small-N regime (e.g. the
+BASELINE config-1 advection-diffusion grid at N=200): one implicit ROW or
+theta step = ONE pallas_call.  These tests pin its numerics to the
+multi-kernel folded path (itself pinned to the generic backend by
+tests/test_folded.py) for every reduced-interface closure mode: cyclic
+(power-of-two C), Woodbury wrap (non-power-of-two C), and edge clamp."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from triflow_tpu import Model, schemes
+from triflow_tpu.ops import folded, megastep
+
+
+@pytest.fixture()
+def interpret_pallas(monkeypatch):
+    monkeypatch.setenv("TRIFLOW_PALLAS_INTERPRET", "1")
+
+
+def _setup(model, N):
+    be = model.backend
+    dtype = be.dtype
+    x = np.arange(N) * 0.5
+    rng = np.random.RandomState(3)
+    u0 = np.stack(
+        [1.2 + 0.1 * np.cos(2 * np.pi * np.arange(N) / N * 5 + i)
+         + 0.01 * rng.randn(N) for i in range(be.system.nvar)])
+    pstack = be.pack_pars({p: 0.7 for p in be.system.pars}, x)
+    plan = folded.plan_for_backend(be, N)
+    assert plan is not None, "no fold plan for this N"
+    uf = folded.fold(jnp.asarray(u0, dtype), plan)
+    hf = folded.fold(jnp.zeros((0, N), dtype), plan)
+    pf = folded.fold(jnp.asarray(pstack, dtype), plan)
+    xf = folded.fold(jnp.asarray(x, dtype), plan)
+    return be, plan, uf, hf, pf, xf, jnp.asarray(0.5, dtype)
+
+
+def _row_pair(model, N, periodic, monkeypatch):
+    be, plan, uf, hf, pf, xf, dx = _setup(model, N)
+    scheme = schemes.RODASPR(model, time_stepping=False, tol=None)
+    tables, s = scheme._tables, scheme._s
+    out = megastep.row_step_folded(be, plan, tables, s, periodic,
+                                   uf, hf, pf, xf, dx, 0.02)
+    assert out is not None, f"megastep not applicable: {plan}"
+    from triflow_tpu.core.schemes import _row_folded_core
+    monkeypatch.setenv("TRIFLOW_NO_MEGA", "1")
+    ref = _row_folded_core(be, plan, tables, s, periodic,
+                           uf, hf, pf, xf, dx, 0.02)
+    monkeypatch.delenv("TRIFLOW_NO_MEGA")
+    return out, ref
+
+
+@pytest.mark.parametrize("N,periodic", [
+    (200, True),     # C = 50 -> folded Woodbury wrap correction
+    (200, False),    # edge clamp
+    (256, True),     # C = 64 power-of-two -> cyclic reduced PCR
+])
+def test_megastep_row_matches_folded(interpret_pallas, monkeypatch,
+                                     N, periodic):
+    model = Model("-dxxU - dxxxxU - U * dxU", "U")
+    (u_mega, err_mega), (u_ref, err_ref) = _row_pair(model, N, periodic,
+                                                     monkeypatch)
+    assert np.allclose(np.asarray(u_mega), np.asarray(u_ref),
+                       rtol=1e-10, atol=1e-10)
+    assert np.isclose(float(err_mega), float(err_ref), rtol=1e-9)
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+def test_megastep_with_parameters(interpret_pallas, monkeypatch, periodic):
+    model = Model("k * dxxU - c * dxU", "U", ["k", "c"])
+    (u_mega, _), (u_ref, _) = _row_pair(model, 200, periodic, monkeypatch)
+    assert np.allclose(np.asarray(u_mega), np.asarray(u_ref),
+                       rtol=1e-10, atol=1e-10)
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+def test_megastep_two_variable_system(interpret_pallas, monkeypatch,
+                                      periodic):
+    model = Model(["-dxq", "-dx(q**2/h) - h * dxxxh + q / h"],
+                  ["h", "q"])
+    (u_mega, _), (u_ref, _) = _row_pair(model, 512, periodic, monkeypatch)
+    assert np.allclose(np.asarray(u_mega), np.asarray(u_ref),
+                       rtol=1e-10, atol=1e-10)
+
+
+@pytest.mark.parametrize("periodic,theta", [
+    (True, 1.0),
+    (False, 0.5),
+])
+def test_megastep_theta_matches_folded(interpret_pallas, monkeypatch,
+                                       periodic, theta):
+    model = Model("-dxxU - dxxxxU - U * dxU", "U")
+    be, plan, uf, hf, pf, xf, dx = _setup(model, 200)
+    u2 = megastep.theta_step_folded(be, plan, theta, periodic,
+                                    uf, hf, pf, xf, dx, 0.02)
+    assert u2 is not None
+    sch = schemes.Theta(model, theta=theta)
+    from triflow_tpu.core.schemes import _DeviceProblem, null_hook
+    monkeypatch.setenv("TRIFLOW_NO_MEGA", "1")
+    prob = _DeviceProblem(model, null_hook, periodic)
+    core = sch._folded_core(prob, plan, periodic)
+    u_ref = core(0.0, uf, hf, pf, xf, dx, 0.02)
+    monkeypatch.delenv("TRIFLOW_NO_MEGA")
+    assert np.allclose(np.asarray(u2), np.asarray(u_ref),
+                       rtol=1e-10, atol=1e-10)
+
+
+@pytest.mark.parametrize("scheme_f", [
+    lambda m: schemes.RODASPR(m, time_stepping=False, tol=None),
+    lambda m: schemes.Theta(m, theta=1.0),
+])
+def test_megascan_matches_sequential_steps(interpret_pallas, scheme_f):
+    """nsteps in ONE kernel (in-kernel fori_loop) == nsteps single-step
+    kernel launches, bit-exactly (same traced step body)."""
+    model = Model("-dxxU - dxxxxU - U * dxU", "U")
+    be, plan, uf, hf, pf, xf, dx = _setup(model, 200)
+    sch = scheme_f(model)
+    api = sch.device_fixed_scan_folded(200, periodic=True)
+    assert api is not None
+    plan2, scan_f = api
+    assert plan2 == plan
+    u_scan = scan_f(0.0, uf, hf, pf, xf, dx, 0.02, 3)
+    _plan3, fixed_f = sch.device_fixed_step_folded(200, periodic=True)
+    u_ref = uf
+    for _ in range(3):
+        u_ref = fixed_f(0.0, u_ref, hf, pf, xf, dx, 0.02)[0]
+    assert np.array_equal(np.asarray(u_scan), np.asarray(u_ref))
+
+
+def test_small_plan_gates(interpret_pallas):
+    """small_plan_for serves only foldable small grids within budget."""
+    model = Model("-dxxU - dxxxxU - U * dxU", "U")
+    be = model.backend
+    plan = megastep.small_plan_for(be, 200)
+    assert plan is not None and plan.Mc <= megastep._MC_CAP
+    # unfoldable N (not a multiple of the halo grouping)
+    assert megastep.small_plan_for(be, 201) is None
+    # too small to split into >= 8 chunks
+    assert megastep.small_plan_for(be, 8) is None

@@ -278,6 +278,14 @@ def _row_folded_core(backend, plan, tables, s, periodic,
     Uses the Hairer-Wanner transformed stage equations: no banded matvec.
     Returns (uf_new, err)."""
     from ..ops import folded as fl
+    from ..ops import megastep
+
+    # launch-bound regime (small, all-VMEM working sets): the entire step —
+    # J, factor, every stage, combination — as ONE pallas_call
+    mega = megastep.row_step_folded(backend, plan, tables, s, periodic,
+                                    uf, hf, pf, xf, dx, dt)
+    if mega is not None:
+        return mega
 
     a_t, c_t, m_t, m_pred_t, g00 = tables
     # fused J+factor: bands evaluated inside the factor sweep (no HBM band
@@ -669,6 +677,30 @@ class ROW_general(_SchemeBase):
                                     s, periodic, uf, hf, pf, xf, dx, dt)
 
         return plan, fixed_f
+
+    def device_fixed_scan_folded(self, N, periodic=True):
+        """``nsteps`` fixed-dt steps as ONE kernel launch (the in-kernel
+        fori_loop of ops/megastep.py) for launch-bound small grids.
+
+        Returns ``(plan, scan_f)`` with
+        ``scan_f(t, uf, hf, pf, xf, dx, dt, nsteps) -> uf'`` (``nsteps``
+        static), or ``None`` when the whole-step kernel does not apply —
+        callers fall back to a ``lax.scan`` over ``device_fixed_step_folded``."""
+        from ..ops import folded as fl
+        from ..ops import megastep
+
+        backend = self._model.backend
+        plan = fl.plan_for_backend(backend, N)
+        if plan is None or not megastep.applicable(backend, plan, self._s):
+            return None
+        tables, s = self._tables, self._s
+
+        def scan_f(t, uf, hf, pf, xf, dx, dt, nsteps):
+            return megastep.row_scan_folded(backend, plan, tables, s,
+                                            periodic, uf, hf, pf, xf, dx,
+                                            dt, nsteps)
+
+        return plan, scan_f
 
     def _build_stepper(self, problem):
         fixed_step = self._fixed_step_fn(problem)
@@ -1301,6 +1333,12 @@ class Theta(_SchemeBase):
         backend = problem.backend
 
         def folded_step(t, uf, hf, pf, xf, dx, dt):
+            from ..ops import megastep
+
+            mega = megastep.theta_step_folded(backend, plan, theta, periodic,
+                                              uf, hf, pf, xf, dx, dt)
+            if mega is not None:
+                return mega
             fact = fl.factor_folded_direct(1.0, -theta * dt, backend,
                                            uf, hf, pf, xf, dx, periodic,
                                            plan)
@@ -1371,6 +1409,28 @@ class Theta(_SchemeBase):
             return core(t, uf, hf, pf, xf, dx, dt), jnp.zeros((), uf.dtype)
 
         return plan, fixed_f
+
+    def device_fixed_scan_folded(self, N, periodic=True):
+        """``nsteps`` theta steps as ONE kernel launch (see the ROW twin).
+        Returns ``(plan, scan_f)`` with ``scan_f(t, uf, hf, pf, xf, dx, dt,
+        nsteps) -> uf'`` or None."""
+        if self._theta == 0 or self._solver is not None:
+            return None
+        from ..ops import folded as fl
+        from ..ops import megastep
+
+        backend = self._model.backend
+        plan = fl.plan_for_backend(backend, N)
+        if plan is None or not megastep.applicable(backend, plan, 1):
+            return None
+        theta = self._theta
+
+        def scan_f(t, uf, hf, pf, xf, dx, dt, nsteps):
+            return megastep.theta_scan_folded(backend, plan, theta,
+                                              periodic, uf, hf, pf, xf,
+                                              dx, dt, nsteps)
+
+        return plan, scan_f
 
     def _build_stepper(self, problem):
         fixed_step = self._fixed_step_fn(problem)

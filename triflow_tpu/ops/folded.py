@@ -449,13 +449,16 @@ class _FoldedStencilCall:
         return args
 
     def dead_mask(self):
-        """(8, C8) boolean mask of the dead padding chunks (c >= C)."""
-        plan = self.plan
-        if plan.Cp == plan.C:
-            return None
-        sub = jax.lax.broadcasted_iota(jnp.int32, (8, plan.C8), 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (8, plan.C8), 1)
-        return (sub * plan.C8 + lane) >= plan.C
+        return _dead_mask(self.plan)
+
+
+def _dead_mask(plan: FoldPlan):
+    """(8, C8) boolean mask of the dead padding chunks (c >= C)."""
+    if plan.Cp == plan.C:
+        return None
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, plan.C8), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, plan.C8), 1)
+    return (sub * plan.C8 + lane) >= plan.C
 
 
 def eval_F_folded(backend, uf, helpersf, pstackf, xf, dx, periodic, plan,
@@ -592,11 +595,19 @@ def _j_band_block(backend, call, refs, periodic, plan, dtype):
     inside a pallas kernel from the stencil operand refs (the shared body
     of eval_J_folded and the fused J+factor sweep).  ``call.Kb`` must match
     the caller's grid tiling (grid step i covers K-rows [i*Kb, (i+1)*Kb))."""
-    Kb, nt = call.Kb, call.ntiles
-    nvar, W, h = call.nvar, plan.W, plan.halo
-    C8 = plan.C8
     args = call.build_args(refs)
-    tid = pl.program_id(0)
+    return _j_rows_values(backend, args, call.Kb, pl.program_id(0),
+                          call.ntiles, periodic, plan, dtype)
+
+
+def _j_rows_values(backend, args, Kb, tid, nt, periodic, plan, dtype):
+    """Banded-Jacobian tile (W, nvar, nvar, Kb, 8, C8) from already-built
+    stencil args — the value-level body shared by the grid kernels
+    (via ``_j_band_block``) and the single-launch whole-step kernel
+    (ops/megastep.py), which builds its args from whole-array VMEM values
+    (Kb = K, tid = 0, nt = 1)."""
+    nvar, W, h = backend.system.nvar, plan.W, plan.halo
+    C8 = plan.C8
     krow = jax.lax.broadcasted_iota(jnp.int32, (Kb, 8, C8), 0)
     first, last = _member_masks(plan)
     zero = jnp.zeros((Kb, 8, C8), dtype)
@@ -631,7 +642,7 @@ def _j_band_block(backend, call, refs, periodic, plan, dtype):
                             get(h + i, m, n))
                         rows[(koff, m, n)] = jnp.where(mask, 0.0, src)
 
-    dead = call.dead_mask()
+    dead = _dead_mask(plan)
     if dead is not None:
         rows = {k: jnp.where(dead, 0.0, v) for k, v in rows.items()}
 
@@ -1389,7 +1400,11 @@ def plan_for_backend(backend, N):
         plan = make_plan(N, backend.system.nvar, backend.halo,
                          backend.window, cap_C=cap)
         if plan is None:
-            return None
+            # below the chunked-solver gate (M < _CHUNK_MIN_M): the
+            # single-launch whole-step kernel serves small grids alone
+            from . import megastep
+
+            return megastep.small_plan_for(backend, N)
         call = _FoldedStencilCall(backend, True, plan,
                                   per_row_extra=plan.W * plan.nvar ** 2)
         # the factor kernel blocks the folded bands with (r*g, 8, C8)

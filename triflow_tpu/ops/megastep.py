@@ -1,0 +1,643 @@
+"""Single-launch whole-step kernel: one implicit step = ONE ``pallas_call``.
+
+At small grid sizes the folded step is launch-bound, not compute- or
+bandwidth-bound: the N=1e4 KS RODASPR step compiles to 28 ``pallas_call``s
+plus ~84 XLA fusions, ~0.7us of fixed per-op overhead each, against ~3us of
+actual arithmetic — 78us/step measured where ~10us is possible.  When the
+whole working set (state, stage vectors, factorization, reduced interface
+operators) fits VMEM at once, the entire Rosenbrock-Wanner (or theta) step
+— banded-Jacobian evaluation, fused assembly+factor Thomas sweeps, reduced
+interface PCR (cyclic, Woodbury-wrapped, or acyclic), every stage's stencil
+RHS + solve, and the final stage combination with the embedded error —
+runs inside a single kernel with zero HBM round-trips between phases.
+
+This is the same algorithm as ops/folded.py (bit-comparable numerics: the
+factor/solve/PCR bodies are the shared value-level helpers), re-plumbed at
+value level instead of grid-blocked refs.  It extends the folded hot path
+DOWN in N: the folded chunk plans gate at M >= 1024 supernodes, while the
+whole-step kernel serves any foldable N whose footprint fits
+(``small_plan_for``), e.g. the BASELINE config-1 advection-diffusion grid
+at N=200.
+
+Reference analog: none — the reference pays a Python -> SuperLU round trip
+per stage (/root/reference/triflow/core/schemes.py:148-163); this is the
+TPU statement of "a small implicit step should cost one kernel launch".
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .folded import (
+    FoldPlan,
+    _chunk_halo_window,
+    _dead_mask,
+    _j_rows_values,
+    _member_masks,
+    _ring_shift,
+    _row_from_folded_bands,
+)
+from .pallas_pcr import _c_iota, _inv2, _levels, _mm2, _mv2, _roll_c
+from .pallas_thomas import _inv_t, _mm_t, _mv_t
+
+
+def _pcall(*args, **kw):
+    if os.environ.get("TRIFLOW_PALLAS_INTERPRET"):
+        kw.setdefault("interpret", True)
+    else:
+        from .pallas_thomas import _VMEM_LIMIT
+        if _VMEM_LIMIT:
+            kw.setdefault("compiler_params",
+                          pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT))
+    return pl.pallas_call(*args, **kw)
+
+
+# ---------------------------------------------------------------------------
+# applicability gates
+# ---------------------------------------------------------------------------
+
+#: unroll budget: every factor/solve sweep row is a Python-unrolled group of
+#: small block ops; past ~32 rows the kernel's instruction count (and Mosaic
+#: compile time) grows without buying anything — larger problems already run
+#: at the bandwidth bound on the grid-blocked kernels.
+_MC_CAP = int(os.environ.get("TRIFLOW_MEGA_MC_CAP", 32))
+
+
+def _vmem_estimate(backend, plan: FoldPlan, n_stages: int) -> int:
+    """Rough peak-VMEM bytes of the whole-step kernel body: the band tile,
+    the factor row arrays, the live stage vectors, the reduced-PCR level
+    operators and the stencil halo windows."""
+    item = jnp.dtype(backend.dtype).itemsize
+    nvar, W, s = plan.nvar, plan.W, plan.s
+    vec = plan.K * plan.Cp * item                       # one (K, 8, C8) slab
+    bands = W * nvar * nvar * vec
+    factor = 7 * plan.Mc * s * s * plan.Cp * item       # fac/Dhinv/U/wt/W/V/DU
+    stages = (n_stages + 4) * nvar * vec                # us + u_i/rhs temps
+    nlev = len(_levels(plan.C))
+    red_blk = (2 * s) * (2 * s) * plan.Cp * item
+    reduced = (2 * nlev + 8) * red_blk
+    nhelp = len(backend.system.help_funcs)
+    npar = len(backend.system.pars)
+    windows = (3 * nvar + 3 * nhelp + npar + 1) * vec
+    return bands + factor + stages + reduced + windows
+
+
+def applicable(backend, plan: FoldPlan, n_stages: int) -> bool:
+    """True when the whole-step kernel can serve this plan."""
+    if os.environ.get("TRIFLOW_NO_MEGA") or os.environ.get(
+            "TRIFLOW_NO_PALLAS"):
+        return False
+    if plan is None or plan.B != 1:
+        return False
+    if plan.Mc > _MC_CAP or plan.s > 4 or plan.Mc < 2:
+        return False
+    budget = int(os.environ.get("TRIFLOW_MEGA_BUDGET_MB", 6)) << 20
+    return _vmem_estimate(backend, plan, n_stages) <= budget
+
+
+def small_plan_for(backend, N: int) -> FoldPlan | None:
+    """FoldPlan for grids BELOW the chunked-solver gate (M < 1024
+    supernodes), where the whole-step kernel is the only folded consumer:
+    pick the divisor split with the fewest sweep rows (Mc smallest >= 2) so
+    the sequential depth — the only O(Mc) cost in an all-VMEM kernel — is
+    minimal.  Returns None when N doesn't fold or the kernel doesn't fit."""
+    if os.environ.get("TRIFLOW_NO_FOLDED"):
+        return None
+    if not os.environ.get("TRIFLOW_PALLAS_INTERPRET"):
+        try:
+            if jax.default_backend() != "tpu":
+                return None
+        except RuntimeError:  # pragma: no cover
+            return None
+        if jnp.dtype(backend.dtype) != jnp.float32:
+            return None
+    system = backend.system
+    g = max(backend.halo, 1)
+    if N % g or system.nvar * g > 8:
+        return None
+    M = N // g
+    if M < 8:
+        return None
+    best = None
+    for Mc in range(2, min(M // 2, _MC_CAP) + 1):
+        if M % Mc == 0:
+            best = Mc
+            break
+    if best is None:
+        return None
+    C = M // best
+    plan = FoldPlan(N, system.nvar, backend.halo, g, backend.window,
+                    C, best, best * g, C & (C - 1) == 0 and C >= 8)
+    n_stages = 6  # RODASPR, the widest ROW table
+    if not applicable(backend, plan, n_stages):
+        return None
+    return plan
+
+
+# ---------------------------------------------------------------------------
+# value-level step pieces (all called INSIDE the kernel)
+# ---------------------------------------------------------------------------
+
+def _build_args_values(backend, plan: FoldPlan, periodic, u, he, ps, xv, dx):
+    """Stencil args from whole-array VMEM values (the value-level twin of
+    _FoldedStencilCall.build_args with Kb = K, tid = 0, ntiles = 1)."""
+    h, K = backend.halo, plan.K
+    named = {}
+    u_win = (_chunk_halo_window(u, u, u, h, periodic, 0, 1, plan)
+             if h else u)
+    for idx, name in enumerate(backend.system.dep_vars):
+        named[name] = u_win[idx]
+    if len(backend.system.help_funcs):
+        he_win = (_chunk_halo_window(he, he, he, h, periodic, 0, 1, plan)
+                  if h else he)
+        for idx, name in enumerate(backend.system.help_funcs):
+            named[name] = he_win[idx]
+    args = [xv]
+    for var, off in backend._offset_args:
+        args.append(named[var][h + off: h + off + K])
+    for idx in range(len(backend.system.pars)):
+        args.append(ps[idx])
+    args.append(dx)
+    return args
+
+
+def _f_rows_values(backend, plan: FoldPlan, args, dtype):
+    """F(u) (nvar, K, 8, C8) from built stencil args; dead chunks zeroed."""
+    K, C8 = plan.K, plan.C8
+    rows = [jnp.broadcast_to(jnp.asarray(fn(*args), dtype), (K, 8, C8))
+            for fn in backend._F_fns]
+    out = jnp.stack(rows)
+    dead = _dead_mask(plan)
+    if dead is not None:
+        out = jnp.where(dead, 0.0, out)
+    return out
+
+
+def _to_rows(v, plan: FoldPlan):
+    """(nvar, K, 8, C8) -> list of Mc supernode rows (s, 8, C8) with the
+    solver's row index a*nvar + m (node-within-supernode major)."""
+    nvar, g, Mc = plan.nvar, plan.g, plan.Mc
+    rows = []
+    for i in range(Mc):
+        blk = [v[m, i * g + a] for a in range(g) for m in range(nvar)]
+        rows.append(jnp.stack(blk))
+    return rows
+
+
+def _from_rows(xs, plan: FoldPlan):
+    """Inverse of _to_rows: Mc rows (s, 8, C8) -> (nvar, K, 8, C8)."""
+    nvar, g, Mc = plan.nvar, plan.g, plan.Mc
+    chans = []
+    for m in range(nvar):
+        parts = [xs[i][a * nvar + m] for i in range(Mc) for a in range(g)]
+        chans.append(jnp.stack(parts))
+    return jnp.stack(chans)
+
+
+def _factor_values(bands, alpha, beta, plan: FoldPlan, cyclic):
+    """Fused assembly + both factor sweeps at value level (the single-block
+    twin of folded.factor_sweeps_folded): returns the per-row lists
+    fac, Dhinv, wt-free spikes W/V, DU plus the boundary couplings Tl/Tr."""
+    Mc, g, nvar, h, W, s = (plan.Mc, plan.g, plan.nvar, plan.halo,
+                            plan.W, plan.s)
+    space = (8, plan.C8)
+    dtype = bands.dtype
+    first, last = _member_masks(plan)
+    zero_blk = jnp.zeros((s, s) + space, dtype)
+
+    dhinv = zero_blk
+    uprev = zero_blk
+    wt = zero_blk
+    facs, Dhs, Us, wts = [], [], [], []
+    Tl = Tr = zero_blk
+    for i in range(Mc):
+        L_row = _row_from_folded_bands(bands, alpha, beta, g, nvar, h, W,
+                                       i, -1, space, dtype)
+        D_row = _row_from_folded_bands(bands, alpha, beta, g, nvar, h, W,
+                                       i, 0, space, dtype)
+        U_row = _row_from_folded_bands(bands, alpha, beta, g, nvar, h, W,
+                                       i, 1, space, dtype)
+        if i == 0:
+            Tl = L_row if cyclic else jnp.where(first, 0.0, L_row)
+            L_row = jnp.zeros_like(L_row)
+        if i == Mc - 1:
+            Tr = U_row if cyclic else jnp.where(last, 0.0, U_row)
+            U_row = jnp.zeros_like(U_row)
+        fac = _mm_t(L_row, dhinv, 2)
+        dhinv = _inv_t(D_row - _mm_t(fac, uprev, 2), 2)
+        wt = Tl if i == 0 else -_mm_t(fac, wt, 2)
+        facs.append(fac)
+        Dhs.append(dhinv)
+        Us.append(U_row)
+        wts.append(wt)
+        uprev = U_row
+
+    w = zero_blk
+    v = zero_blk
+    Ws = [None] * Mc
+    Vs = [None] * Mc
+    DUs = [None] * Mc
+    for i in reversed(range(Mc)):
+        DU = _mm_t(Dhs[i], Us[i], 2)
+        bV = Tr if i == Mc - 1 else zero_blk
+        w = _mm_t(Dhs[i], wts[i], 2) - _mm_t(DU, w, 2)
+        v = _mm_t(Dhs[i], bV, 2) - _mm_t(DU, v, 2)
+        Ws[i] = w
+        Vs[i] = v
+        DUs[i] = DU
+    return facs, Dhs, DUs, Ws, Vs
+
+
+def _reduced_LU_values(Ws, Vs, plan: FoldPlan):
+    """Reduced interface L/U blocks (2s, 2s, 8, C8) from the spike rows
+    (value-level twin of folded._reduced_LU, block form)."""
+    s = plan.s
+    d2 = 2 * s
+    dtype = Ws[0].dtype
+    zero = jnp.zeros((8, plan.C8), dtype)
+
+    def w_entry(top, a, b):
+        return (Ws[0] if top else Ws[-1])[a, b]
+
+    def v_entry(top, a, b):
+        return (Vs[0] if top else Vs[-1])[a, b]
+
+    Lred = jnp.stack([
+        jnp.stack([w_entry(a < s, a % s, b - s) if b >= s else zero
+                   for b in range(d2)])
+        for a in range(d2)
+    ])
+    Ured = jnp.stack([
+        jnp.stack([v_entry(a < s, a % s, b) if b < s else zero
+                   for b in range(d2)])
+        for a in range(d2)
+    ])
+    return Lred, Ured
+
+
+def _pcr_factor_values(Lv, Dv, Uv, ds, C, C8, cyclic):
+    """All PCR reduction levels at value level (the body of
+    pallas_pcr.pcr_factor_fused_sub); returns (alphas, betas, Dinv)."""
+    cidx = _c_iota(C8)
+    alphas, betas = [], []
+    for d in ds:
+        Dinv = _inv2(Dv)
+        alpha = -_mm2(Lv, _roll_c(Dinv, d, C8))
+        beta = -_mm2(Uv, _roll_c(Dinv, -d, C8))
+        if not cyclic:
+            alpha = jnp.where(cidx >= d, alpha, 0.0)
+            beta = jnp.where(cidx < C - d, beta, 0.0)
+        Dv = (Dv + _mm2(alpha, _roll_c(Uv, d, C8))
+              + _mm2(beta, _roll_c(Lv, -d, C8)))
+        Lv = _mm2(alpha, _roll_c(Lv, d, C8))
+        Uv = _mm2(beta, _roll_c(Uv, -d, C8))
+        alphas.append(alpha)
+        betas.append(beta)
+    if cyclic:
+        Dv = Dv + Lv + Uv
+    return alphas, betas, _inv2(Dv)
+
+
+def _pcr_apply_values(alphas, betas, Dinv, b, ds, C8):
+    bv = b
+    for lev, d in enumerate(ds):
+        bv = (bv + _mv2(alphas[lev], _roll_c(bv, d, C8))
+              + _mv2(betas[lev], _roll_c(bv, -d, C8)))
+    return _mv2(Dinv, bv)
+
+
+def _scalar_inv(mat):
+    """Unrolled Gauss-Jordan inverse of a small list-of-lists scalar matrix
+    (the Woodbury capacitance, d2 <= 8; pivot-free like ops/banded's
+    _small_inv — cap = I + v^T Z is well-conditioned for solver-grade dt)."""
+    n = len(mat)
+    a = [[mat[i][j] for j in range(n)]
+         + [jnp.ones_like(mat[0][0]) if i == j
+            else jnp.zeros_like(mat[0][0]) for j in range(n)]
+         for i in range(n)]
+    for col in range(n):
+        piv = 1.0 / a[col][col]
+        a[col] = [piv * e for e in a[col]]
+        for row in range(n):
+            if row == col:
+                continue
+            f = a[row][col]
+            a[row] = [e - f * p for e, p in zip(a[row], a[col])]
+    return [row[n:] for row in a]
+
+
+class _Reduced:
+    """In-kernel reduced-interface solver: PCR levels (+ optional Woodbury
+    wrap correction), mirroring folded._reduced_factor / WrappedPcr."""
+
+    def __init__(self, plan: FoldPlan, Lred, Ured, cyclic, wrap):
+        s = plan.s
+        d2 = 2 * s
+        C, C8 = plan.C, plan.C8
+        dtype = Lred.dtype
+        self.plan, self.s, self.wood = plan, s, False
+        self.ds = _levels(C)
+        self.C8 = C8
+        # identity blocks via iota (Mosaic rejects the eye[..., None, None]
+        # rank-expanding shape cast inside a kernel)
+        ii = jax.lax.broadcasted_iota(jnp.int32, Lred.shape, 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, Lred.shape, 1)
+        eye = jnp.where(ii == jj, 1.0, 0.0).astype(dtype)
+        dead = _dead_mask(plan)
+        first, last = _member_masks(plan)
+        if cyclic:
+            self.fact = _pcr_factor_values(Lred, eye, Ured, self.ds, C, C8,
+                                           True)
+            return
+        Lred0 = jnp.where(first, 0.0, Lred)
+        Ured0 = jnp.where(last, 0.0, Ured)
+        if dead is not None:
+            Lred0 = jnp.where(dead, 0.0, Lred0)
+            Ured0 = jnp.where(dead, 0.0, Ured0)
+        self.fact = _pcr_factor_values(Lred0, eye, Ured0, self.ds, C, C8,
+                                       False)
+        if not wrap:
+            return
+        # Woodbury columns: the masked-out boundary values of Lred/Ured ARE
+        # the wrap corner blocks (folded._reduced_factor)
+        self.wood = True
+        rhs = jnp.stack(
+            [jnp.where(first, Lred[:, s + j], 0.0) if j < s
+             else jnp.where(last, Ured[:, j - s], 0.0)
+             for j in range(d2)])                       # (d2_j, d2_v, 8, C8)
+        Z = _pcr_apply_values(*self.fact, rhs, self.ds, C8)
+        vtz = [[None] * d2 for _ in range(d2)]          # vtz[j][i] = v_i^T Z_j
+        for j in range(d2):
+            for i in range(d2):
+                row = Z[j, s + i] if i < s else Z[j, i - s]
+                mask = last if i < s else first
+                vtz[j][i] = jnp.sum(jnp.where(mask, row, 0.0))
+        one = jnp.ones((), dtype)
+        cap = [[(one if i == j else jnp.zeros((), dtype)) + vtz[j][i]
+                for j in range(d2)] for i in range(d2)]
+        self.cap_inv = _scalar_inv(cap)                 # [i][j] scalars
+        self.Z = Z
+
+    def shifts(self, yred, wrap):
+        """Reduced solve + neighbor shifts: yred (2s, 8, C8) ->
+        (xm1_bot, xp1_top), each (s, 8, C8) — the in-kernel twin of
+        pallas_pcr.interface_shift_solve."""
+        plan, s, C8 = self.plan, self.s, self.C8
+        d2 = 2 * s
+        y = _pcr_apply_values(*self.fact, yred, self.ds, C8)
+        if self.wood:
+            first, last = _member_masks(plan)
+            vt = [jnp.sum(jnp.where(last, y[s + i], 0.0)) for i in range(s)]
+            vt += [jnp.sum(jnp.where(first, y[i], 0.0)) for i in range(s)]
+            corr = None
+            for j in range(d2):
+                coef = sum(self.cap_inv[j][i] * vt[i] for i in range(d2))
+                t = coef * self.Z[j]
+                corr = t if corr is None else corr + t
+            y = y - corr
+        ztop, zbot = y[:s], y[s:]
+        xm1 = _ring_shift(zbot, 1, plan)
+        xp1 = _ring_shift(ztop, -1, plan)
+        if not wrap:
+            first, last = _member_masks(plan)
+            xm1 = jnp.where(first, 0.0, xm1)
+            xp1 = jnp.where(last, 0.0, xp1)
+        return xm1, xp1
+
+
+def _solve_values(facs, Dhs, DUs, Ws, Vs, red: _Reduced, rhs, plan, wrap):
+    """Full distributed-chunk solve at value level: Thomas sweeps over the
+    supernode rows, one reduced interface solve, spike correction."""
+    Mc = plan.Mc
+    rows = _to_rows(rhs, plan)
+    bt = jnp.zeros_like(rows[0])
+    bts = []
+    for i in range(Mc):
+        bt = rows[i] - _mv_t(facs[i], bt, 2)
+        bts.append(bt)
+    y = jnp.zeros_like(bt)
+    ys = [None] * Mc
+    for i in reversed(range(Mc)):
+        y = _mv_t(Dhs[i], bts[i], 2) - _mv_t(DUs[i], y, 2)
+        ys[i] = y
+    yred = jnp.concatenate([ys[0], ys[-1]], axis=0)
+    xm1, xp1 = red.shifts(yred, wrap)
+    xs = [ys[i] - _mv_t(Ws[i], xm1, 2) - _mv_t(Vs[i], xp1, 2)
+          for i in range(Mc)]
+    return _from_rows(xs, plan)
+
+
+# ---------------------------------------------------------------------------
+# the whole-step kernels
+# ---------------------------------------------------------------------------
+
+def _row_step_values(backend, plan: FoldPlan, tables, s_stages, periodic,
+                     u, he, ps, xv, dx, beta, rhs_scale):
+    """One ROW (or theta, via a 1-stage table) step at value level:
+    banded J, fused assembly+factor, reduced interface, all stages, final
+    combination -> (u_new, err).  ``beta`` = -gamma00*dt (the factor
+    shift), ``rhs_scale`` = gamma00*dt for ROW / dt for theta."""
+    a_t, c_t, m_t, m_pred_t, g00 = tables
+    wrap = bool(periodic) and plan.halo > 0
+    cyclic = wrap and plan.cyclic_ok
+    dtype = backend.dtype
+
+    args = _build_args_values(backend, plan, periodic, u, he, ps, xv, dx)
+    bands = _j_rows_values(backend, args, plan.K, 0, 1, periodic, plan,
+                           dtype)
+    one = jnp.ones((), dtype)
+    # the factor sweep keeps the wrap couplings in Tl/Tr for ANY
+    # periodic closure (folded.factor_folded passes wrap, not cyclic):
+    # non-power-of-two rings recover them via the reduced Woodbury
+    facs, Dhs, DUs, Ws, Vs = _factor_values(bands, one, beta, plan, wrap)
+    Lred, Ured = _reduced_LU_values(Ws, Vs, plan)
+    red = _Reduced(plan, Lred, Ured, cyclic, wrap)
+
+    us = []
+    for i in range(s_stages):
+        u_i = u
+        rhs_bias = None
+        for j in range(i):
+            if a_t[i, j]:
+                u_i = u_i + float(a_t[i, j]) * us[j]
+            cij = float(g00 * c_t[i, j])
+            if cij:
+                t = cij * us[j]
+                rhs_bias = t if rhs_bias is None else rhs_bias + t
+        if i == 0:
+            s_args = args
+        else:
+            s_args = _build_args_values(backend, plan, periodic, u_i,
+                                        he, ps, xv, dx)
+        rhs = rhs_scale * _f_rows_values(backend, plan, s_args, dtype)
+        if rhs_bias is not None:
+            rhs = rhs + rhs_bias
+        us.append(_solve_values(facs, Dhs, DUs, Ws, Vs, red, rhs,
+                                plan, wrap))
+
+    u_new = u
+    for i in range(s_stages):
+        u_new = u_new + float(m_t[i]) * us[i]
+    if m_pred_t is not None:
+        diff = None
+        for i in range(s_stages):
+            c = m_t[i] - m_pred_t[i]
+            if c:
+                diff = (float(c) * us[i] if diff is None
+                        else diff + float(c) * us[i])
+        err = jnp.max(jnp.abs(diff))
+        err = jnp.where(jnp.isnan(err) | jnp.isinf(err),
+                        jnp.asarray(jnp.inf, dtype), err)
+    else:
+        err = jnp.asarray(jnp.inf, dtype)
+    return u_new, err
+
+
+def _step_kernel(backend, plan: FoldPlan, tables, s_stages, periodic,
+                 nsteps=1):
+    """Kernel body: ``nsteps`` ROW (or theta) steps, sequenced by an
+    in-kernel ``fori_loop`` (the step body is traced ONCE, so Mosaic
+    compile cost does not grow with nsteps).  SMEM scalars: beta =
+    -gamma00*dt (factor), rhs_scale (gdt for ROW, dt for theta), dx."""
+    dtype = backend.dtype
+    nvar, K, C8 = plan.nvar, plan.K, plan.C8
+    nhelp = len(backend.system.help_funcs)
+    npar = len(backend.system.pars)
+
+    def kernel(*refs):
+        it = iter(refs)
+        u = next(it)[...]
+        he = next(it)[...] if nhelp else jnp.zeros((0, K, 8, C8), dtype)
+        ps = next(it)[...] if npar else jnp.zeros((0, K, 8, C8), dtype)
+        xv = next(it)[...]
+        sc_ref = next(it)
+        out_ref = next(it)
+        err_ref = next(it)
+        beta = sc_ref[0, 0]
+        rhs_scale = sc_ref[0, 1]
+        dx = sc_ref[0, 2]
+
+        def one(u_):
+            return _row_step_values(backend, plan, tables, s_stages,
+                                    periodic, u_, he, ps, xv, dx,
+                                    beta, rhs_scale)
+
+        if nsteps == 1:
+            u_new, err = one(u)
+        else:
+            u_new, err = jax.lax.fori_loop(
+                0, nsteps, lambda _i, c: one(c[0]), (u, jnp.zeros((), dtype)))
+        out_ref[...] = u_new
+        err_ref[0, 0] = err
+
+    return kernel
+
+
+def row_step_folded(backend, plan: FoldPlan, tables, s_stages, periodic,
+                    uf, hf, pf, xf, dx, dt):
+    """One ROW step as a single pallas_call -> (uf_new, err), or None when
+    the whole-step kernel doesn't apply (caller uses the grid kernels).
+    Same stage algebra as schemes._row_folded_core (Hairer-Wanner
+    transformed stages, one factorization for all stages)."""
+    if not applicable(backend, plan, s_stages):
+        return None
+    g00 = tables[4]
+    dt = jnp.asarray(dt, backend.dtype)
+    beta = -jnp.asarray(float(g00), backend.dtype) * dt
+    rhs_scale = jnp.asarray(float(g00), backend.dtype) * dt
+    return _launch(backend, plan, tables, s_stages, periodic,
+                   uf, hf, pf, xf, dx, beta, rhs_scale)
+
+
+def theta_step_folded(backend, plan: FoldPlan, theta, periodic,
+                      uf, hf, pf, xf, dx, dt):
+    """One linearized theta step as a single pallas_call -> uf_new, or None.
+    Expressed on the 1-stage table u2 = u + solve(I - theta*dt*J, dt*F(u))
+    (see schemes.Theta._folded_core)."""
+    if not applicable(backend, plan, 1):
+        return None
+    import numpy as np
+
+    tables = (np.zeros((1, 1)), np.zeros((1, 1)), np.array([1.0]), None,
+              float(theta))
+    dt = jnp.asarray(dt, backend.dtype)
+    beta = -jnp.asarray(float(theta), backend.dtype) * dt
+    uf2, _err = _launch(backend, plan, tables, 1, periodic,
+                        uf, hf, pf, xf, dx, beta, dt)
+    return uf2
+
+
+def row_scan_folded(backend, plan: FoldPlan, tables, s_stages, periodic,
+                    uf, hf, pf, xf, dx, dt, nsteps):
+    """``nsteps`` fixed-dt ROW steps as ONE pallas_call -> uf_new, or None.
+    The in-kernel fori_loop removes even the per-step XLA dispatch/fusion
+    overhead of scanning single-step kernels (the launch-bound regime:
+    N=200 theta steps measure 8.7us through a lax.scan of single-step
+    megakernels; the scan body itself is ~3us of arithmetic)."""
+    if not applicable(backend, plan, s_stages):
+        return None
+    # fixed-dt: no controller reads err — skip the embedded combination
+    tables = tables[:3] + (None,) + tables[4:]
+    g00 = tables[4]
+    dt = jnp.asarray(dt, backend.dtype)
+    beta = -jnp.asarray(float(g00), backend.dtype) * dt
+    rhs_scale = jnp.asarray(float(g00), backend.dtype) * dt
+    uf2, _err = _launch(backend, plan, tables, s_stages, periodic,
+                        uf, hf, pf, xf, dx, beta, rhs_scale,
+                        nsteps=int(nsteps))
+    return uf2
+
+
+def theta_scan_folded(backend, plan: FoldPlan, theta, periodic,
+                      uf, hf, pf, xf, dx, dt, nsteps):
+    """``nsteps`` fixed-dt linearized theta steps as ONE pallas_call ->
+    uf_new, or None (see row_scan_folded)."""
+    if not applicable(backend, plan, 1):
+        return None
+    import numpy as np
+
+    tables = (np.zeros((1, 1)), np.zeros((1, 1)), np.array([1.0]), None,
+              float(theta))
+    dt = jnp.asarray(dt, backend.dtype)
+    beta = -jnp.asarray(float(theta), backend.dtype) * dt
+    uf2, _err = _launch(backend, plan, tables, 1, periodic,
+                        uf, hf, pf, xf, dx, beta, dt, nsteps=int(nsteps))
+    return uf2
+
+
+def _launch(backend, plan, tables, s_stages, periodic, uf, hf, pf, xf, dx,
+            beta, rhs_scale, nsteps=1):
+    dtype = backend.dtype
+    K, C8, nvar = plan.K, plan.C8, plan.nvar
+    nhelp = len(backend.system.help_funcs)
+    npar = len(backend.system.pars)
+    sc = jnp.stack([beta, rhs_scale,
+                    jnp.asarray(dx, dtype)]).reshape(1, 3)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kernel = _step_kernel(backend, plan, tables, s_stages, periodic,
+                          nsteps=nsteps)
+    ops = [uf]
+    specs = [vspec]
+    if nhelp:
+        ops.append(hf)
+        specs.append(vspec)
+    if npar:
+        ops.append(pf)
+        specs.append(vspec)
+    ops += [xf, sc]
+    specs += [vspec, pl.BlockSpec(memory_space=pltpu.SMEM)]
+    uf2, err = _pcall(
+        kernel,
+        in_specs=specs,
+        out_specs=[vspec, pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((nvar, K, 8, C8), dtype),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+        ],
+    )(*ops)
+    return uf2, err[0, 0]

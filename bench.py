@@ -17,7 +17,7 @@ Emits one JSON line per benchmark, headline first:
 
 Environment knobs: BENCH_N, BENCH_STEPS, BENCH_REPEATS, BENCH_ONLY
 (comma-separated subset of {ks,ks_scaling,ks_adaptive,ensemble,burgers,
-film,advdiff}).
+film,advdiff,sweep}).
 """
 
 import json
@@ -281,15 +281,67 @@ def bench_ensemble():
     merged = ens._merged_plan is not None
 
     ens.steps(STEPS, DT)              # warmup / compile
+    jax.block_until_ready(ens.u)
     best = 0.0
     for _ in range(REPEATS):
         start = time.perf_counter()
         ens.steps(STEPS, DT)
+        jax.block_until_ready(ens.u)
         best = max(best, B * N * STEPS / (time.perf_counter() - start))
     if not bool(jnp.isfinite(ens.u).all()):
         raise RuntimeError("non-finite state")
     _emit("ks-ensemble-cell-updates", best, B * N, STEPS,
           {"B": B, "N": N, "merged_fold": merged})
+
+
+def bench_sweep():
+    """Small-member parameter sweep (the reference's flagship use-case,
+    user_guide.rst:125-138): B=64 KS instances at N=200, fixed-dt RODASPR.
+    Launch-bound — exercises the single-group whole-chunk megakernel
+    (ops/megastep.py): a device chunk of the WHOLE sweep is one
+    pallas_call.  Chained calls pipeline dispatch with compute, so the
+    metric times a block of calls end-to-end."""
+    import jax
+    import jax.numpy as jnp
+
+    from triflow_tpu import Model, schemes
+    from triflow_tpu.parallel import Ensemble
+
+    B = int(os.environ.get("BENCH_SWEEP_B", 64))
+    N = int(os.environ.get("BENCH_SWEEP_N", 200))
+    STEPS = int(os.environ.get("BENCH_SWEEP_STEPS", 1000))
+    CALLS = int(os.environ.get("BENCH_SWEEP_CALLS", 5))
+    REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
+
+    model = Model("-dxxU - dxxxxU - U * dxU", "U", double=False)
+    x = np.arange(N, dtype=np.float64) * 0.5
+    rng = np.random.RandomState(2)
+    phases = rng.rand(B, 1) * 2 * np.pi
+    u0 = (np.cos(2 * np.pi * np.arange(N)[None] / N * 5 + phases)
+          + 0.1 * rng.randn(B, N)).astype(np.float32)
+    ens = Ensemble(model, u0, dict(periodic=True), x,
+                   scheme=schemes.RODASPR, time_stepping=False, tol=None)
+    # warmup: np.asarray is a REAL fetch — on a tunneled device
+    # block_until_ready returns early while a remote compile is still in
+    # flight, so only a value fetch guarantees the program is built+run
+    ens.steps(STEPS, DT)
+    np.asarray(ens.u)
+    ens.steps(STEPS, DT)
+    np.asarray(ens.u)
+    best = 0.0
+    for _ in range(REPEATS):
+        start = time.perf_counter()
+        for _c in range(CALLS):
+            ens.steps(STEPS, DT)
+        u_host = np.asarray(ens.u)
+        best = max(best, B * N * STEPS * CALLS
+                   / (time.perf_counter() - start))
+    if not bool(np.isfinite(u_host).all()):
+        raise RuntimeError("non-finite state")
+    _emit("ks-sweep-cell-updates", best, B * N, STEPS * CALLS,
+          {"B": B, "N": N,
+           "merged_fold": ens._merged_plan is not None,
+           "us_per_step": round(B * N / best * 1e6, 2)})
 
 
 def bench_burgers():
@@ -454,6 +506,7 @@ BENCHES = [
     ("ks_scaling", bench_ks_scaling),
     ("ks_adaptive", bench_ks_adaptive),
     ("ensemble", bench_ensemble),
+    ("sweep", bench_sweep),
     ("burgers", bench_burgers),
     ("film", bench_film),
     ("advdiff", bench_advdiff),

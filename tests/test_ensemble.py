@@ -128,6 +128,30 @@ def test_ensemble_scanned_steps_match_loop(burgers):
                        rtol=1e-12, atol=1e-14)
 
 
+def test_ensemble_merged_scanned_steps_match_loop(monkeypatch):
+    """Merged fixed-dt steps(n) — which flips to the groups-outer
+    whole-chunk kernel when ops/megastep applies — must match n
+    individual step() calls."""
+    monkeypatch.setenv("TRIFLOW_PALLAS_INTERPRET", "1")
+    model = Model("-dxxU - dxxxxU - U * dxU", "U")
+    N, B = 256, 4
+    x = np.arange(N) * 0.5
+    rng = np.random.RandomState(9)
+    u0 = np.stack([np.cos(2 * np.pi * np.arange(N) / N * (3 + m))
+                   + 0.05 * rng.randn(N) for m in range(B)])
+    ens_a = Ensemble(model, u0, dict(periodic=True), x,
+                     scheme=schemes.RODASPR, time_stepping=False, tol=None)
+    assert ens_a._merged_plan is not None
+    ens_b = Ensemble(model, u0, dict(periodic=True), x,
+                     scheme=schemes.RODASPR, time_stepping=False, tol=None)
+    for _ in range(3):
+        ens_a.step(0.02)
+    ens_b.steps(3, 0.02)
+    assert np.isclose(ens_a.t, ens_b.t)
+    assert np.allclose(np.asarray(ens_a.u), np.asarray(ens_b.u),
+                       rtol=1e-11, atol=1e-12)
+
+
 def test_ensemble_merged_gated_off_for_compensated_refine(monkeypatch):
     """Regression: the merged folded core has no Kahan accumulation and no
     refinement hook — constructing an Ensemble with compensated=True or

@@ -132,6 +132,47 @@ def test_megascan_matches_sequential_steps(interpret_pallas, scheme_f):
     assert np.array_equal(np.asarray(u_scan), np.asarray(u_ref))
 
 
+@pytest.mark.parametrize("periodic", [True, False])
+def test_megastep_ensemble_members(interpret_pallas, monkeypatch, periodic):
+    """B>1 member-partitioned plans: member-local PCR masks and the
+    per-member Woodbury wrap must match the grid-kernel ensemble path."""
+    model = Model("k * dxxU - c * dxU", "U", ["k", "c"])
+    be = model.backend
+    dtype = be.dtype
+    N, B = 40, 8
+    plans = folded.make_ensemble_plan(N, B, be.system.nvar, be.halo,
+                                      be.window)
+    plan = next(p for p in plans if megastep.applicable(be, p, 6))
+    scheme = schemes.RODASPR(model, time_stepping=False, tol=1e-3)
+    tables, s = scheme._tables, scheme._s
+    rng = np.random.RandomState(5)
+    x1 = np.arange(N) * 0.5
+    u0 = np.concatenate(
+        [1.0 + 0.2 * np.cos(2 * np.pi * np.arange(N) / N * (3 + b))
+         + 0.02 * rng.randn(N) for b in range(B)])[None]
+    x = np.concatenate([x1] * B)
+    # per-member parameter values (the reference's sweep use-case)
+    pstack = np.concatenate(
+        [be.pack_pars({p: 0.5 + 0.3 * b / B for p in be.system.pars}, x1)
+         for b in range(B)], axis=-1)
+    uf = folded.fold(jnp.asarray(u0, dtype), plan)
+    hf = folded.fold(jnp.zeros((0, B * N), dtype), plan)
+    pf = folded.fold(jnp.asarray(pstack, dtype), plan)
+    xf = folded.fold(jnp.asarray(x, dtype), plan)
+    dx = jnp.asarray(0.5, dtype)
+    out = megastep.row_step_folded(be, plan, tables, s, periodic,
+                                   uf, hf, pf, xf, dx, 0.02)
+    assert out is not None
+    from triflow_tpu.core.schemes import _row_folded_core
+    monkeypatch.setenv("TRIFLOW_NO_MEGA", "1")
+    u_ref, err_ref = _row_folded_core(be, plan, tables, s, periodic,
+                                      uf, hf, pf, xf, dx, 0.02)
+    monkeypatch.delenv("TRIFLOW_NO_MEGA")
+    assert np.allclose(np.asarray(out[0]), np.asarray(u_ref),
+                       rtol=1e-10, atol=1e-10)
+    assert np.isclose(float(out[1]), float(err_ref), rtol=1e-9)
+
+
 def test_small_plan_gates(interpret_pallas):
     """small_plan_for serves only foldable small grids within budget."""
     model = Model("-dxxU - dxxxxU - U * dxU", "U")

@@ -146,12 +146,15 @@ def make_ensemble_plan(N: int, B: int, nvar: int, halo: int, window: int):
     return out or None
 
 
-def plan_for_ensemble(backend, N, B):
+def plan_for_ensemble(backend, N, B, accept=None):
     """Member-merged FoldPlan when the folded ensemble path applies (same
     gates as plan_for_backend plus fused-PCR applicability for the
     member-partitioned reduced system), else None.  Candidates are tried
     largest-C first: more chunks means shallower (faster) Thomas sweeps,
-    bounded above by the reduced system's VMEM budget."""
+    bounded above by the reduced system's VMEM budget.  ``accept`` is an
+    extra per-plan predicate (e.g. the whole-step megakernel's gate); only
+    plans passing BOTH the grid-kernel gates and ``accept`` are returned,
+    so every consumer of the plan keeps a working fallback."""
     import os
 
     if os.environ.get("TRIFLOW_NO_PALLAS") or os.environ.get(
@@ -173,6 +176,8 @@ def plan_for_ensemble(backend, N, B):
 
     item = jnp.dtype(backend.dtype).itemsize
     for plan in plans:
+        if accept is not None and not accept(plan):
+            continue
         if not pallas_pcr.applicable(2 * plan.s, plan.C, backend.dtype,
                                      Cm=plan.Cm):
             continue

@@ -78,7 +78,7 @@ def _vmem_estimate(backend, plan: FoldPlan, n_stages: int) -> int:
     bands = W * nvar * nvar * vec
     factor = 7 * plan.Mc * s * s * plan.Cp * item       # fac/Dhinv/U/wt/W/V/DU
     stages = (n_stages + 4) * nvar * vec                # us + u_i/rhs temps
-    nlev = len(_levels(plan.C))
+    nlev = len(_levels(plan.Cmm))
     red_blk = (2 * s) * (2 * s) * plan.Cp * item
     reduced = (2 * nlev + 8) * red_blk
     nhelp = len(backend.system.help_funcs)
@@ -92,12 +92,31 @@ def applicable(backend, plan: FoldPlan, n_stages: int) -> bool:
     if os.environ.get("TRIFLOW_NO_MEGA") or os.environ.get(
             "TRIFLOW_NO_PALLAS"):
         return False
-    if plan is None or plan.B != 1:
+    if plan is None:
         return False
     if plan.Mc > _MC_CAP or plan.s > 4 or plan.Mc < 2:
         return False
     budget = int(os.environ.get("TRIFLOW_MEGA_BUDGET_MB", 6)) << 20
+    if plan.B > 1:
+        # member-partitioned kernels carry the per-member Woodbury's
+        # broadcast slabs and elementwise capacitance: measured compile
+        # failure (VMEM overflow SIGABRT) at ~4.5MB estimated, so gate
+        # ensembles tighter than the single-member 6MB budget
+        budget = min(budget,
+                     int(os.environ.get("TRIFLOW_MEGA_ENS_BUDGET_MB",
+                                        3)) << 20)
     return _vmem_estimate(backend, plan, n_stages) <= budget
+
+
+def mega_step_cost_us(plan: FoldPlan, n_stages: int) -> float:
+    """Rough wall microseconds of ONE whole-step kernel invocation (used
+    by the ensemble group picker to weigh a single-launch mega group
+    against the grid-kernel path).  The kernel is issue/depth-bound: cost
+    scales with the sweep rows and reduced-PCR levels per stage.  Fit to
+    measured points (N=1e4 single member Mc=10/9 levels: 25.9us; ensemble
+    groups Mc=10/4 levels: ~17us)."""
+    nlev = len(_levels(plan.Cmm))
+    return 0.65 * n_stages * (1.0 + 0.25 * plan.Mc + 0.35 * nlev)
 
 
 def small_plan_for(backend, N: int) -> FoldPlan | None:
@@ -280,18 +299,24 @@ def _reduced_LU_values(Ws, Vs, plan: FoldPlan):
     return Lred, Ured
 
 
-def _pcr_factor_values(Lv, Dv, Uv, ds, C, C8, cyclic):
+def _pcr_factor_values(Lv, Dv, Uv, ds, C, C8, cyclic, Cm=0):
     """All PCR reduction levels at value level (the body of
-    pallas_pcr.pcr_factor_fused_sub); returns (alphas, betas, Dinv)."""
+    pallas_pcr.pcr_factor_fused_sub); returns (alphas, betas, Dinv).
+    With ``Cm`` the system is block-diagonal over C/Cm members (ensemble
+    plans): member-local boundary masks on ``c % Cm`` decouple neighbors
+    across member boundaries (the rolled-in foreign values are multiplied
+    by zeroed alpha/beta, so global rolls stay correct)."""
     cidx = _c_iota(C8)
+    cmod = cidx % Cm if Cm else cidx
+    top = Cm or C
     alphas, betas = [], []
     for d in ds:
         Dinv = _inv2(Dv)
         alpha = -_mm2(Lv, _roll_c(Dinv, d, C8))
         beta = -_mm2(Uv, _roll_c(Dinv, -d, C8))
         if not cyclic:
-            alpha = jnp.where(cidx >= d, alpha, 0.0)
-            beta = jnp.where(cidx < C - d, beta, 0.0)
+            alpha = jnp.where(cmod >= d, alpha, 0.0)
+            beta = jnp.where(cmod < top - d, beta, 0.0)
         Dv = (Dv + _mm2(alpha, _roll_c(Uv, d, C8))
               + _mm2(beta, _roll_c(Lv, -d, C8)))
         Lv = _mm2(alpha, _roll_c(Lv, d, C8))
@@ -301,6 +326,25 @@ def _pcr_factor_values(Lv, Dv, Uv, ds, C, C8, cyclic):
     if cyclic:
         Dv = Dv + Lv + Uv
     return alphas, betas, _inv2(Dv)
+
+
+def _member_bcast(v, plan: FoldPlan, forward: bool):
+    """Broadcast a one-nonzero-chunk-per-member (8, C8) slab to a
+    member-constant slab (the per-member Woodbury needs each member's
+    boundary value on every one of its chunks).  Log-doubling prefix
+    (forward, from each member's FIRST chunk) or suffix (backward, from
+    its LAST chunk) sum with member-local masks: with a single nonzero
+    per member segment the running sum IS the broadcast."""
+    Cm, C8 = plan.Cmm, plan.C8
+    cmod = _c_iota(C8) % Cm
+    d = 1
+    while d < Cm:
+        if forward:
+            v = v + jnp.where(cmod >= d, _roll_c(v, d, C8), 0.0)
+        else:
+            v = v + jnp.where(cmod < Cm - d, _roll_c(v, -d, C8), 0.0)
+        d *= 2
+    return v
 
 
 def _pcr_apply_values(alphas, betas, Dinv, b, ds, C8):
@@ -341,7 +385,10 @@ class _Reduced:
         C, C8 = plan.C, plan.C8
         dtype = Lred.dtype
         self.plan, self.s, self.wood = plan, s, False
-        self.ds = _levels(C)
+        # member-partitioned plans (B > 1) reduce per member: log2(Cm)
+        # levels with member-local masks (pallas_pcr.pcr_factor_fused_sub)
+        self.ds = _levels(plan.Cmm)
+        self.Cm = plan.Cmm if plan.B > 1 else 0
         self.C8 = C8
         # identity blocks via iota (Mosaic rejects the eye[..., None, None]
         # rank-expanding shape cast inside a kernel)
@@ -360,7 +407,7 @@ class _Reduced:
             Lred0 = jnp.where(dead, 0.0, Lred0)
             Ured0 = jnp.where(dead, 0.0, Ured0)
         self.fact = _pcr_factor_values(Lred0, eye, Ured0, self.ds, C, C8,
-                                       False)
+                                       False, Cm=self.Cm)
         if not wrap:
             return
         # Woodbury columns: the masked-out boundary values of Lred/Ured ARE
@@ -376,12 +423,24 @@ class _Reduced:
             for i in range(d2):
                 row = Z[j, s + i] if i < s else Z[j, i - s]
                 mask = last if i < s else first
-                vtz[j][i] = jnp.sum(jnp.where(mask, row, 0.0))
+                vtz[j][i] = self._vdot(jnp.where(mask, row, 0.0),
+                                       forward=i >= s)
         one = jnp.ones((), dtype)
+        # per member (B > 1) the vtz entries are member-constant (8, C8)
+        # slabs and the Gauss-Jordan runs elementwise: each member gets its
+        # own capacitance inverse (dead chunks invert I harmlessly)
         cap = [[(one if i == j else jnp.zeros((), dtype)) + vtz[j][i]
                 for j in range(d2)] for i in range(d2)]
-        self.cap_inv = _scalar_inv(cap)                 # [i][j] scalars
+        self.cap_inv = _scalar_inv(cap)                 # [i][j]
         self.Z = Z
+
+    def _vdot(self, masked, forward):
+        """v_i^T y with a one-chunk-per-member mask already applied: a
+        scalar sum for a single member, a member-constant broadcast slab
+        for ensemble plans."""
+        if self.plan.B == 1:
+            return jnp.sum(masked)
+        return _member_bcast(masked, self.plan, forward)
 
     def shifts(self, yred, wrap):
         """Reduced solve + neighbor shifts: yred (2s, 8, C8) ->
@@ -392,8 +451,10 @@ class _Reduced:
         y = _pcr_apply_values(*self.fact, yred, self.ds, C8)
         if self.wood:
             first, last = _member_masks(plan)
-            vt = [jnp.sum(jnp.where(last, y[s + i], 0.0)) for i in range(s)]
-            vt += [jnp.sum(jnp.where(first, y[i], 0.0)) for i in range(s)]
+            vt = [self._vdot(jnp.where(last, y[s + i], 0.0), forward=False)
+                  for i in range(s)]
+            vt += [self._vdot(jnp.where(first, y[i], 0.0), forward=True)
+                   for i in range(s)]
             corr = None
             for j in range(d2):
                 coef = sum(self.cap_inv[j][i] * vt[i] for i in range(d2))

@@ -196,6 +196,20 @@ class Ensemble:
                    + len(backend.system.pars))
         forced = int(os.environ.get("TRIFLOW_ENSEMBLE_BG", 0))
         best = None
+        # single-group whole-batch megakernel candidate (ops/megastep.py):
+        # the launch-bound small-sweep regime — the whole parameter sweep
+        # advances a device chunk in ONE kernel launch per call.  The plan
+        # must also pass the grid-kernel gates (plan_for_ensemble) so the
+        # single-step and adaptive fallbacks keep working.
+        from ..ops import megastep
+
+        if (not self._adaptive and B > 1) and (not forced or forced == B):
+            plan = fl.plan_for_ensemble(
+                backend, N, B,
+                accept=lambda p: megastep.applicable(backend, p, stages))
+            if plan is not None:
+                est_us = megastep.mega_step_cost_us(plan, stages)
+                best = ((est_us, 1), B, plan)
         for Bg in sorted({d for d in range(1, B + 1) if B % d == 0},
                          reverse=True):
             if forced and Bg != forced:
@@ -354,7 +368,31 @@ class Ensemble:
             vunfold = jax.vmap(lambda m: fl.unfold(m, plan))
             return split(vunfold(uf))
 
-        self._merged_parts = (folded_step, prepare, finish, G)
+        # fixed-dt + single group + whole-step kernel applicable: flip the
+        # loops — steps INNER — so a whole device chunk of the batch is
+        # ONE pallas_call (ops/megastep.py in-kernel fori_loop).  Multiple
+        # groups keep the grid path (sequential narrow mega kernels lose
+        # to wide grid kernels — measured 3.7e8 vs 1.04e9 agg cells/s at
+        # B=1024 x N=200), and the adaptive controller needs steps-outer
+        # (its shared dt couples the whole batch within a step).
+        from ..ops import megastep
+
+        mega_scan = None
+        if not adaptive and G == 1 and megastep.applicable(backend, plan,
+                                                           s):
+            def mega_scan(uf, hf, pf, xf, dx, dt, n):
+                def gbody(carry, inp):
+                    uf_g, hf_g, pf_g, xf_g = inp
+                    u2 = megastep.row_scan_folded(
+                        backend, plan, tables, s, periodic,
+                        uf_g, hf_g, pf_g, xf_g, dx, dt, n)
+                    return carry, u2
+
+                _c, uf2 = jax.lax.scan(gbody, jnp.int32(0),
+                                       (uf, hf, pf, xf))
+                return uf2
+
+        self._merged_parts = (folded_step, prepare, finish, G, mega_scan)
 
         def stepper(t, u, helpers, pstack, x, dt, internal_dt):
             uf, hf, pf, xf, dx = prepare(u, helpers, pstack, x)
@@ -369,13 +407,19 @@ class Ensemble:
         device call and carry folded state through the scan (the per-step
         fold/unfold transposes cost more than the step itself)."""
         backend = self.model.backend
-        folded_step, prepare, finish, G = self._merged_parts
+        folded_step, prepare, finish, G, mega_scan = self._merged_parts
         if self._merged_scan is None:
             adaptive = self._adaptive
 
             def scan_run(t, u, helpers, pstack, x, dt, internal_dt, n):
                 uf, hf, pf, xf, dx = prepare(u, helpers, pstack, x)
 
+                if mega_scan is not None:
+                    # fixed-dt whole-chunk kernel: n steps of every member
+                    # group in one launch per group
+                    uf2 = mega_scan(uf, hf, pf, xf, dx, dt, n)
+                    return (t + n * dt, finish(uf2), internal_dt,
+                            jnp.int32(0))
                 if adaptive:
                     # early-exit while_loop (nothing is stacked per step):
                     # a tripped status code stops the whole chunk instead
@@ -424,6 +468,17 @@ class Ensemble:
         t2, u2, dt_i, status = self._merged_scan(
             t_dev, self.u, self.helpers, self.pstack, self.x,
             jnp.asarray(dt, backend.dtype), idt_dev, int(n))
+        self._t_dev, self._idt_dev = t2, dt_i
+        if mega_scan is not None:
+            # fixed-dt whole-chunk kernel: status is a traced constant 0
+            # and t2 = t + n*dt — NO device->host scalar sync at all (each
+            # separate scalar fetch is a full tunnel roundtrip, ~22 ms;
+            # two of them doubled the measured per-step cost at B=64)
+            self.t, self.u = self.t + n * dt, u2
+            return self.t, self.u
+        # one bulk transfer for both host-needed scalars instead of two
+        # sequential scalar syncs
+        t_host, status = jax.device_get((t2, status))
         status = int(status)
         if status == 1:
             raise RuntimeError(
@@ -432,8 +487,7 @@ class Ensemble:
         if status == 2:
             raise RuntimeError(
                 "Rosenbrock internal time step less than authorized")
-        self._t_dev, self._idt_dev = t2, dt_i
-        self.t, self.u = float(t2), u2
+        self.t, self.u = float(t_host), u2
         self._set_internal_dt(dt_i)
         return self.t, self.u
 

@@ -173,6 +173,66 @@ def test_megastep_ensemble_members(interpret_pallas, monkeypatch, periodic):
     assert np.isclose(float(out[1]), float(err_ref), rtol=1e-9)
 
 
+def _adaptive_pair(N, periodic, monkeypatch, tol=1e-4, compensated=False,
+                   max_iter=None):
+    """One adaptive OUTPUT step via the whole-loop kernel vs the folded
+    while_loop controller (TRIFLOW_NO_MEGA)."""
+    model = Model("-dxxU - dxxxxU - U * dxU", "U", double=True)
+    be = model.backend
+    dtype = be.dtype
+    from triflow_tpu.core.schemes import null_hook
+    x = jnp.asarray(np.arange(N) * 0.5, dtype)
+    rng = np.random.RandomState(0)
+    u0 = jnp.asarray((np.cos(2 * np.pi * np.arange(N) / N * 5)
+                      + 0.1 * rng.randn(N))[None], dtype)
+    helpers = jnp.zeros((0, N), dtype)
+    pstack = jnp.zeros((0, N), dtype)
+    args = (jnp.asarray(0.0, dtype), u0, helpers, pstack, x,
+            jnp.asarray(0.5, dtype), jnp.asarray(0.1, dtype))
+    sch = schemes.RODASPR(model, tol=tol, compensated=compensated,
+                          max_iter=max_iter)
+    out_mega = sch.device_stepper(hook=null_hook, periodic=periodic)(*args)
+    monkeypatch.setenv("TRIFLOW_NO_MEGA", "1")
+    sch2 = schemes.RODASPR(model, tol=tol, compensated=compensated,
+                           max_iter=max_iter)
+    out_ref = sch2.device_stepper(hook=null_hook, periodic=periodic)(*args)
+    monkeypatch.delenv("TRIFLOW_NO_MEGA")
+    return out_mega, out_ref
+
+
+@pytest.mark.parametrize("N,periodic,compensated", [
+    (200, True, False),   # Woodbury wrap closure
+    (200, False, False),  # edge clamp
+    (256, True, False),   # cyclic reduced PCR
+    (200, True, True),    # Kahan-compensated accumulation
+])
+def test_mega_adaptive_matches_folded_loop(interpret_pallas, monkeypatch,
+                                           N, periodic, compensated):
+    """The in-kernel adaptive retry loop (accept/reject, dt control,
+    status codes in ONE pallas_call) makes the same decisions as the
+    folded-carry lax.while_loop controller."""
+    out_m, out_r = _adaptive_pair(N, periodic, monkeypatch,
+                                  compensated=compensated)
+    _t, u_m, _h, _p, _x, dti_m, ni_m, st_m = out_m
+    _t2, u_r, _h2, _p2, _x2, dti_r, ni_r, st_r = out_r
+    assert int(ni_m) > 1, "test should exercise several internal attempts"
+    assert int(ni_m) == int(ni_r)
+    assert int(st_m) == int(st_r) == 0
+    assert np.allclose(np.asarray(u_m), np.asarray(u_r),
+                       rtol=1e-12, atol=1e-12)
+    # dt_i may differ in the last ulps (differently-fused error norms
+    # compound through the controller) but must agree to ~1e-8 rel
+    assert np.isclose(float(dti_m), float(dti_r), rtol=1e-7)
+
+
+def test_mega_adaptive_failure_status(interpret_pallas, monkeypatch):
+    """max_iter exhaustion inside the kernel raises status 1 like the
+    folded controller does."""
+    out_m, out_r = _adaptive_pair(200, True, monkeypatch, tol=1e-30,
+                                  max_iter=3)
+    assert int(out_m[-1]) == int(out_r[-1]) == 1
+
+
 def test_small_plan_gates(interpret_pallas):
     """small_plan_for serves only foldable small grids within budget."""
     model = Model("-dxxU - dxxxxU - U * dxU", "U")

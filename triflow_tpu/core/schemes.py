@@ -748,6 +748,21 @@ class ROW_general(_SchemeBase):
                 N = x.shape[-1]
                 dx = (x[..., -1] - x[..., 0]) / (N - 1)
 
+                # launch-bound small grids: the ENTIRE adaptive retry loop
+                # (accept/reject, dt control, status codes) runs inside one
+                # pallas_call — same controller, zero per-attempt launches
+                from ..ops import megastep
+
+                mega = megastep.row_adaptive_step_folded(
+                    problem.backend, plan, tables, s, problem.periodic,
+                    uf, hf, pf, xf, dx, t, dt, internal_dt,
+                    tol, safety, max_iter, dt_min, compensated)
+                if mega is not None:
+                    uf2, dt_i, niter, status = mega
+                    # hook is null_hook in this branch (the plan gate)
+                    return (next_t, _folded.unfold(uf2, plan), helpers,
+                            pstack, x, dt_i, niter, status)
+
                 def fixed_f(t, uf_, dt_):
                     return _row_folded_core(
                         problem.backend, plan, tables, s, problem.periodic,

@@ -633,6 +633,225 @@ def theta_step_folded(backend, plan: FoldPlan, theta, periodic,
     return uf2
 
 
+def _adaptive_retry_loop(backend, plan: FoldPlan, tables, s_stages,
+                         periodic, he, ps, xv, dx, tol, safety, max_iter,
+                         dt_min, compensated):
+    """In-kernel accept/reject retry loop factory — bit-for-bit the
+    controller of the folded-carry loop in schemes._build_stepper
+    (clamp-and-recompute mode): same accept test, dt update, Kahan
+    option, max_iter/dt_min status codes.  Returns
+    ``run(t0, u0, c0, dt0, next_t) -> (t, u, c, dt_i, niter, status)``."""
+    dtype = backend.dtype
+    g00 = float(tables[4])
+    tiny = float(jnp.finfo(dtype).tiny)
+    feps = float(jnp.finfo(dtype).eps)
+
+    def run(t0, u0, c0, dt0, next_t):
+        eps = 1e-12 * jnp.maximum(jnp.abs(next_t), 1.0)
+
+        def cond_f(carry):
+            t_, _u, _c, _dt, _n, status = carry
+            return (t_ < next_t - eps) & (status == 0)
+
+        def body_f(carry):
+            t_, u_, c_, dt_i, niter, status = carry
+            remaining = next_t - t_
+            clamped = dt_i >= remaining
+            dt_eff = jnp.minimum(dt_i, remaining)
+            beta = -g00 * dt_eff
+            rhs_scale = g00 * dt_eff
+            u2, err = _row_step_values(backend, plan, tables, s_stages,
+                                       periodic, u_, he, ps, xv, dx,
+                                       beta, rhs_scale)
+            accept = err <= tol
+            err_safe = jnp.maximum(err, tiny)
+            dt_next = safety * dt_eff * jnp.sqrt(tol / err_safe)
+            dt_next = jnp.clip(dt_next, 0.1 * dt_eff, 10.0 * dt_eff)
+            dt_i_new = jnp.where(accept & clamped, dt_i, dt_next)
+            t_ = jnp.where(accept, t_ + dt_eff, t_)
+            if compensated:
+                from .compensated import kahan_update
+
+                uk, ck = kahan_update(u_, c_, u2)
+                u_ = jnp.where(accept, uk, u_)
+                c_ = jnp.where(accept, ck, c_)
+            else:
+                u_ = jnp.where(accept, u2, u_)
+            niter = niter + jnp.int32(1)
+            if max_iter is not None:
+                status = jnp.where(niter > jnp.int32(max_iter),
+                                   jnp.int32(1), status)
+            dt_floor = dt_min if dt_min is not None else (
+                1e3 * tiny + 2.0 * feps * jnp.abs(next_t))
+            status = jnp.where(dt_i_new < dt_floor, jnp.int32(2), status)
+            return (t_, u_, c_, dt_i_new, niter, status)
+
+        carry = (t0, u0, c0, dt0, jnp.int32(0), jnp.int32(0))
+        return jax.lax.while_loop(cond_f, body_f, carry)
+
+    return run
+
+
+def row_adaptive_step_folded(backend, plan: FoldPlan, tables, s_stages,
+                             periodic, uf, hf, pf, xf, dx, t, dt,
+                             internal_dt, tol, safety, max_iter, dt_min,
+                             compensated=False):
+    """One adaptive OUTPUT step — the whole accept/reject retry loop — as
+    ONE pallas_call (in-kernel ``lax.while_loop``), or None when the
+    whole-step kernel does not apply.  Returns
+    ``(uf2, dt_i, niter, status)``."""
+    if not applicable(backend, plan, s_stages):
+        return None
+    dtype = backend.dtype
+    nvar, K, C8 = plan.nvar, plan.K, plan.C8
+    nhelp = len(backend.system.help_funcs)
+    npar = len(backend.system.pars)
+
+    def kernel(*refs):
+        it = iter(refs)
+        u = next(it)[...]
+        he = next(it)[...] if nhelp else jnp.zeros((0, K, 8, C8), dtype)
+        ps = next(it)[...] if npar else jnp.zeros((0, K, 8, C8), dtype)
+        xv = next(it)[...]
+        sc_ref = next(it)
+        out_ref = next(it)
+        fl_ref = next(it)
+        int_ref = next(it)
+        t0 = sc_ref[0, 0]
+        next_t = sc_ref[0, 1]
+        dt0 = sc_ref[0, 2]
+        dx = sc_ref[0, 3]
+        run = _adaptive_retry_loop(backend, plan, tables, s_stages,
+                                   periodic, he, ps, xv, dx, tol, safety,
+                                   max_iter, dt_min, compensated)
+        _t2, u2, _c2, dt_i, niter, status = run(
+            t0, u, jnp.zeros_like(u), dt0, next_t)
+        out_ref[...] = u2
+        fl_ref[0, 0] = dt_i
+        int_ref[0, 0] = niter
+        int_ref[0, 1] = status
+
+    sc = jnp.stack([jnp.asarray(t, dtype),
+                    jnp.asarray(t, dtype) + jnp.asarray(dt, dtype),
+                    jnp.minimum(jnp.asarray(internal_dt, dtype),
+                                jnp.asarray(dt, dtype)),
+                    jnp.asarray(dx, dtype)]).reshape(1, 4)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ops = [uf]
+    specs = [vspec]
+    if nhelp:
+        ops.append(hf)
+        specs.append(vspec)
+    if npar:
+        ops.append(pf)
+        specs.append(vspec)
+    ops += [xf, sc]
+    specs += [vspec, sspec]
+    uf2, fl, ints = _pcall(
+        kernel,
+        in_specs=specs,
+        out_specs=[vspec, sspec, sspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((nvar, K, 8, C8), dtype),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        ],
+    )(*ops)
+    return uf2, fl[0, 0], ints[0, 0], ints[0, 1]
+
+
+def row_adaptive_scan_folded(backend, plan: FoldPlan, tables, s_stages,
+                             periodic, uf, hf, pf, xf, dx, t, dt,
+                             internal_dt, tol, safety, max_iter, dt_min,
+                             nsteps, compensated=False):
+    """``nsteps`` adaptive OUTPUT steps — each with its full in-kernel
+    accept/reject retry loop — as ONE pallas_call, or None when the
+    whole-step kernel does not apply.  The outer loop early-exits when a
+    step trips a status code (exactly the merged-ensemble chunk driver's
+    semantics: remaining steps are NOT run on garbage state).  The Kahan
+    compensation carry (``compensated=True``) persists across output
+    steps inside the kernel — slightly tighter than chaining single-step
+    kernels, which reset it per step.
+
+    Returns ``(uf2, steps_done, dt_i, status)``; the final time is
+    ``t + steps_done * dt`` (the failing step, if any, counts — matching
+    the stepper's convention of returning next_t even on failure)."""
+    if not applicable(backend, plan, s_stages):
+        return None
+    dtype = backend.dtype
+    nvar, K, C8 = plan.nvar, plan.K, plan.C8
+    nhelp = len(backend.system.help_funcs)
+    npar = len(backend.system.pars)
+    n = int(nsteps)
+
+    def kernel(*refs):
+        it = iter(refs)
+        u = next(it)[...]
+        he = next(it)[...] if nhelp else jnp.zeros((0, K, 8, C8), dtype)
+        ps = next(it)[...] if npar else jnp.zeros((0, K, 8, C8), dtype)
+        xv = next(it)[...]
+        sc_ref = next(it)
+        out_ref = next(it)
+        fl_ref = next(it)
+        int_ref = next(it)
+        t0 = sc_ref[0, 0]
+        dt_out = sc_ref[0, 1]
+        dt0 = sc_ref[0, 2]
+        dx = sc_ref[0, 3]
+        run = _adaptive_retry_loop(backend, plan, tables, s_stages,
+                                   periodic, he, ps, xv, dx, tol, safety,
+                                   max_iter, dt_min, compensated)
+
+        def outer_cond(carry):
+            i, _t, _u, _c, _dt, status = carry
+            return (i < jnp.int32(n)) & (status == 0)
+
+        def outer_body(carry):
+            i, t_, u_, c_, dt_i, status = carry
+            next_t = t_ + dt_out
+            _t2, u2, c2, dt_i2, _niter, st2 = run(t_, u_, c_, dt_i, next_t)
+            return (i + jnp.int32(1), next_t, u2, c2, dt_i2,
+                    jnp.maximum(status, st2))
+
+        carry = (jnp.int32(0), t0, u, jnp.zeros_like(u), dt0, jnp.int32(0))
+        i2, _t2, u2, _c2, dt_i, status = jax.lax.while_loop(
+            outer_cond, outer_body, carry)
+        out_ref[...] = u2
+        fl_ref[0, 0] = dt_i
+        int_ref[0, 0] = i2
+        int_ref[0, 1] = status
+
+    sc = jnp.stack([jnp.asarray(t, dtype),
+                    jnp.asarray(dt, dtype),
+                    jnp.minimum(jnp.asarray(internal_dt, dtype),
+                                jnp.asarray(dt, dtype)),
+                    jnp.asarray(dx, dtype)]).reshape(1, 4)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ops = [uf]
+    specs = [vspec]
+    if nhelp:
+        ops.append(hf)
+        specs.append(vspec)
+    if npar:
+        ops.append(pf)
+        specs.append(vspec)
+    ops += [xf, sc]
+    specs += [vspec, sspec]
+    uf2, fl, ints = _pcall(
+        kernel,
+        in_specs=specs,
+        out_specs=[vspec, sspec, sspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((nvar, K, 8, C8), dtype),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        ],
+    )(*ops)
+    return uf2, ints[0, 0], fl[0, 0], ints[0, 1]
+
+
 def row_scan_folded(backend, plan: FoldPlan, tables, s_stages, periodic,
                     uf, hf, pf, xf, dx, dt, nsteps):
     """``nsteps`` fixed-dt ROW steps as ONE pallas_call -> uf_new, or None.

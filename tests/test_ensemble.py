@@ -152,6 +152,75 @@ def test_ensemble_merged_scanned_steps_match_loop(monkeypatch):
                        rtol=1e-11, atol=1e-12)
 
 
+def test_ensemble_merged_adaptive_whole_chunk(monkeypatch):
+    """Adaptive merged steps(n) — which flips to the in-kernel shared-dt
+    controller (ops/megastep.row_adaptive_scan_folded) when the whole
+    batch folds into one applicable group — must match the steps-outer
+    grid-kernel controller's decisions and trajectory."""
+    monkeypatch.setenv("TRIFLOW_PALLAS_INTERPRET", "1")
+    model = Model("-dxxU - dxxxxU - U * dxU", "U", double=True)
+    N, B = 40, 8
+    x = np.arange(N) * 0.5
+    rng = np.random.RandomState(7)
+    u0 = np.stack([np.cos(2 * np.pi * np.arange(N) / N * (3 + m))
+                   + 0.05 * rng.randn(N) for m in range(B)])
+    ens_a = Ensemble(model, u0, dict(periodic=True), x,
+                     scheme=schemes.RODASPR, tol=1e-5)
+    assert ens_a._merged_plan is not None
+    assert ens_a._merged_parts[5] is not None, \
+        "whole-chunk adaptive kernel not selected"
+    ens_a.steps(3, 0.1)
+
+    monkeypatch.setenv("TRIFLOW_NO_MEGA", "1")
+    ens_b = Ensemble(model, u0, dict(periodic=True), x,
+                     scheme=schemes.RODASPR, tol=1e-5)
+    assert ens_b._merged_parts[5] is None
+    ens_b.steps(3, 0.1)
+    monkeypatch.delenv("TRIFLOW_NO_MEGA")
+
+    assert np.isclose(ens_a.t, ens_b.t)
+    assert np.allclose(np.asarray(ens_a.u), np.asarray(ens_b.u),
+                       rtol=1e-9, atol=1e-10)
+
+
+def test_ensemble_per_member_mega_matches_vmapped(monkeypatch):
+    """The in-kernel per-member controller (megastep per_member mode,
+    member-constant clock/dt/attempt slabs + member-segmented error max)
+    must reproduce the vmapped per-member stepper's trajectories and
+    attempt counts — they implement the same controller on different
+    layouts."""
+    monkeypatch.setenv("TRIFLOW_PALLAS_INTERPRET", "1")
+    model = Model("k * dxxU", "U", "k")
+    N = 48
+    x = np.linspace(0, 10, N, endpoint=False)
+    u0 = np.cos(x * 2 * np.pi / 10)
+    ks = [0.02, 0.5, 20.0, 80.0]
+    pars = [dict(k=k, periodic=True) for k in ks]
+    u0b = np.tile(u0, (len(ks), 1))
+
+    ens_a = Ensemble(model, u0b, pars, x, scheme=schemes.RODASPR,
+                     tol=1e-6, per_member_dt=True)
+    assert ens_a._merged_plan is not None
+    assert ens_a._merged_parts[6] is not None, \
+        "per-member whole-chunk kernel not selected"
+    ens_a.step(0.5)
+    iters_a = ens_a.member_iters.copy()
+
+    monkeypatch.setenv("TRIFLOW_NO_MEGA", "1")
+    ens_b = Ensemble(model, u0b, pars, x, scheme=schemes.RODASPR,
+                     tol=1e-6, per_member_dt=True)
+    assert ens_b._merged_plan is None
+    ens_b.step(0.5)
+    monkeypatch.delenv("TRIFLOW_NO_MEGA")
+
+    assert np.isclose(ens_a.t, ens_b.t)
+    assert np.allclose(np.asarray(ens_a.u), np.asarray(ens_b.u),
+                       rtol=1e-7, atol=1e-8)
+    # identical controllers -> identical per-member attempt counts
+    assert np.array_equal(iters_a, ens_b.member_iters), \
+        (iters_a, ens_b.member_iters)
+
+
 def test_ensemble_merged_gated_off_for_compensated_refine(monkeypatch):
     """Regression: the merged folded core has no Kahan accumulation and no
     refinement hook — constructing an Ensemble with compensated=True or

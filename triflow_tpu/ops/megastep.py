@@ -498,11 +498,18 @@ def _solve_values(facs, Dhs, DUs, Ws, Vs, red: _Reduced, rhs, plan, wrap):
 # ---------------------------------------------------------------------------
 
 def _row_step_values(backend, plan: FoldPlan, tables, s_stages, periodic,
-                     u, he, ps, xv, dx, beta, rhs_scale):
+                     u, he, ps, xv, dx, beta, rhs_scale, err_slab=False):
     """One ROW (or theta, via a 1-stage table) step at value level:
     banded J, fused assembly+factor, reduced interface, all stages, final
     combination -> (u_new, err).  ``beta`` = -gamma00*dt (the factor
-    shift), ``rhs_scale`` = gamma00*dt for ROW / dt for theta."""
+    shift), ``rhs_scale`` = gamma00*dt for ROW / dt for theta.
+
+    ``beta``/``rhs_scale`` may be member-constant (8, C8) slabs instead of
+    scalars (per-member dt): every band/factor/solve op is elementwise
+    over the chunk plane and member boundaries are mask-decoupled, so
+    each chunk simply factors its member's shifted system.  With
+    ``err_slab`` the error comes back as a per-chunk (8, C8) max over
+    (nvar, K) instead of a global scalar (callers member-reduce it)."""
     a_t, c_t, m_t, m_pred_t, g00 = tables
     wrap = bool(periodic) and plan.halo > 0
     cyclic = wrap and plan.cyclic_ok
@@ -551,11 +558,13 @@ def _row_step_values(backend, plan: FoldPlan, tables, s_stages, periodic,
             if c:
                 diff = (float(c) * us[i] if diff is None
                         else diff + float(c) * us[i])
-        err = jnp.max(jnp.abs(diff))
+        adiff = jnp.abs(diff)
+        err = jnp.max(adiff, axis=(0, 1)) if err_slab else jnp.max(adiff)
         err = jnp.where(jnp.isnan(err) | jnp.isinf(err),
                         jnp.asarray(jnp.inf, dtype), err)
     else:
-        err = jnp.asarray(jnp.inf, dtype)
+        shape = (8, plan.C8) if err_slab else ()
+        err = jnp.full(shape, jnp.inf, dtype)
     return u_new, err
 
 
@@ -692,6 +701,117 @@ def _adaptive_retry_loop(backend, plan: FoldPlan, tables, s_stages,
     return run
 
 
+def _member_max_slab(v, plan: FoldPlan):
+    """Member-segmented max of a per-chunk (8, C8) slab -> member-constant
+    slab (each chunk ends with the max over its OWN member's chunks).
+    Log-doubling both-ways max with member-local masks, the max twin of
+    _member_bcast; dead-tail chunks only ever combine within their own
+    phantom segments, so real members never see padding garbage."""
+    Cm, C8 = plan.Cmm, plan.C8
+    cmod = _c_iota(C8) % Cm
+    neg = jnp.asarray(-jnp.inf, v.dtype)
+    d = 1
+    while d < Cm:
+        fwd = jnp.where(cmod >= d, _roll_c(v, d, C8), neg)
+        bwd = jnp.where(cmod < Cm - d, _roll_c(v, -d, C8), neg)
+        v = jnp.maximum(v, jnp.maximum(fwd, bwd))
+        d *= 2
+    return v
+
+
+def _adaptive_retry_loop_members(backend, plan: FoldPlan, tables, s_stages,
+                                 periodic, he, ps, xv, dx, tol, safety,
+                                 max_iter, dt_min, compensated, zslab):
+    """Per-member in-kernel retry loop factory — bit-for-bit the
+    controller of the vmapped per-member stepper
+    (parallel/ensemble._build_adaptive_per_member), but on the folded
+    members-as-chunks layout: every member's clock, step size and attempt
+    count live as member-constant (8, C8) slabs, converged members freeze
+    under elementwise masks while stiff members keep retrying, and the
+    per-member error is a member-segmented max.  ``zslab`` is a zero
+    (8, C8) slab read from VMEM: while_loop slab carries must be seeded
+    from a laid-out vector — Mosaic cannot relayout a replicated
+    broadcast constant into the body's laid-out result.  Returns
+    ``run(t0, u0, c0, dtb0, next_t) -> (tb, u, c, dtb, nb, status)``."""
+    dtype = backend.dtype
+    g00 = float(tables[4])
+    tiny = float(jnp.finfo(dtype).tiny)
+    feps = float(jnp.finfo(dtype).eps)
+    real = _c_iota(plan.C8) < plan.C
+
+    def run(t0, u0, c0, dtb0, next_t):
+        eps = 1e-12 * jnp.maximum(jnp.abs(next_t), 1.0)
+        tb0 = t0 + zslab
+
+        def cond_f(carry):
+            tb, _u, _c, _dtb, _nb, status = carry
+            return jnp.any((tb < next_t - eps) & real) & (status == 0)
+
+        def body_f(carry):
+            tb, u_, c_, dtb, nb, status = carry
+            active = tb < next_t - eps
+            remaining = next_t - tb
+            clamped = dtb >= remaining
+            dt_eff = jnp.minimum(dtb, remaining)
+            beta = -g00 * dt_eff
+            rhs_scale = g00 * dt_eff
+            u2, errs = _row_step_values(backend, plan, tables, s_stages,
+                                        periodic, u_, he, ps, xv, dx,
+                                        beta, rhs_scale, err_slab=True)
+            errs = _member_max_slab(errs, plan)
+            accept = (errs <= tol) & active
+            err_safe = jnp.maximum(errs, tiny)
+            dt_next = jnp.clip(safety * dt_eff * jnp.sqrt(tol / err_safe),
+                               0.1 * dt_eff, 10.0 * dt_eff)
+            dtb = jnp.where(active & ~(accept & clamped), dt_next, dtb)
+            tb = jnp.where(accept, tb + dt_eff, tb)
+            if compensated:
+                from .compensated import kahan_update
+
+                uk, ck = kahan_update(u_, c_, u2)
+                u_ = jnp.where(accept, uk, u_)
+                c_ = jnp.where(accept, ck, c_)
+            else:
+                u_ = jnp.where(accept, u2, u_)
+            # the per-member attempt count is carried as a FLOAT slab
+            # (exact for any realistic count): Mosaic cannot relayout a
+            # replicated int32 broadcast into a while_loop's laid-out i32
+            # carry, while float replicated carries relayout fine
+            nb = nb + active.astype(dtype)
+            if max_iter is not None:
+                status = jnp.where(
+                    jnp.any(real & active & (nb > float(max_iter))),
+                    jnp.int32(1), status)
+            dt_floor = dt_min if dt_min is not None else (
+                1e3 * tiny + 2.0 * feps * jnp.abs(next_t))
+            still = tb < next_t - eps
+            status = jnp.where(jnp.any(real & still & (dtb < dt_floor)),
+                               jnp.int32(2), status)
+            return (tb, u_, c_, dtb, nb, status)
+
+        carry = (tb0, u0, c0, dtb0, zslab, jnp.int32(0))
+        return jax.lax.while_loop(cond_f, body_f, carry)
+
+    return run
+
+
+def member_slab(values, plan: FoldPlan, dtype):
+    """Member-constant (8, C8) slab from per-member values ((B,) array or
+    a scalar broadcast to every member)."""
+    v = jnp.asarray(values, dtype)
+    if v.ndim == 0:
+        return jnp.full((8, plan.C8), v, dtype)
+    mem = jnp.clip(_c_iota(plan.C8) // plan.Cmm, 0, plan.B - 1)
+    return v[mem]
+
+
+def slab_members(slab, plan: FoldPlan):
+    """(B,) per-member values from a member-constant (8, C8) slab (reads
+    each member's first chunk)."""
+    c = jnp.arange(plan.B, dtype=jnp.int32) * plan.Cmm
+    return slab.reshape(-1)[c]
+
+
 def row_adaptive_step_folded(backend, plan: FoldPlan, tables, s_stages,
                              periodic, uf, hf, pf, xf, dx, t, dt,
                              internal_dt, tol, safety, max_iter, dt_min,
@@ -724,8 +844,10 @@ def row_adaptive_step_folded(backend, plan: FoldPlan, tables, s_stages,
         run = _adaptive_retry_loop(backend, plan, tables, s_stages,
                                    periodic, he, ps, xv, dx, tol, safety,
                                    max_iter, dt_min, compensated)
-        _t2, u2, _c2, dt_i, niter, status = run(
-            t0, u, jnp.zeros_like(u), dt0, next_t)
+        # the Kahan carry is a live full-size VMEM buffer only when the
+        # compensated path actually reads it
+        c0 = jnp.zeros_like(u) if compensated else jnp.zeros((), dtype)
+        _t2, u2, _c2, dt_i, niter, status = run(t0, u, c0, dt0, next_t)
         out_ref[...] = u2
         fl_ref[0, 0] = dt_i
         int_ref[0, 0] = niter
@@ -764,7 +886,7 @@ def row_adaptive_step_folded(backend, plan: FoldPlan, tables, s_stages,
 def row_adaptive_scan_folded(backend, plan: FoldPlan, tables, s_stages,
                              periodic, uf, hf, pf, xf, dx, t, dt,
                              internal_dt, tol, safety, max_iter, dt_min,
-                             nsteps, compensated=False):
+                             nsteps, compensated=False, per_member=False):
     """``nsteps`` adaptive OUTPUT steps — each with its full in-kernel
     accept/reject retry loop — as ONE pallas_call, or None when the
     whole-step kernel does not apply.  The outer loop early-exits when a
@@ -774,10 +896,20 @@ def row_adaptive_scan_folded(backend, plan: FoldPlan, tables, s_stages,
     steps inside the kernel — slightly tighter than chaining single-step
     kernels, which reset it per step.
 
-    Returns ``(uf2, steps_done, dt_i, status)``; the final time is
-    ``t + steps_done * dt`` (the failing step, if any, counts — matching
-    the stepper's convention of returning next_t even on failure)."""
+    Shared-dt mode returns ``(uf2, steps_done, dt_i, status)``; the final
+    time is ``t + steps_done * dt`` (the failing step, if any, counts —
+    matching the stepper's convention of returning next_t even on
+    failure).
+
+    With ``per_member`` (ensemble plans, B > 1) every member carries its
+    OWN internal clock/step/attempt count as member-constant (8, C8)
+    slabs (see _adaptive_retry_loop_members); ``internal_dt`` may be a
+    (B,) array, and the return is ``(uf2, steps_done, dt_b, status,
+    niter_b)`` with per-member (B,) internal dts and total attempt
+    counts."""
     if not applicable(backend, plan, s_stages):
+        return None
+    if per_member and plan.B <= 1:
         return None
     dtype = backend.dtype
     nvar, K, C8 = plan.nvar, plan.K, plan.C8
@@ -791,41 +923,63 @@ def row_adaptive_scan_folded(backend, plan: FoldPlan, tables, s_stages,
         he = next(it)[...] if nhelp else jnp.zeros((0, K, 8, C8), dtype)
         ps = next(it)[...] if npar else jnp.zeros((0, K, 8, C8), dtype)
         xv = next(it)[...]
+        idt_ref = next(it) if per_member else None
+        zs_ref = next(it) if per_member else None
         sc_ref = next(it)
         out_ref = next(it)
         fl_ref = next(it)
         int_ref = next(it)
+        nb_ref = next(it) if per_member else None
         t0 = sc_ref[0, 0]
         dt_out = sc_ref[0, 1]
-        dt0 = sc_ref[0, 2]
+        dt0 = idt_ref[...] if per_member else sc_ref[0, 2]
         dx = sc_ref[0, 3]
-        run = _adaptive_retry_loop(backend, plan, tables, s_stages,
-                                   periodic, he, ps, xv, dx, tol, safety,
-                                   max_iter, dt_min, compensated)
+        if per_member:
+            run = _adaptive_retry_loop_members(
+                backend, plan, tables, s_stages, periodic, he, ps, xv,
+                dx, tol, safety, max_iter, dt_min, compensated,
+                zs_ref[...])
+        else:
+            run = _adaptive_retry_loop(
+                backend, plan, tables, s_stages, periodic, he, ps, xv,
+                dx, tol, safety, max_iter, dt_min, compensated)
 
         def outer_cond(carry):
-            i, _t, _u, _c, _dt, status = carry
+            i, _t, _u, _c, _dt, _nb, status = carry
             return (i < jnp.int32(n)) & (status == 0)
 
         def outer_body(carry):
-            i, t_, u_, c_, dt_i, status = carry
+            i, t_, u_, c_, dt_i, nb_tot, status = carry
             next_t = t_ + dt_out
-            _t2, u2, c2, dt_i2, _niter, st2 = run(t_, u_, c_, dt_i, next_t)
+            # every output step re-clamps its starting internal dt to the
+            # output dt — the steppers do this on every call, so chaining
+            # single-step kernels and this in-kernel scan stay bit-equal
+            dt_i = jnp.minimum(dt_i, dt_out)
+            _t2, u2, c2, dt_i2, niter, st2 = run(t_, u_, c_, dt_i, next_t)
             return (i + jnp.int32(1), next_t, u2, c2, dt_i2,
-                    jnp.maximum(status, st2))
+                    nb_tot + niter, jnp.maximum(status, st2))
 
-        carry = (jnp.int32(0), t0, u, jnp.zeros_like(u), dt0, jnp.int32(0))
-        i2, _t2, u2, _c2, dt_i, status = jax.lax.while_loop(
+        c0 = jnp.zeros_like(u) if compensated else jnp.zeros((), dtype)
+        # laid-out float slab from VMEM, not a synthesized broadcast —
+        # see _adaptive_retry_loop_members
+        nb0 = zs_ref[...] if per_member else jnp.int32(0)
+        carry = (jnp.int32(0), t0, u, c0, dt0, nb0, jnp.int32(0))
+        i2, _t2, u2, _c2, dt_i, nb_tot, status = jax.lax.while_loop(
             outer_cond, outer_body, carry)
         out_ref[...] = u2
-        fl_ref[0, 0] = dt_i
         int_ref[0, 0] = i2
         int_ref[0, 1] = status
+        if per_member:
+            fl_ref[...] = dt_i
+            nb_ref[...] = nb_tot.astype(jnp.int32)
+        else:
+            fl_ref[0, 0] = dt_i
 
+    idt = jnp.asarray(internal_dt, dtype)
     sc = jnp.stack([jnp.asarray(t, dtype),
                     jnp.asarray(dt, dtype),
-                    jnp.minimum(jnp.asarray(internal_dt, dtype),
-                                jnp.asarray(dt, dtype)),
+                    (jnp.zeros((), dtype) if per_member
+                     else jnp.minimum(idt, jnp.asarray(dt, dtype))),
                     jnp.asarray(dx, dtype)]).reshape(1, 4)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -837,18 +991,35 @@ def row_adaptive_scan_folded(backend, plan: FoldPlan, tables, s_stages,
     if npar:
         ops.append(pf)
         specs.append(vspec)
-    ops += [xf, sc]
-    specs += [vspec, sspec]
-    uf2, fl, ints = _pcall(
+    ops += [xf]
+    specs += [vspec]
+    if per_member:
+        dtb0 = jnp.minimum(member_slab(idt, plan, dtype),
+                           jnp.asarray(dt, dtype))
+        ops += [dtb0, jnp.zeros((8, C8), dtype)]
+        specs += [vspec, vspec]
+    ops.append(sc)
+    specs.append(sspec)
+    out_specs = [vspec, vspec if per_member else sspec, sspec]
+    out_shape = [
+        jax.ShapeDtypeStruct((nvar, K, 8, C8), dtype),
+        jax.ShapeDtypeStruct((8, C8) if per_member else (1, 1), dtype),
+        jax.ShapeDtypeStruct((1, 2), jnp.int32),
+    ]
+    if per_member:
+        out_specs.append(vspec)
+        out_shape.append(jax.ShapeDtypeStruct((8, C8), jnp.int32))
+    outs = _pcall(
         kernel,
         in_specs=specs,
-        out_specs=[vspec, sspec, sspec],
-        out_shape=[
-            jax.ShapeDtypeStruct((nvar, K, 8, C8), dtype),
-            jax.ShapeDtypeStruct((1, 1), dtype),
-            jax.ShapeDtypeStruct((1, 2), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
     )(*ops)
+    if per_member:
+        uf2, dtb, ints, nb = outs
+        return (uf2, ints[0, 0], slab_members(dtb, plan), ints[0, 1],
+                slab_members(nb, plan))
+    uf2, fl, ints = outs
     return uf2, ints[0, 0], fl[0, 0], ints[0, 1]
 
 

@@ -132,8 +132,10 @@ class Ensemble:
 
     # ------------------------------------------------------------------
     def _build(self, mesh, mesh_axis):
-        merged = (self._build_merged()
-                  if mesh is None and not self._per_member_dt else None)
+        # _build_merged itself decides per-member servability (it needs
+        # the in-kernel per-member controller, i.e. a single whole-batch
+        # mega-applicable group) and returns None otherwise
+        merged = self._build_merged() if mesh is None else None
         if merged is not None:
             return jax.jit(merged)
         if self._per_member_dt:
@@ -198,12 +200,13 @@ class Ensemble:
         best = None
         # single-group whole-batch megakernel candidate (ops/megastep.py):
         # the launch-bound small-sweep regime — the whole parameter sweep
-        # advances a device chunk in ONE kernel launch per call.  The plan
-        # must also pass the grid-kernel gates (plan_for_ensemble) so the
-        # single-step and adaptive fallbacks keep working.
+        # advances a device chunk in ONE kernel launch per call (fixed-dt
+        # fori_loop scan, or the in-kernel shared-dt adaptive controller).
+        # The plan must also pass the grid-kernel gates (plan_for_ensemble)
+        # so the single-step fallbacks keep working.
         from ..ops import megastep
 
-        if (not self._adaptive and B > 1) and (not forced or forced == B):
+        if B > 1 and (not forced or forced == B):
             plan = fl.plan_for_ensemble(
                 backend, N, B,
                 accept=lambda p: megastep.applicable(backend, p, stages))
@@ -266,6 +269,17 @@ class Ensemble:
             return None
         Bg, plan = picked
         G = self.B // Bg
+        per_member = self._per_member_dt
+        if per_member:
+            # member-local clocks need the in-kernel per-member controller
+            # (megastep.row_adaptive_scan_folded per_member mode), which
+            # only exists for a single whole-batch group; otherwise the
+            # vmapped per-member stepper serves
+            from ..ops import megastep as _ms
+
+            if (G != 1 or plan.B <= 1
+                    or not _ms.applicable(backend, plan, scheme._s)):
+                return None
         self._merged_plan = plan
         self._merged_groups = (G, Bg)
         tables, s = scheme._tables, scheme._s
@@ -368,37 +382,81 @@ class Ensemble:
             vunfold = jax.vmap(lambda m: fl.unfold(m, plan))
             return split(vunfold(uf))
 
-        # fixed-dt + single group + whole-step kernel applicable: flip the
-        # loops — steps INNER — so a whole device chunk of the batch is
-        # ONE pallas_call (ops/megastep.py in-kernel fori_loop).  Multiple
+        # single group + whole-step kernel applicable: flip the loops —
+        # steps INNER — so a whole device chunk of the batch is ONE
+        # pallas_call (ops/megastep.py: in-kernel fori_loop for fixed dt,
+        # in-kernel shared-dt adaptive controller otherwise).  Multiple
         # groups keep the grid path (sequential narrow mega kernels lose
         # to wide grid kernels — measured 3.7e8 vs 1.04e9 agg cells/s at
-        # B=1024 x N=200), and the adaptive controller needs steps-outer
-        # (its shared dt couples the whole batch within a step).
+        # B=1024 x N=200).
         from ..ops import megastep
 
-        mega_scan = None
-        if not adaptive and G == 1 and megastep.applicable(backend, plan,
-                                                           s):
-            def mega_scan(uf, hf, pf, xf, dx, dt, n):
+        mega_scan = mega_adaptive_scan = mega_pm_scan = None
+        if per_member:
+            # gate above guarantees applicability; every member carries
+            # its own in-kernel clock/step/attempt slab
+            def mega_pm_scan(uf, hf, pf, xf, dx, t, dt, idt_b, n):
                 def gbody(carry, inp):
                     uf_g, hf_g, pf_g, xf_g = inp
-                    u2 = megastep.row_scan_folded(
+                    out = megastep.row_adaptive_scan_folded(
                         backend, plan, tables, s, periodic,
-                        uf_g, hf_g, pf_g, xf_g, dx, dt, n)
-                    return carry, u2
+                        uf_g, hf_g, pf_g, xf_g, dx, t, dt, idt_b,
+                        tol, safety, max_iter, dt_min, n,
+                        per_member=True)
+                    return carry, out
 
-                _c, uf2 = jax.lax.scan(gbody, jnp.int32(0),
-                                       (uf, hf, pf, xf))
-                return uf2
+                _c, (uf2, ndone, dtb, status, nb) = jax.lax.scan(
+                    gbody, jnp.int32(0), (uf, hf, pf, xf))
+                return uf2, ndone[0], dtb[0], status[0], nb[0]
+        elif G == 1 and megastep.applicable(backend, plan, s):
+            if not adaptive:
+                def mega_scan(uf, hf, pf, xf, dx, dt, n):
+                    def gbody(carry, inp):
+                        uf_g, hf_g, pf_g, xf_g = inp
+                        u2 = megastep.row_scan_folded(
+                            backend, plan, tables, s, periodic,
+                            uf_g, hf_g, pf_g, xf_g, dx, dt, n)
+                        return carry, u2
 
-        self._merged_parts = (folded_step, prepare, finish, G, mega_scan)
+                    _c, uf2 = jax.lax.scan(gbody, jnp.int32(0),
+                                           (uf, hf, pf, xf))
+                    return uf2
+            else:
+                # shared-dt semantics are preserved: the in-kernel err is
+                # the max over the whole folded group = the global max the
+                # steps-outer controller reduces over
+                def mega_adaptive_scan(uf, hf, pf, xf, dx, t, dt,
+                                       internal_dt, n):
+                    def gbody(carry, inp):
+                        uf_g, hf_g, pf_g, xf_g = inp
+                        out = megastep.row_adaptive_scan_folded(
+                            backend, plan, tables, s, periodic,
+                            uf_g, hf_g, pf_g, xf_g, dx, t, dt,
+                            internal_dt, tol, safety, max_iter, dt_min,
+                            n)
+                        u2, ndone, dti, status = out
+                        return carry, (u2, ndone, dti, status)
 
-        def stepper(t, u, helpers, pstack, x, dt, internal_dt):
-            uf, hf, pf, xf, dx = prepare(u, helpers, pstack, x)
-            t2, uf2, dt_i, status = folded_step(t, uf, hf, pf, xf, dx, dt,
-                                                internal_dt)
-            return t2, finish(uf2), helpers, pstack, dt_i, status
+                    _c, (uf2, ndone, dti, status) = jax.lax.scan(
+                        gbody, jnp.int32(0), (uf, hf, pf, xf))
+                    return uf2, ndone[0], dti[0], status[0]
+
+        self._merged_parts = (folded_step, prepare, finish, G, mega_scan,
+                              mega_adaptive_scan, mega_pm_scan)
+
+        if per_member:
+            def stepper(t, u, helpers, pstack, x, dt, internal_dt):
+                uf, hf, pf, xf, dx = prepare(u, helpers, pstack, x)
+                uf2, _nd, dtb, status, nb = mega_pm_scan(
+                    uf, hf, pf, xf, dx, t, dt, internal_dt, 1)
+                return (t + dt, finish(uf2), helpers, pstack, dtb,
+                        status, nb)
+        else:
+            def stepper(t, u, helpers, pstack, x, dt, internal_dt):
+                uf, hf, pf, xf, dx = prepare(u, helpers, pstack, x)
+                t2, uf2, dt_i, status = folded_step(t, uf, hf, pf, xf, dx,
+                                                    dt, internal_dt)
+                return t2, finish(uf2), helpers, pstack, dt_i, status
 
         return stepper
 
@@ -407,19 +465,37 @@ class Ensemble:
         device call and carry folded state through the scan (the per-step
         fold/unfold transposes cost more than the step itself)."""
         backend = self.model.backend
-        folded_step, prepare, finish, G, mega_scan = self._merged_parts
+        (folded_step, prepare, finish, G, mega_scan,
+         mega_adaptive_scan, mega_pm_scan) = self._merged_parts
         if self._merged_scan is None:
             adaptive = self._adaptive
+            B = self.B
 
             def scan_run(t, u, helpers, pstack, x, dt, internal_dt, n):
                 uf, hf, pf, xf, dx = prepare(u, helpers, pstack, x)
+                no_nb = jnp.zeros((B,), jnp.int32)
 
                 if mega_scan is not None:
                     # fixed-dt whole-chunk kernel: n steps of every member
                     # group in one launch per group
                     uf2 = mega_scan(uf, hf, pf, xf, dx, dt, n)
                     return (t + n * dt, finish(uf2), internal_dt,
-                            jnp.int32(0))
+                            jnp.int32(0), no_nb)
+                if mega_pm_scan is not None:
+                    # whole per-member adaptive chunk in one launch:
+                    # member-local clocks/steps run in-kernel
+                    uf2, ndone, dtb, status, nb = mega_pm_scan(
+                        uf, hf, pf, xf, dx, t, dt, internal_dt, n)
+                    t2 = t + ndone.astype(dt.dtype) * dt
+                    return t2, finish(uf2), dtb, status, nb
+                if mega_adaptive_scan is not None:
+                    # whole adaptive chunk in one launch: every output
+                    # step's retry loop runs in-kernel; early exit on a
+                    # tripped status, so t advances by the steps done
+                    uf2, ndone, dti2, status = mega_adaptive_scan(
+                        uf, hf, pf, xf, dx, t, dt, internal_dt, n)
+                    t2 = t + ndone.astype(dt.dtype) * dt
+                    return t2, finish(uf2), dti2, status, no_nb
                 if adaptive:
                     # early-exit while_loop (nothing is stacked per step):
                     # a tripped status code stops the whole chunk instead
@@ -450,7 +526,7 @@ class Ensemble:
                     carry = (t, uf, internal_dt, jnp.int32(0))
                     (t2, uf2, dti2, status), _ = jax.lax.scan(
                         body, carry, length=n)
-                return t2, finish(uf2), dti2, status
+                return t2, finish(uf2), dti2, status, no_nb
 
             self._merged_scan = jax.jit(scan_run, static_argnums=(7,))
         # keep the time / internal-dt scalars device-resident between calls:
@@ -465,10 +541,12 @@ class Ensemble:
             if idt is None:
                 idt = schemes_mod._seed_internal_dt(self._scheme, dt)
             idt_dev = jnp.asarray(idt, backend.dtype)
-        t2, u2, dt_i, status = self._merged_scan(
+        t2, u2, dt_i, status, nb = self._merged_scan(
             t_dev, self.u, self.helpers, self.pstack, self.x,
             jnp.asarray(dt, backend.dtype), idt_dev, int(n))
         self._t_dev, self._idt_dev = t2, dt_i
+        if mega_pm_scan is not None:
+            self.member_iters = np.asarray(nb)
         if mega_scan is not None:
             # fixed-dt whole-chunk kernel: status is a traced constant 0
             # and t2 = t + n*dt — NO device->host scalar sync at all (each

@@ -243,3 +243,23 @@ def test_small_plan_gates(interpret_pallas):
     assert megastep.small_plan_for(be, 201) is None
     # too small to split into >= 8 chunks
     assert megastep.small_plan_for(be, 8) is None
+
+
+def test_mega_rejects_multi_lane_tile_plans(interpret_pallas):
+    """Regression (measured SIGABRT on real TPU): straight-line (8, C8)
+    slab kernels trip a Mosaic internal check once the chunk-lane axis
+    spans more than one 128-lane tile, so ``applicable`` must reject
+    C8 > 128 plans and the ensemble planner must steer to a deeper-Mc
+    one-tile split instead."""
+    model = Model("k * dxxU - U * dxU", "U", "k")  # halo 1 -> g = 1
+    be = model.backend
+    # B=16 x N=256, Mc=2 -> C = 16*128 = 2048 chunks -> C8 = 256: the
+    # exact shape that crashed the TPU compiler before the gate
+    bad = folded.FoldPlan(256, 1, 1, 1, be.window, 2048, 2, 2, False,
+                          Cm=128)
+    assert bad.C8 == 256
+    assert not megastep.applicable(be, bad, 6)
+    # the planner's accept callback steers to a one-tile plan
+    plan = folded.plan_for_ensemble(
+        be, 256, 16, accept=lambda p: megastep.applicable(be, p, 6))
+    assert plan is not None and plan.C8 <= 128

@@ -96,6 +96,14 @@ def applicable(backend, plan: FoldPlan, n_stages: int) -> bool:
         return False
     if plan.Mc > _MC_CAP or plan.s > 4 or plan.Mc < 2:
         return False
+    if plan.C8 > 128:
+        # one lane tile only: straight-line (8, C8) slab code with lane
+        # rolls/segment reductions trips a Mosaic internal check
+        # ("limits[i] <= dim(i)") once the chunk-lane axis spans multiple
+        # 128-lane tiles — measured SIGABRT at C8=132+, clean at C8<=128.
+        # The planners' accept callback steers to a deeper Mc split
+        # (larger Mc -> fewer chunks -> narrower lanes) when one exists.
+        return False
     budget = int(os.environ.get("TRIFLOW_MEGA_BUDGET_MB", 6)) << 20
     if plan.B > 1:
         # member-partitioned kernels carry the per-member Woodbury's

@@ -401,3 +401,91 @@ def test_group_plan_prefers_vmem_resident_groups(monkeypatch):
     assert bg_big * 100_000 * item * 13 <= 2 * Ensemble._VMEM_RESIDENT_BYTES
     # small batch: one group (no pointless splitting)
     assert pick(16, 100_000) == 16
+
+
+def test_ensemble_container_roundtrip(tmp_path):
+    """attach_container persists the whole sweep with a member axis:
+    data[var] retrieves as (T, B, N) and matches the stepped trajectory
+    frame for frame (L5 persistence parity for the DP axis)."""
+    from triflow_tpu import retrieve_container
+
+    model = Model("k * dxxU", "U", "k", double=True)
+    N, B = 32, 3
+    x = np.linspace(0, 10, N, endpoint=False)
+    u0 = np.stack([np.cos(2 * np.pi * x / 10 * (m + 1)) for m in range(B)])
+    pars = [dict(k=0.1 * (m + 1), periodic=True) for m in range(B)]
+    ens = Ensemble(model, u0, pars, x, scheme=schemes.ROS2)
+    cont = ens.attach_container(str(tmp_path / "sweep"), nbuffer=2,
+                                force=True)
+    traj = [np.asarray(ens.u).copy()]
+    for _ in range(4):
+        ens.step(0.1)
+        traj.append(np.asarray(ens.u).copy())
+    cont.flush()
+
+    data = retrieve_container(str(tmp_path / "sweep" / ens.id)).data
+    assert data["U"].shape == (5, B, N)
+    assert np.array_equal(data["member"], np.arange(B))
+    assert np.allclose(data["x"], x)
+    for i, snap in enumerate(traj):
+        assert np.allclose(data["U"][i], snap[:, 0], atol=1e-12)
+    assert np.isclose(data.t[-1], ens.t)
+
+    # in-memory mode sees the same frames
+    ens2 = Ensemble(model, u0, pars, x, scheme=schemes.ROS2)
+    ens2.attach_container(None)
+    for _ in range(4):
+        ens2.step(0.1)
+    mem = ens2.container.data
+    assert np.allclose(mem["U"], data["U"])
+
+
+def test_ensemble_checkpoint_resume(tmp_path):
+    """save_checkpoint / from_checkpoint round-trips the full sweep state
+    (t, member states, adaptive internal dt): a resumed run lands on the
+    same trajectory as the uninterrupted one."""
+    model = Model("k * dxxU", "U", "k", double=True)
+    N, B = 32, 3
+    x = np.linspace(0, 10, N, endpoint=False)
+    u0 = np.stack([np.cos(2 * np.pi * x / 10 * (m + 1)) for m in range(B)])
+    pars = [dict(k=0.5 * (m + 1), periodic=True) for m in range(B)]
+
+    ens = Ensemble(model, u0, pars, x, scheme=schemes.RODASPR, tol=1e-6)
+    ens.step(0.2)
+    ens.step(0.2)
+    path = ens.save_checkpoint(tmp_path / "sweep.ckpt")
+    ens.step(0.2)
+    ens.step(0.2)
+
+    res = Ensemble.from_checkpoint(path, model, scheme=schemes.RODASPR,
+                                   tol=1e-6)
+    assert res.t == pytest.approx(0.4)
+    assert res.id == ens.id
+    res.step(0.2)
+    res.step(0.2)
+    assert res.t == pytest.approx(ens.t)
+    assert np.allclose(np.asarray(res.u), np.asarray(ens.u),
+                       rtol=1e-12, atol=1e-13)
+
+
+def test_ensemble_checkpoint_per_member_dt(tmp_path):
+    """Per-member internal dt (a (B,) array) survives the checkpoint
+    round-trip."""
+    model = Model("k * dxxU", "U", "k", double=True)
+    N = 32
+    x = np.linspace(0, 10, N, endpoint=False)
+    u0 = np.tile(np.cos(2 * np.pi * x / 10), (3, 1))
+    pars = [dict(k=k, periodic=True) for k in (0.1, 1.0, 10.0)]
+    ens = Ensemble(model, u0, pars, x, scheme=schemes.RODASPR, tol=1e-6,
+                   per_member_dt=True)
+    ens.step(0.3)
+    assert getattr(ens._internal_dt, "ndim", 0) == 1
+    path = ens.save_checkpoint(tmp_path / "pm.ckpt")
+    res = Ensemble.from_checkpoint(path, model, scheme=schemes.RODASPR,
+                                   tol=1e-6, per_member_dt=True)
+    assert np.allclose(np.asarray(res._internal_dt),
+                       np.asarray(ens._internal_dt))
+    ens.step(0.3)
+    res.step(0.3)
+    assert np.allclose(np.asarray(res.u), np.asarray(ens.u),
+                       rtol=1e-12, atol=1e-13)

@@ -99,6 +99,7 @@ class Ensemble:
             parameter_sets = [parameter_sets] * self.B
         if len(parameter_sets) != self.B:
             raise ValueError("need one parameter dict per member")
+        self._parameter_sets = [dict(p) for p in parameter_sets]
         periodic = {bool(p.get("periodic", False)) for p in parameter_sets}
         if len(periodic) != 1:
             raise ValueError("all members must share the periodic flag")
@@ -128,6 +129,11 @@ class Ensemble:
         self._t_dev = None
         self._idt_dev = None
         self.member_iters = None
+        from uuid import uuid1
+
+        self.id = str(uuid1())[:6]
+        self._stream = None
+        self._container = None
         self._stepper = self._build(mesh, mesh_axis)
 
     # ------------------------------------------------------------------
@@ -553,6 +559,7 @@ class Ensemble:
             # separate scalar fetch is a full tunnel roundtrip, ~22 ms;
             # two of them doubled the measured per-step cost at B=64)
             self.t, self.u = self.t + n * dt, u2
+            self._emit()
             return self.t, self.u
         # one bulk transfer for both host-needed scalars instead of two
         # sequential scalar syncs
@@ -567,6 +574,7 @@ class Ensemble:
                 "Rosenbrock internal time step less than authorized")
         self.t, self.u = float(t_host), u2
         self._set_internal_dt(dt_i)
+        self._emit()
         return self.t, self.u
 
     def _build_adaptive(self):
@@ -705,6 +713,7 @@ class Ensemble:
         self.t, self.u, self.helpers, self.pstack = float(t2), u2, h2, p2
         self._t_dev = self._idt_dev = None   # host path owns the scalars now
         self._set_internal_dt(dt_i)
+        self._emit()
         return self.t, self.u
 
     def steps(self, n, dt):
@@ -791,6 +800,7 @@ class Ensemble:
         self.t, self.u, self.helpers, self.pstack = float(t2), u2, h2, p2
         self._t_dev = self._idt_dev = None   # host path owns the scalars now
         self._set_internal_dt(dt_i)
+        self._emit()
         return self.t, self.u
 
     def run(self, tmax, dt, steps_per_call=None):
@@ -807,4 +817,76 @@ class Ensemble:
                 self.steps(min(int(steps_per_call), n_full), dt)
         while self.t < tmax - eps:
             self.step(min(dt, tmax - self.t))
+        if self._container is not None:
+            self._container.flush()
         return self.t, self.u
+
+    # ------------------------------------------------- observability (L5)
+    def _emit(self):
+        if self._stream is not None:
+            self._stream.emit(self)
+
+    @property
+    def stream(self):
+        """Push-based event stream emitting this Ensemble after every
+        host-visible advance: each ``step(dt)``, and once per scanned
+        ``steps(n, dt)`` chunk (scanned chunks do not stack intermediate
+        states, same tradeoff as ``Simulation.run(device_chunk=...)``)."""
+        if self._stream is None:
+            from ..utils.streams import Stream
+
+            self._stream = Stream()
+        return self._stream
+
+    @property
+    def container(self):
+        return self._container
+
+    def attach_container(self, path=None, save="all", mode="w",
+                         nbuffer=50, force=False):
+        """Persist the WHOLE sweep into one container: every frame carries
+        a ``member`` axis, so ``retrieve(path).data[var]`` has shape
+        (T, B, N).  The reference's sweep persistence is one container per
+        pickled-model process (user_guide.rst:125-138); here the batch is
+        a single device computation, so it is a single container with the
+        member parameter values recorded in the metadata."""
+        from ..plugins.container import Container, TimeSeries
+
+        metadata = {"B": self.B, "N": self.N, "periodic": self.periodic,
+                    "ensemble": True}
+        keys = sorted({k for p in self._parameter_sets for k in p}
+                      - {"periodic"})
+        for k in keys:
+            metadata[k] = [p.get(k) for p in self._parameter_sets]
+        self._container = Container(
+            "%s/%s" % (path, self.id) if path else None,
+            save=save,
+            mode=mode,
+            metadata=metadata,
+            force=force,
+            nbuffer=nbuffer,
+        )
+        self._container.connect(
+            self.stream,
+            snapshot=lambda ens: TimeSeries.from_ensemble_state(
+                ens.t, ens, metadata),
+        )
+        self._emit()       # initial frame (parity with the Simulation loop)
+        return self._container
+
+    # --------------------------------------------------- checkpointing (L5)
+    def save_checkpoint(self, path):
+        """One-call restartable snapshot of the whole sweep (t, member
+        states, helpers, shared or per-member internal dt, member
+        parameter sets) — see utils/checkpoint.py."""
+        from ..utils.checkpoint import save_ensemble_checkpoint
+
+        return save_ensemble_checkpoint(path, self)
+
+    @staticmethod
+    def from_checkpoint(path, model, **kwargs):
+        """Rebuild an Ensemble from a checkpoint file and the (re)built
+        model; extra kwargs (scheme, tol, per_member_dt, ...) forwarded."""
+        from ..utils.checkpoint import load_ensemble_checkpoint
+
+        return load_ensemble_checkpoint(path, model, **kwargs)

@@ -181,6 +181,29 @@ class TimeSeries:
             data_vars[name] = np.asarray(fields[name])[None]
         return TimeSeries([t], coords, data_vars, metadata)
 
+    @staticmethod
+    def from_ensemble_state(t, ensemble, metadata=None):
+        """Snapshot an Ensemble at time t (one-frame TimeSeries): every
+        dependent variable is stored as (1, B, N) under a ``member``
+        coordinate, so a persisted parameter sweep retrieves as
+        ``data[var] -> (T, B, N)`` (reference analog: one container per
+        pickled-model run, user_guide.rst:125-138 — here the whole sweep
+        lands in ONE container)."""
+        system = ensemble.model.backend.system
+        coords = {
+            "member": np.arange(ensemble.B),
+            "x": np.asarray(ensemble.x),
+        }
+        u = np.asarray(ensemble.u)              # (B, nvar, N)
+        data_vars = {
+            name: u[:, idx][None]
+            for idx, name in enumerate(system.dep_vars)
+        }
+        helpers = np.asarray(ensemble.helpers)  # (B, nhelp, N)
+        for idx, name in enumerate(system.help_funcs):
+            data_vars[str(name)] = helpers[:, idx][None]
+        return TimeSeries([t], coords, data_vars, metadata)
+
     def to_xarray(self):
         """xarray.Dataset view (analysis-format parity with the reference's
         netCDF containers) — requires xarray to be installed."""
@@ -340,20 +363,25 @@ class Container:
             ) from None
 
     # ------------------------------------------------------------- streaming
-    def _expand_fields(self, inputs):
-        t, fields = inputs
-        snapshot = TimeSeries.from_state(t, fields, self._metadata)
-        self._cached_data.append(snapshot)
-        return snapshot
-
-    def connect(self, stream):
+    def connect(self, stream, snapshot=None):
         """Wire the container into a simulation stream
-        (reference container.py:99-123)."""
+        (reference container.py:99-123).
 
-        def get_t_fields(simul):
-            return simul.t, simul.fields
+        ``snapshot`` maps an emitted object to a one-frame TimeSeries; the
+        default snapshots a Simulation's ``(t, fields)``.  Ensembles pass
+        ``TimeSeries.from_ensemble_state`` so every frame carries the
+        member axis."""
+        if snapshot is None:
+            def snapshot(simul):
+                return TimeSeries.from_state(simul.t, simul.fields,
+                                             self._metadata)
 
-        accumulation_stream = stream.map(get_t_fields).map(self._expand_fields)
+        def expand(emitted):
+            frame = snapshot(emitted)
+            self._cached_data.append(frame)
+            return frame
+
+        accumulation_stream = stream.map(expand)
         self._collector = collect(accumulation_stream)
         if self.save == "all":
             self._collector.map(TimeSeries.concat).sink(self._write)

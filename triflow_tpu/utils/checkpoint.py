@@ -81,3 +81,69 @@ def load_checkpoint(path, model, **simulation_kwargs):
     if internal_dt is not None and hasattr(simul._scheme, "_internal_dt"):
         simul._scheme._internal_dt = float(internal_dt)
     return simul
+
+
+def save_ensemble_checkpoint(path, ensemble):
+    """Write a restartable snapshot of an Ensemble: (t, member states,
+    helpers, shared-or-per-member internal dt, member parameter sets).
+    Same atomic write-then-rename discipline as save_checkpoint."""
+    import h5py
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    with h5py.File(tmp, "w") as f:
+        f.attrs["kind"] = "ensemble"
+        f.attrs["t"] = float(ensemble.t)
+        f.attrs["id"] = ensemble.id
+        f.attrs["parameters"] = json.dumps([
+            {
+                k: (np.asarray(v).tolist() if hasattr(v, "shape") else v)
+                for k, v in p.items()
+            }
+            for p in ensemble._parameter_sets
+        ])
+        idt = ensemble._internal_dt
+        if idt is not None:
+            f.create_dataset("internal_dt",
+                             data=np.atleast_1d(np.asarray(idt, np.float64)))
+            f.attrs["internal_dt_scalar"] = not getattr(idt, "ndim", 0)
+        f.create_dataset("u", data=np.asarray(ensemble.u))
+        f.create_dataset("helpers", data=np.asarray(ensemble.helpers))
+        f.create_dataset("x", data=np.asarray(ensemble.x))
+    os.replace(tmp, path)
+    return path
+
+
+def load_ensemble_checkpoint(path, model, **ensemble_kwargs):
+    """Rebuild an Ensemble from a checkpoint file.
+
+    Extra kwargs (scheme, tol, per_member_dt, mesh, ...) are forwarded to
+    the Ensemble constructor; t, the member states, and the adaptive
+    internal dt resume from the checkpointed values."""
+    import h5py
+
+    from ..parallel.ensemble import Ensemble
+
+    with h5py.File(path, "r") as f:
+        t = float(f.attrs["t"])
+        ens_id = str(f.attrs["id"])
+        parameter_sets = json.loads(f.attrs["parameters"])
+        u = f["u"][...]
+        helpers = f["helpers"][...]
+        x = f["x"][...]
+        idt = f["internal_dt"][...] if "internal_dt" in f else None
+        idt_scalar = bool(f.attrs.get("internal_dt_scalar", True))
+
+    parameter_sets = [
+        {k: (np.asarray(v) if isinstance(v, list) else v)
+         for k, v in p.items()}
+        for p in parameter_sets
+    ]
+    ens = Ensemble(model, u, parameter_sets, x, helpers0=helpers,
+                   **ensemble_kwargs)
+    ens.t = t
+    ens.id = ens_id
+    if idt is not None:
+        ens._set_internal_dt(float(idt[0]) if idt_scalar else idt)
+    return ens

@@ -1,0 +1,110 @@
+"""dp x sp composition: Ensemble(space_axis=...) shards members over one
+mesh axis AND every member's grid over another (full 2-D mesh layout for
+sweeps whose grids exceed one chip's HBM).  The trajectories must match the
+single-chip Ensemble to within the controller tolerance (SURVEY.md §2:
+DP x SP row; reference has no counterpart — its sweeps are one process per
+pickled model, user_guide.rst:125-138)."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from triflow_tpu import Model, schemes
+from triflow_tpu.parallel import Ensemble
+
+
+def mesh_2d(ne=2, ns=4):
+    devices = np.array(jax.devices()[: ne * ns]).reshape(ne, ns)
+    return Mesh(devices, ("ensemble", "space"))
+
+
+@pytest.fixture(scope="module")
+def burgers():
+    return Model("k * dxxU - U * dxU", "U", "k")
+
+
+def _sweep(model, N=256, B=4, seed=0):
+    x = np.linspace(0, 10, N, endpoint=False)
+    rng = np.random.RandomState(seed)
+    u0 = np.stack([np.cos(2 * np.pi * x / 10 + phi) for phi in rng.rand(B)])
+    ks = np.linspace(0.5, 2.0, B)
+    pars = [dict(k=float(k), periodic=True) for k in ks]
+    return x, u0, pars
+
+
+# adaptive runs agree to within the controller tolerance (the sharded F is
+# last-ulp different from the wrap-indexed single-chip F — different but
+# equally valid dt sequences); fixed-dt runs share the exact dt sequence, so
+# only the accumulated ulp noise separates them
+@pytest.mark.parametrize("scheme,kw,atol", [
+    (schemes.RODASPR, dict(tol=1e-6), 2e-6),
+    (schemes.ROS2, dict(), 1e-11),
+    (schemes.DOPRI5, dict(tol=1e-7), 2e-7),
+    (schemes.Theta, dict(theta=1.0), 1e-11),
+])
+def test_dp_sp_matches_single_chip(burgers, scheme, kw, atol):
+    x, u0, pars = _sweep(burgers)
+    ref = Ensemble(burgers, u0, pars, x, scheme=scheme, **kw)
+    t_ref, u_ref = ref.run(tmax=0.5, dt=0.125)
+
+    ens = Ensemble(burgers, u0, pars, x, scheme=scheme, mesh=mesh_2d(),
+                   space_axis="space", **kw)
+    t, u = ens.run(tmax=0.5, dt=0.125)
+    assert t == pytest.approx(t_ref)
+    assert np.allclose(np.asarray(u), np.asarray(u_ref),
+                       rtol=1e-9, atol=atol)
+    # state must stay laid out over the whole 2-D mesh
+    assert len(ens.u.sharding.device_set) == 8
+
+
+def test_dp_sp_scanned_steps(burgers):
+    """steps(n, dt) scans the dp x sp stepper in one device call."""
+    x, u0, pars = _sweep(burgers)
+    ref = Ensemble(burgers, u0, pars, x, scheme=schemes.RODASPR, tol=1e-6)
+    ref.run(tmax=0.5, dt=0.125)
+
+    ens = Ensemble(burgers, u0, pars, x, scheme=schemes.RODASPR, tol=1e-6,
+                   mesh=mesh_2d(), space_axis="space")
+    t, u = ens.steps(4, 0.125)
+    assert t == pytest.approx(0.5)
+    assert np.allclose(np.asarray(u), np.asarray(ref.u),
+                       rtol=1e-9, atol=2e-6)
+
+
+def test_dp_sp_nonperiodic(burgers):
+    """Edge (non-periodic) closure through the sharded SPIKE step with a
+    member axis: the global-boundary band folding must land only on the
+    space-edge shards of every member row."""
+    N, B = 256, 2
+    x = np.linspace(0, 10, N)
+    u0 = np.stack([np.cos(2 * np.pi * x / 10),
+                   np.sin(2 * np.pi * x / 10)])
+    pars = [dict(k=0.7, periodic=False), dict(k=1.3, periodic=False)]
+    ref = Ensemble(burgers, u0, pars, x, scheme=schemes.RODASPR, tol=1e-6)
+    t_ref, u_ref = ref.run(tmax=0.25, dt=0.125)
+
+    ens = Ensemble(burgers, u0, pars, x, scheme=schemes.RODASPR, tol=1e-6,
+                   mesh=mesh_2d(), space_axis="space")
+    t, u = ens.run(tmax=0.25, dt=0.125)
+    assert np.allclose(np.asarray(u), np.asarray(u_ref),
+                       rtol=1e-9, atol=2e-6)
+
+
+def test_dp_sp_guards(burgers):
+    x, u0, pars = _sweep(burgers, B=4)
+    with pytest.raises(ValueError, match="space_axis requires a mesh"):
+        Ensemble(burgers, u0, pars, x, space_axis="space")
+
+    def hook(t, u, helpers, pstack, x):
+        return u, helpers, pstack
+
+    with pytest.raises(NotImplementedError, match="hooks"):
+        Ensemble(burgers, u0, pars, x, mesh=mesh_2d(), space_axis="space",
+                 hook=hook)
+    with pytest.raises(NotImplementedError, match="per_member_dt"):
+        Ensemble(burgers, u0, pars, x, mesh=mesh_2d(), space_axis="space",
+                 scheme=schemes.RODASPR, tol=1e-6, per_member_dt=True)
+    x3, u3, p3 = _sweep(burgers, B=3)
+    with pytest.raises(ValueError, match="must divide"):
+        Ensemble(burgers, u3, p3, x3, mesh=mesh_2d(), space_axis="space")

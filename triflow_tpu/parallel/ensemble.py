@@ -83,7 +83,8 @@ class Ensemble:
 
     def __init__(self, model, u0, parameter_sets, x, scheme=None,
                  hook=null_hook, mesh=None, mesh_axis="ensemble",
-                 helpers0=None, per_member_dt=False, **scheme_kwargs):
+                 space_axis=None, helpers0=None, per_member_dt=False,
+                 **scheme_kwargs):
         self.model = model
         backend = model.backend
         nvar = backend.system.nvar
@@ -134,10 +135,16 @@ class Ensemble:
         self.id = str(uuid1())[:6]
         self._stream = None
         self._container = None
-        self._stepper = self._build(mesh, mesh_axis)
+        self._stepper = self._build(mesh, mesh_axis, space_axis)
 
     # ------------------------------------------------------------------
-    def _build(self, mesh, mesh_axis):
+    def _build(self, mesh, mesh_axis, space_axis=None):
+        if space_axis is not None:
+            if mesh is None or space_axis not in mesh.shape:
+                raise ValueError(
+                    "space_axis requires a mesh carrying that axis")
+            if mesh.shape[space_axis] > 1:
+                return self._build_dp_sp(mesh, mesh_axis, space_axis)
         # _build_merged itself decides per-member servability (it needs
         # the in-kernel per-member controller, i.e. a single whole-batch
         # mega-applicable group) and returns None otherwise
@@ -164,6 +171,79 @@ class Ensemble:
             self.helpers = jax.device_put(self.helpers, sharding)
             self.pstack = jax.device_put(self.pstack, sharding)
         return stepper
+
+    def _build_dp_sp(self, mesh, mesh_axis, space_axis):
+        """Combined dp x sp stepper: members shard over ``mesh_axis`` AND
+        every member's grid shards over ``space_axis`` — the full 2-D mesh
+        layout for sweeps whose grids do not fit one chip.  The per-member
+        step is the SpatialModel shard-mapped core (ppermute halo rings +
+        distributed SPIKE solve along "space", zero collectives along
+        "ensemble"); adaptive schemes run the generic shared-dt controller
+        on the replicated cross-mesh error max."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from .spatial import SpatialModel
+
+        if self._hook is not null_hook:
+            raise NotImplementedError(
+                "hooks are not implemented for dp x sp ensembles; bake the "
+                "boundary condition into the equations or drop space_axis")
+        if self._per_member_dt:
+            raise NotImplementedError(
+                "per_member_dt needs member-local clocks, which the "
+                "shared-grid SPIKE step cannot freeze per member; dp x sp "
+                "ensembles use the shared-dt controller")
+        ndev_e, ndev_s = mesh.shape[mesh_axis], mesh.shape[space_axis]
+        if self.B % ndev_e:
+            raise ValueError(
+                f"B={self.B} must divide the '{mesh_axis}' axis ({ndev_e})")
+        sm = SpatialModel(self.model, mesh, axis=space_axis,
+                          periodic=self.periodic)
+        scheme = self._scheme
+        if isinstance(scheme, schemes_mod.ROW_general):
+            core = sm._row_core(scheme._tables, scheme._s, self.periodic,
+                                batch_axis=mesh_axis)
+        elif isinstance(scheme, schemes_mod.ERK_general):
+            b_pred = scheme._b_pred if self._adaptive else None
+            core = sm._erk_core(scheme._a, scheme._b, b_pred, scheme._s,
+                                self.periodic, batch_axis=mesh_axis)
+        elif isinstance(scheme, schemes_mod.Theta):
+            core = sm._theta_core(scheme._theta, self.periodic,
+                                  batch_axis=mesh_axis)
+        else:
+            raise TypeError(
+                f"{type(scheme).__name__} has no sharded implementation "
+                "(supported: ROW family, explicit RK family, Theta)")
+
+        if self._adaptive:
+            def batch_fixed(t, u, h, p, x, dt):
+                u2, err = core(t, u, h, p, x, dt)
+                return u2, h, p, x, err
+
+            loop = schemes_mod._adaptive_embedded_loop(
+                batch_fixed, tol=scheme._tol, safety=scheme._safety_factor,
+                max_iter=scheme._max_iter, dt_min=scheme._dt_min,
+                compensated=scheme._compensated,
+                exponent=getattr(scheme, "_err_exponent", 0.5))
+
+            def stepper(t, u, helpers, pstack, x, dt, internal_dt):
+                (next_t, u2, h2, p2, _x, dt_i, _niter,
+                 status) = loop(t, u, helpers, pstack, x, dt, internal_dt)
+                return next_t, u2, h2, p2, dt_i, status
+        else:
+            def stepper(t, u, helpers, pstack, x, dt, internal_dt):
+                u2, _err = core(t, u, helpers, pstack, x, dt)
+                return (t + dt, u2, helpers, pstack, internal_dt,
+                        jnp.int32(0))
+
+        state_sh = NamedSharding(
+            mesh, PartitionSpec(mesh_axis, None, space_axis))
+        self.u = jax.device_put(self.u, state_sh)
+        self.helpers = jax.device_put(self.helpers, state_sh)
+        self.pstack = jax.device_put(self.pstack, state_sh)
+        self.x = jax.device_put(
+            self.x, NamedSharding(mesh, PartitionSpec(space_axis)))
+        return jax.jit(stepper)
 
     # group-plan cost-model constants, fitted to measured v5e step times at
     # B=1024 x N=1e5 (KS/RODASPR, 50-step scans) — see _pick_group_plan:

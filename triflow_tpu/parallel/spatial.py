@@ -412,10 +412,45 @@ class SpatialModel:
         none = PartitionSpec()
         return spec_state, spec_x, none
 
-    def _row_core(self, tables, s, periodic):
+    def _wrap_core(self, local_core, batch_axis=None):
+        """shard_map a per-shard step core.
+
+        With ``batch_axis`` (dp x sp composition) the state carries a
+        leading member axis sharded over that mesh axis; the single-member
+        core is vmapped over the members local to each device — the
+        "space" collectives (halo ppermute rings, SPIKE interface
+        all_gather, error pmax) batch across members — and the embedded
+        error comes back as ONE replicated scalar (max over local members,
+        pmax over both mesh axes): shared-dt semantics across the whole
+        batch, matching the single-chip Ensemble default."""
+        spec_state, spec_x, none = self._specs()
+        if batch_axis is None:
+            return shard_map(
+                local_core, self.mesh,
+                in_specs=(none, spec_state, spec_state, spec_state, spec_x,
+                          none),
+                out_specs=(spec_state, none),
+            )
+        vcore = jax.vmap(local_core, in_axes=(None, 0, 0, 0, None, None))
+
+        def batched_core(t, u, helpers, pstack, x, dt):
+            u2, errs = vcore(t, u, helpers, pstack, x, dt)
+            err = jax.lax.pmax(jnp.max(errs), batch_axis)
+            return u2, err
+
+        bspec = PartitionSpec(batch_axis, None, self.axis)
+        return shard_map(
+            batched_core, self.mesh,
+            in_specs=(none, bspec, bspec, bspec, spec_x, none),
+            out_specs=(bspec, none),
+        )
+
+    def _row_core(self, tables, s, periodic, batch_axis=None):
         """Shard-mapped fixed ROW step on global sharded arrays:
         ``core(t, u, helpers, pstack, x, dt) -> (u_new, err)`` with the
-        embedded error pmax-reduced across shards (replicated scalar)."""
+        embedded error pmax-reduced across shards (replicated scalar).
+        ``batch_axis`` adds a leading member axis sharded over that mesh
+        axis (see _wrap_core)."""
         a_t, c_t, m_t, m_pred_t, g00 = tables
         ndev, axis, h = self.ndev, self.axis, self.h
         backend = self.backend
@@ -460,14 +495,9 @@ class SpatialModel:
                 err = jnp.full((), jnp.inf, dtype=u.dtype)
             return u_new, err
 
-        spec_state, spec_x, none = self._specs()
-        return shard_map(
-            local_core, self.mesh,
-            in_specs=(none, spec_state, spec_state, spec_state, spec_x, none),
-            out_specs=(spec_state, none),
-        )
+        return self._wrap_core(local_core, batch_axis)
 
-    def _theta_core(self, theta, periodic):
+    def _theta_core(self, theta, periodic, batch_axis=None):
         """Shard-mapped linearized theta step (reference Theta semantics,
         schemes.py:502-559, with the SuperLU solve replaced by SPIKE)."""
         ndev, axis, h = self.ndev, self.axis, self.h
@@ -487,14 +517,9 @@ class SpatialModel:
                 u2 = spike_factor(A, axis, ndev, periodic).solve(B)
             return u2, jnp.zeros((), dtype=u.dtype)
 
-        spec_state, spec_x, none = self._specs()
-        return shard_map(
-            local_core, self.mesh,
-            in_specs=(none, spec_state, spec_state, spec_state, spec_x, none),
-            out_specs=(spec_state, none),
-        )
+        return self._wrap_core(local_core, batch_axis)
 
-    def _erk_core(self, a, b, b_pred, s, periodic):
+    def _erk_core(self, a, b, b_pred, s, periodic, batch_axis=None):
         """Shard-mapped explicit RK step: stages are local F evaluations
         behind one halo ring each (no solve, no interface system), embedded
         error pmax-reduced across shards."""
@@ -518,12 +543,7 @@ class SpatialModel:
                 err = jax.lax.pmax(err, axis)
             return u_new, err
 
-        spec_state, spec_x, none = self._specs()
-        return shard_map(
-            local_core, self.mesh,
-            in_specs=(none, spec_state, spec_state, spec_state, spec_x, none),
-            out_specs=(spec_state, none),
-        )
+        return self._wrap_core(local_core, batch_axis)
 
     # -- scheme integration ---------------------------------------------------
     def scheme_class(self, scheme_cls=None):

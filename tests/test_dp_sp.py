@@ -95,16 +95,64 @@ def test_dp_sp_guards(burgers):
     x, u0, pars = _sweep(burgers, B=4)
     with pytest.raises(ValueError, match="space_axis requires a mesh"):
         Ensemble(burgers, u0, pars, x, space_axis="space")
-
-    def hook(t, u, helpers, pstack, x):
-        return u, helpers, pstack
-
-    with pytest.raises(NotImplementedError, match="hooks"):
-        Ensemble(burgers, u0, pars, x, mesh=mesh_2d(), space_axis="space",
-                 hook=hook)
-    with pytest.raises(NotImplementedError, match="per_member_dt"):
-        Ensemble(burgers, u0, pars, x, mesh=mesh_2d(), space_axis="space",
-                 scheme=schemes.RODASPR, tol=1e-6, per_member_dt=True)
     x3, u3, p3 = _sweep(burgers, B=3)
     with pytest.raises(ValueError, match="must divide"):
         Ensemble(burgers, u3, p3, x3, mesh=mesh_2d(), space_axis="space")
+
+
+def test_dp_sp_dirichlet_hook():
+    """Hooks in dp x sp mode: the reference-style Dirichlet hook (README
+    config 1) applies per member on the GLOBAL sharded state — the edge
+    scatters land on the owning space shards of every member row, matching
+    the single-chip ensemble bit-for-bit up to accumulated ulp noise
+    (fixed dt: identical step sequences)."""
+    model = Model("k * dxxU - c * dxU", "U", ["k", "c"])
+    N, B = 256, 4
+    x = np.linspace(0, 1, N)
+    rng = np.random.RandomState(1)
+    u0 = np.stack([np.cos(2 * np.pi * x * 5 + p) for p in rng.rand(B)])
+    pars = [dict(k=1e-3 * (i + 1), c=3e-3, periodic=False)
+            for i in range(B)]
+
+    def dirichlet(t, fields, pars):
+        fields["U"] = fields["U"].at[0].set(1.0).at[-1].set(0.0)
+        return fields, pars
+
+    kw = dict(scheme=schemes.Theta, theta=1.0, hook=dirichlet)
+    ref = Ensemble(model, u0, pars, x, **kw)
+    t_ref, u_ref = ref.run(tmax=25.0, dt=1.0)
+
+    ens = Ensemble(model, u0, pars, x, mesh=mesh_2d(), space_axis="space",
+                   **kw)
+    t, u = ens.run(tmax=25.0, dt=1.0)
+    U = np.asarray(u)
+    assert U[:, 0, 0] == pytest.approx(1.0)
+    assert np.allclose(U, np.asarray(u_ref), rtol=1e-9, atol=1e-11)
+
+
+def test_dp_sp_per_member_dt(burgers):
+    """per_member_dt in dp x sp mode: member-local clocks/steps drive the
+    masked controller on per-member errors (each pmax-reduced over its
+    space shards).  Attempt counts must be heterogeneous across a
+    heterogeneous sweep and the trajectories match the single-chip
+    per-member ensemble to within the controller tolerance."""
+    N, B = 256, 4
+    x = np.linspace(0, 10, N, endpoint=False)
+    u0 = np.stack([np.cos(2 * np.pi * x / 10)] * B)
+    ks = [3e-3, 3e-2, 0.3, 3.0]           # ~3 decades of stiffness
+    pars = [dict(k=float(k), periodic=True) for k in ks]
+    kw = dict(scheme=schemes.RODASPR, tol=1e-5, per_member_dt=True)
+
+    ref = Ensemble(burgers, u0, pars, x, **kw)
+    ref.run(tmax=1.0, dt=0.5)
+
+    ens = Ensemble(burgers, u0, pars, x, mesh=mesh_2d(), space_axis="space",
+                   **kw)
+    t, u = ens.run(tmax=1.0, dt=0.5)
+    assert t == pytest.approx(1.0)
+    assert np.allclose(np.asarray(u), np.asarray(ref.u),
+                       rtol=1e-6, atol=2e-5)
+    iters = np.asarray(ens.member_iters)
+    assert iters.min() >= 1 and iters.max() > iters.min()
+    # per-member attempt counts agree with the single-chip controller
+    assert np.all(np.abs(iters - np.asarray(ref.member_iters)) <= 2)

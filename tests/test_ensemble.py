@@ -489,3 +489,42 @@ def test_ensemble_checkpoint_per_member_dt(tmp_path):
     res.step(0.3)
     assert np.allclose(np.asarray(res.u), np.asarray(ens.u),
                        rtol=1e-12, atol=1e-13)
+
+
+def test_ensemble_dirichlet_hook_matches_simulation():
+    """Hooks on the vmapped member axis get scheme-stepper semantics: the
+    Dirichlet hook applies per attempt AND at output time, so each member
+    reproduces a standalone Simulation of the same problem (and the final
+    state has the boundary values enforced)."""
+    from triflow_tpu import Model
+
+    model = Model("k * dxxU - c * dxU", "U", ["k", "c"])
+    N, B = 128, 3
+    x = np.linspace(0, 1, N)
+    rng = np.random.RandomState(2)
+    u0 = np.stack([np.cos(2 * np.pi * x * 5 + p) for p in rng.rand(B)])
+    kvals = [1e-3, 2e-3, 4e-3]
+    pars = [dict(k=k, c=3e-3, periodic=False) for k in kvals]
+
+    def dirichlet(t, fields, pars):
+        fields["U"] = fields["U"].at[0].set(1.0).at[-1].set(0.0)
+        return fields, pars
+
+    ens = Ensemble(model, u0, pars, x, scheme=schemes.Theta, theta=1.0,
+                   hook=dirichlet)
+    t, u = ens.run(tmax=10.0, dt=1.0)
+    U = np.asarray(u)
+    assert U[:, 0, 0] == pytest.approx(1.0)
+    assert U[:, 0, -1] == pytest.approx(0.0, abs=1e-12)
+
+    for i, k in enumerate(kvals):
+        simul = Simulation(
+            model, model.fields_template(x=x, U=u0[i]),
+            dict(k=k, c=3e-3, periodic=False), scheme=schemes.Theta,
+            theta=1.0, time_stepping=False, hook=dirichlet, dt=1.0,
+            tmax=10.0,
+        )
+        for ts, fields in simul:
+            pass
+        assert np.allclose(U[i, 0], np.asarray(fields["U"]),
+                           rtol=1e-9, atol=1e-11)

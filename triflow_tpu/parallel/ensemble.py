@@ -54,6 +54,98 @@ def ensemble_sharding(mesh, axis="ensemble"):
     return NamedSharding(mesh, P(axis))
 
 
+def _with_output_hook(stepper, vhook, per_member):
+    """Apply the vmapped hook at the OUTPUT time, after the step: the
+    scheme-level steppers end every output step with
+    ``problem.apply_hook(next_t, ...)`` (core/schemes.py), so the state a
+    user observes between steps has the boundary conditions enforced; the
+    ensemble steppers get the same semantics through this wrapper (the
+    attempt-time hook rides inside the fixed step as usual)."""
+    def wrapped(t, u, helpers, pstack, x, dt, internal_dt):
+        out = stepper(t, u, helpers, pstack, x, dt, internal_dt)
+        if per_member:
+            t2, u2, h2, p2, dt_i, status, nb = out
+            u2, h2, p2 = vhook(t2, u2, h2, p2, x)
+            return t2, u2, h2, p2, dt_i, status, nb
+        t2, u2, h2, p2, dt_i, status = out
+        u2, h2, p2 = vhook(t2, u2, h2, p2, x)
+        return t2, u2, h2, p2, dt_i, status
+
+    return wrapped
+
+
+def _per_member_adaptive_loop(vfixed, B, *, tol, safety, max_iter, dt_min,
+                              expo, compensated):
+    """Masked per-member adaptive while_loop over a batched fixed step.
+
+    ``vfixed(tb, u, helpers, pstack, x, dtb) -> (u2, h2, p2, x, errs)``
+    with member-local clocks ``tb`` (B,), step sizes ``dtb`` (B,) and
+    per-member embedded errors ``errs`` (B,).  Returns ``stepper(t, u,
+    helpers, pstack, x, dt, internal_dt) -> (next_t, u2, h2, p2, dtb,
+    status, nb)``: every member advances from t to t+dt on its OWN
+    error-controlled internal step sequence; converged members freeze
+    (masked updates) while stiff members keep retrying.  Shared by the
+    vmapped single-chip path and the dp x sp shard-mapped path."""
+    def stepper(t, u, helpers, pstack, x, dt, internal_dt):
+        next_t = t + dt
+        eps = 1e-12 * jnp.maximum(jnp.abs(next_t), 1.0)
+        dtype = u.dtype
+        tb0 = jnp.full((B,), t, dtype=dtype)
+        dtb0 = jnp.minimum(jnp.broadcast_to(internal_dt, (B,)), dt)
+
+        def cond(carry):
+            tb, u, cu, h, p, dtb, nb, status = carry
+            return jnp.any(tb < next_t - eps) & (status == 0)
+
+        def body(carry):
+            tb, u, cu, h, p, dtb, nb, status = carry
+            active = tb < next_t - eps
+            remaining = next_t - tb
+            clamped = dtb >= remaining
+            dt_eff = jnp.minimum(dtb, remaining)
+            u2, h2, p2, _x, errs = vfixed(tb, u, h, p, x, dt_eff)
+            accept = (errs <= tol) & active
+            err_safe = jnp.maximum(errs, jnp.finfo(dtype).tiny)
+            dt_next = jnp.clip(
+                safety * dt_eff * (tol / err_safe) ** expo,
+                0.1 * dt_eff, 10.0 * dt_eff,
+            )
+            dtb = jnp.where(active & ~(accept & clamped), dt_next, dtb)
+            tb = jnp.where(accept, tb + dt_eff, tb)
+            sel = accept[:, None, None]
+            if compensated:
+                from ..ops.compensated import kahan_update
+
+                uk, ck = kahan_update(u, cu, u2)
+                u = jnp.where(sel, uk, u)
+                cu = jnp.where(sel, ck, cu)
+            else:
+                u = jnp.where(sel, u2, u)
+            h = jnp.where(sel, h2, h)
+            p = jnp.where(sel, p2, p)
+            nb = nb + active.astype(jnp.int32)
+            if max_iter is not None:
+                status = jnp.where(
+                    jnp.any(active & (nb > jnp.int32(max_iter))),
+                    jnp.int32(1), status)
+            dt_floor = dt_min if dt_min is not None else (
+                1e3 * jnp.finfo(dtype).tiny
+                + 2.0 * jnp.finfo(dtype).eps * jnp.abs(next_t)
+            )
+            still = tb < next_t - eps
+            status = jnp.where(jnp.any(still & (dtb < dt_floor)),
+                               jnp.int32(2), status)
+            return (tb, u, cu, h, p, dtb, nb, status)
+
+        carry = (tb0, u, jnp.zeros_like(u), helpers, pstack, dtb0,
+                 jnp.zeros((B,), jnp.int32), jnp.int32(0))
+        tb, u2, _cu, h2, p2, dtb, nb, status = jax.lax.while_loop(
+            cond, body, carry)
+        return next_t, u2, h2, p2, dtb, status, nb
+
+    return stepper
+
+
 class Ensemble:
     """Batched simulations over a leading member axis.
 
@@ -66,8 +158,11 @@ class Ensemble:
     x : (N,) shared grid
     scheme : scheme class (default schemes.ROS2 — fixed-dt; adaptive ROW
         classes use a shared dt controlled by the max member error)
-    hook : traced hook applied per member
+    hook : traced hook applied per member (at attempt and output time,
+        scheme-stepper semantics)
     mesh / mesh_axis : optional device mesh; members are sharded over it
+    space_axis : optional second mesh axis carrying every member's grid
+        (combined dp x sp on a 2-D mesh — see _build_dp_sp)
     helpers0 : (B, nhelp, N) initial helper functions
     per_member_dt : bool — adaptive schemes only: every member carries its
         own internal clock and step size inside the while_loop (masked
@@ -164,6 +259,9 @@ class Ensemble:
                 )(t, u, helpers, pstack, x, dt)
                 return t + dt, u2, h2, p2, internal_dt, jnp.int32(0)
 
+        vhook, _ = self._member_hook_fns()
+        if vhook is not None:
+            stepper = _with_output_hook(stepper, vhook, self._per_member_dt)
         stepper = jax.jit(stepper)
         if mesh is not None:
             sharding = ensemble_sharding(mesh, mesh_axis)
@@ -178,21 +276,17 @@ class Ensemble:
         layout for sweeps whose grids do not fit one chip.  The per-member
         step is the SpatialModel shard-mapped core (ppermute halo rings +
         distributed SPIKE solve along "space", zero collectives along
-        "ensemble"); adaptive schemes run the generic shared-dt controller
-        on the replicated cross-mesh error max."""
+        "ensemble"); adaptive schemes run either the generic shared-dt
+        controller on the replicated cross-mesh error max, or — with
+        ``per_member_dt`` — the masked per-member controller on the (B,)
+        member errors (each already pmax-reduced over its space shards).
+        Hooks apply at the GLOBAL array level, vmapped over the member
+        axis: a Dirichlet scatter lands on the owning shard under GSPMD,
+        same as the single-grid sharded path (spatial.py module doc)."""
         from jax.sharding import NamedSharding, PartitionSpec
 
         from .spatial import SpatialModel
 
-        if self._hook is not null_hook:
-            raise NotImplementedError(
-                "hooks are not implemented for dp x sp ensembles; bake the "
-                "boundary condition into the equations or drop space_axis")
-        if self._per_member_dt:
-            raise NotImplementedError(
-                "per_member_dt needs member-local clocks, which the "
-                "shared-grid SPIKE step cannot freeze per member; dp x sp "
-                "ensembles use the shared-dt controller")
         ndev_e, ndev_s = mesh.shape[mesh_axis], mesh.shape[space_axis]
         if self.B % ndev_e:
             raise ValueError(
@@ -200,23 +294,51 @@ class Ensemble:
         sm = SpatialModel(self.model, mesh, axis=space_axis,
                           periodic=self.periodic)
         scheme = self._scheme
-        if isinstance(scheme, schemes_mod.ROW_general):
-            core = sm._row_core(scheme._tables, scheme._s, self.periodic,
-                                batch_axis=mesh_axis)
-        elif isinstance(scheme, schemes_mod.ERK_general):
-            b_pred = scheme._b_pred if self._adaptive else None
-            core = sm._erk_core(scheme._a, scheme._b, b_pred, scheme._s,
-                                self.periodic, batch_axis=mesh_axis)
-        elif isinstance(scheme, schemes_mod.Theta):
-            core = sm._theta_core(scheme._theta, self.periodic,
-                                  batch_axis=mesh_axis)
-        else:
+        per_member = self._per_member_dt
+
+        def build_core(pm=False):
+            if isinstance(scheme, schemes_mod.ROW_general):
+                return sm._row_core(scheme._tables, scheme._s, self.periodic,
+                                    batch_axis=mesh_axis, per_member=pm)
+            if isinstance(scheme, schemes_mod.ERK_general):
+                b_pred = scheme._b_pred if self._adaptive else None
+                return sm._erk_core(scheme._a, scheme._b, b_pred, scheme._s,
+                                    self.periodic, batch_axis=mesh_axis,
+                                    per_member=pm)
+            if isinstance(scheme, schemes_mod.Theta):
+                return sm._theta_core(scheme._theta, self.periodic,
+                                      batch_axis=mesh_axis, per_member=pm)
             raise TypeError(
                 f"{type(scheme).__name__} has no sharded implementation "
                 "(supported: ROW family, explicit RK family, Theta)")
 
+        vhook, vhook_pm = self._member_hook_fns()
+
+        if per_member:
+            core = build_core(pm=True)
+
+            def pm_fixed(tb, u, h, p, x, dtb):
+                if vhook_pm is not None:
+                    u, h, p = vhook_pm(tb, u, h, p, x)
+                u2, errs = core(tb, u, h, p, x, dtb)
+                return u2, h, p, x, errs
+
+            stepper = _per_member_adaptive_loop(
+                pm_fixed, self.B, tol=scheme._tol,
+                safety=scheme._safety_factor, max_iter=scheme._max_iter,
+                dt_min=scheme._dt_min,
+                expo=getattr(scheme, "_err_exponent", 0.5),
+                compensated=scheme._compensated)
+            if vhook is not None:
+                stepper = _with_output_hook(stepper, vhook, True)
+            return jax.jit(self._finish_dp_sp(mesh, mesh_axis, space_axis,
+                                              stepper))
+
+        core = build_core()
         if self._adaptive:
             def batch_fixed(t, u, h, p, x, dt):
+                if vhook is not None:
+                    u, h, p = vhook(t, u, h, p, x)
                 u2, err = core(t, u, h, p, x, dt)
                 return u2, h, p, x, err
 
@@ -232,9 +354,38 @@ class Ensemble:
                 return next_t, u2, h2, p2, dt_i, status
         else:
             def stepper(t, u, helpers, pstack, x, dt, internal_dt):
+                if vhook is not None:
+                    u, helpers, pstack = vhook(t, u, helpers, pstack, x)
                 u2, _err = core(t, u, helpers, pstack, x, dt)
                 return (t + dt, u2, helpers, pstack, internal_dt,
                         jnp.int32(0))
+
+        if vhook is not None:
+            stepper = _with_output_hook(stepper, vhook, False)
+        return jax.jit(self._finish_dp_sp(mesh, mesh_axis, space_axis,
+                                          stepper))
+
+    def _member_hook_fns(self):
+        """(vhook, vhook_pm): the reference-style ``hook(t, fields, pars)``
+        lifted to pure array form (schemes._DeviceProblem.apply_hook) and
+        vmapped over the member axis — t shared vs member-local clocks.
+        (None, None) for the null hook."""
+        if self._hook is null_hook:
+            return None, None
+        problem = schemes_mod._DeviceProblem(self.model, self._hook,
+                                             self.periodic)
+
+        def member_hook(t, u, h, p, x):
+            u2, h2, p2, _x = problem.apply_hook(t, u, h, p, x)
+            return u2, h2, p2
+
+        return (jax.vmap(member_hook, in_axes=(None, 0, 0, 0, None)),
+                jax.vmap(member_hook, in_axes=(0, 0, 0, 0, None)))
+
+    def _finish_dp_sp(self, mesh, mesh_axis, space_axis, stepper):
+        """Lay the member state out over the 2-D mesh and return the
+        stepper unchanged (placement is a side effect on self)."""
+        from jax.sharding import NamedSharding, PartitionSpec
 
         state_sh = NamedSharding(
             mesh, PartitionSpec(mesh_axis, None, space_axis))
@@ -243,7 +394,7 @@ class Ensemble:
         self.pstack = jax.device_put(self.pstack, state_sh)
         self.x = jax.device_put(
             self.x, NamedSharding(mesh, PartitionSpec(space_axis)))
-        return jax.jit(stepper)
+        return stepper
 
     # group-plan cost-model constants, fitted to measured v5e step times at
     # B=1024 x N=1e5 (KS/RODASPR, 50-step scans) — see _pick_group_plan:
@@ -694,72 +845,13 @@ class Ensemble:
         controller discards the whole batch attempt on any reject)."""
         fixed = self._scheme.device_fixed_step(self._hook, self.periodic)
         vfixed = jax.vmap(fixed, in_axes=(0, 0, 0, 0, None, 0))
-        tol = self._scheme._tol
-        safety = self._scheme._safety_factor
-        max_iter = self._scheme._max_iter
-        dt_min = self._scheme._dt_min
-        expo = getattr(self._scheme, "_err_exponent", 0.5)
-        compensated = self._scheme._compensated
-        B = self.B
+        return _per_member_adaptive_loop(
+            vfixed, self.B, tol=self._scheme._tol,
+            safety=self._scheme._safety_factor,
+            max_iter=self._scheme._max_iter, dt_min=self._scheme._dt_min,
+            expo=getattr(self._scheme, "_err_exponent", 0.5),
+            compensated=self._scheme._compensated)
 
-        def stepper(t, u, helpers, pstack, x, dt, internal_dt):
-            next_t = t + dt
-            eps = 1e-12 * jnp.maximum(jnp.abs(next_t), 1.0)
-            dtype = u.dtype
-            tb0 = jnp.full((B,), t, dtype=dtype)
-            dtb0 = jnp.minimum(jnp.broadcast_to(internal_dt, (B,)), dt)
-
-            def cond(carry):
-                tb, u, cu, h, p, dtb, nb, status = carry
-                return jnp.any(tb < next_t - eps) & (status == 0)
-
-            def body(carry):
-                tb, u, cu, h, p, dtb, nb, status = carry
-                active = tb < next_t - eps
-                remaining = next_t - tb
-                clamped = dtb >= remaining
-                dt_eff = jnp.minimum(dtb, remaining)
-                u2, h2, p2, _x, errs = vfixed(tb, u, h, p, x, dt_eff)
-                accept = (errs <= tol) & active
-                err_safe = jnp.maximum(errs, jnp.finfo(dtype).tiny)
-                dt_next = jnp.clip(
-                    safety * dt_eff * (tol / err_safe) ** expo,
-                    0.1 * dt_eff, 10.0 * dt_eff,
-                )
-                dtb = jnp.where(active & ~(accept & clamped), dt_next, dtb)
-                tb = jnp.where(accept, tb + dt_eff, tb)
-                sel = accept[:, None, None]
-                if compensated:
-                    from ..ops.compensated import kahan_update
-
-                    uk, ck = kahan_update(u, cu, u2)
-                    u = jnp.where(sel, uk, u)
-                    cu = jnp.where(sel, ck, cu)
-                else:
-                    u = jnp.where(sel, u2, u)
-                h = jnp.where(sel, h2, h)
-                p = jnp.where(sel, p2, p)
-                nb = nb + active.astype(jnp.int32)
-                if max_iter is not None:
-                    status = jnp.where(
-                        jnp.any(active & (nb > jnp.int32(max_iter))),
-                        jnp.int32(1), status)
-                dt_floor = dt_min if dt_min is not None else (
-                    1e3 * jnp.finfo(dtype).tiny
-                    + 2.0 * jnp.finfo(dtype).eps * jnp.abs(next_t)
-                )
-                still = tb < next_t - eps
-                status = jnp.where(jnp.any(still & (dtb < dt_floor)),
-                                   jnp.int32(2), status)
-                return (tb, u, cu, h, p, dtb, nb, status)
-
-            carry = (tb0, u, jnp.zeros_like(u), helpers, pstack, dtb0,
-                     jnp.zeros((B,), jnp.int32), jnp.int32(0))
-            tb, u2, _cu, h2, p2, dtb, nb, status = jax.lax.while_loop(
-                cond, body, carry)
-            return next_t, u2, h2, p2, dtb, status, nb
-
-        return stepper
 
     # ------------------------------------------------------------------
     def _set_internal_dt(self, dt_i):

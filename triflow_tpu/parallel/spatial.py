@@ -412,7 +412,7 @@ class SpatialModel:
         none = PartitionSpec()
         return spec_state, spec_x, none
 
-    def _wrap_core(self, local_core, batch_axis=None):
+    def _wrap_core(self, local_core, batch_axis=None, per_member=False):
         """shard_map a per-shard step core.
 
         With ``batch_axis`` (dp x sp composition) the state carries a
@@ -422,7 +422,14 @@ class SpatialModel:
         all_gather, error pmax) batch across members — and the embedded
         error comes back as ONE replicated scalar (max over local members,
         pmax over both mesh axes): shared-dt semantics across the whole
-        batch, matching the single-chip Ensemble default."""
+        batch, matching the single-chip Ensemble default.
+
+        ``per_member=True`` (requires ``batch_axis``) instead gives every
+        member its OWN clock and step size: ``t`` and ``dt`` become (B,)
+        arrays sharded like the member axis and the error comes back
+        per-member (B,) — the core for the per-member adaptive controller
+        (each member's err is still pmax-reduced over its space shards
+        inside ``local_core``)."""
         spec_state, spec_x, none = self._specs()
         if batch_axis is None:
             return shard_map(
@@ -431,6 +438,15 @@ class SpatialModel:
                           none),
                 out_specs=(spec_state, none),
             )
+        bspec = PartitionSpec(batch_axis, None, self.axis)
+        if per_member:
+            vcore = jax.vmap(local_core, in_axes=(0, 0, 0, 0, None, 0))
+            vspec = PartitionSpec(batch_axis)
+            return shard_map(
+                vcore, self.mesh,
+                in_specs=(vspec, bspec, bspec, bspec, spec_x, vspec),
+                out_specs=(bspec, vspec),
+            )
         vcore = jax.vmap(local_core, in_axes=(None, 0, 0, 0, None, None))
 
         def batched_core(t, u, helpers, pstack, x, dt):
@@ -438,19 +454,20 @@ class SpatialModel:
             err = jax.lax.pmax(jnp.max(errs), batch_axis)
             return u2, err
 
-        bspec = PartitionSpec(batch_axis, None, self.axis)
         return shard_map(
             batched_core, self.mesh,
             in_specs=(none, bspec, bspec, bspec, spec_x, none),
             out_specs=(bspec, none),
         )
 
-    def _row_core(self, tables, s, periodic, batch_axis=None):
+    def _row_core(self, tables, s, periodic, batch_axis=None,
+                  per_member=False):
         """Shard-mapped fixed ROW step on global sharded arrays:
         ``core(t, u, helpers, pstack, x, dt) -> (u_new, err)`` with the
         embedded error pmax-reduced across shards (replicated scalar).
         ``batch_axis`` adds a leading member axis sharded over that mesh
-        axis (see _wrap_core)."""
+        axis; ``per_member`` makes t/dt/err member-local (see
+        _wrap_core)."""
         a_t, c_t, m_t, m_pred_t, g00 = tables
         ndev, axis, h = self.ndev, self.axis, self.h
         backend = self.backend
@@ -495,9 +512,10 @@ class SpatialModel:
                 err = jnp.full((), jnp.inf, dtype=u.dtype)
             return u_new, err
 
-        return self._wrap_core(local_core, batch_axis)
+        return self._wrap_core(local_core, batch_axis, per_member)
 
-    def _theta_core(self, theta, periodic, batch_axis=None):
+    def _theta_core(self, theta, periodic, batch_axis=None,
+                    per_member=False):
         """Shard-mapped linearized theta step (reference Theta semantics,
         schemes.py:502-559, with the SuperLU solve replaced by SPIKE)."""
         ndev, axis, h = self.ndev, self.axis, self.h
@@ -517,9 +535,10 @@ class SpatialModel:
                 u2 = spike_factor(A, axis, ndev, periodic).solve(B)
             return u2, jnp.zeros((), dtype=u.dtype)
 
-        return self._wrap_core(local_core, batch_axis)
+        return self._wrap_core(local_core, batch_axis, per_member)
 
-    def _erk_core(self, a, b, b_pred, s, periodic, batch_axis=None):
+    def _erk_core(self, a, b, b_pred, s, periodic, batch_axis=None,
+                  per_member=False):
         """Shard-mapped explicit RK step: stages are local F evaluations
         behind one halo ring each (no solve, no interface system), embedded
         error pmax-reduced across shards."""
@@ -543,7 +562,7 @@ class SpatialModel:
                 err = jax.lax.pmax(err, axis)
             return u_new, err
 
-        return self._wrap_core(local_core, batch_axis)
+        return self._wrap_core(local_core, batch_axis, per_member)
 
     # -- scheme integration ---------------------------------------------------
     def scheme_class(self, scheme_cls=None):

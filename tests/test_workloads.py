@@ -95,6 +95,79 @@ def test_thin_film_droplet_positivity():
     assert hf.min() > 0
 
 
+def test_wave_system_matches_discrete_dispersion():
+    """Wave-equation system (reference wave_equation.ipynb: dtv = c^2 dxxu,
+    dtu = v): a single Fourier mode of the DISCRETIZED operator oscillates
+    at omega_d = c * k_d with k_d^2 = (2 - 2 cos(k dx)) / dx^2 — the
+    trajectory must match that analytic solution to time-integration
+    tolerance, and the discrete energy must be conserved."""
+    model = Model(["c**2 * dxxu", "v"], ["v", "u"], "c")
+    assert model._nvar == 2
+    N, L, c = 128, 10.0, 1.3
+    x = np.linspace(0, L, N, endpoint=False)
+    dx = x[1] - x[0]
+    k = 2 * np.pi / L
+    u0 = np.sin(k * x)
+    v0 = np.zeros(N)
+    simul = Simulation(model, model.fields_template(x=x, u=u0, v=v0),
+                       dict(periodic=True, c=c), dt=0.25, tmax=2.0,
+                       tol=1e-10)
+    energies = []
+    for t, fields in simul:
+        v = np.asarray(fields["v"])
+        u = np.asarray(fields["u"])
+        # the discrete energy conserved by the 3-point dxx semi-discretization
+        # uses FORWARD differences (centered np.gradient oscillates at
+        # O((k dx)^2) even on the exact solution)
+        du = (np.roll(u, -1) - u) / dx
+        energies.append(0.5 * np.sum(v ** 2 + c ** 2 * du ** 2))
+    kd = np.sqrt((2 - 2 * np.cos(k * dx))) / dx
+    omega = c * kd
+    u_exact = np.sin(k * x) * np.cos(omega * t)
+    v_exact = -omega * np.sin(k * x) * np.sin(omega * t)
+    assert np.allclose(np.asarray(fields["u"]), u_exact, atol=1e-6)
+    assert np.allclose(np.asarray(fields["v"]), v_exact, atol=1e-6)
+    e = np.asarray(energies)
+    assert np.abs(e - e[0]).max() < 1e-4 * e[0]
+
+
+def test_so_wavy_coupled_pair_oracle_and_symmetry():
+    """Coupled convection pair (reference so_wavy.ipynb): cross-advected
+    U/V with shared diffusion.  The system is symmetric under U<->V swap,
+    and the adaptive ROW trajectory must match scipy vode at tight rtol."""
+    model = Model(["k * dxxU - c * U * dxV", "k * dxxV - c * V * dxU"],
+                  ["U", "V"], ["k", "c"])
+    N, L = 128, 10.0
+    x = np.linspace(0, L, N, endpoint=False)
+    U0 = 1 + 0.3 * np.cos(2 * np.pi * x / L)
+    V0 = 1 + 0.3 * np.sin(2 * np.pi * x / L)
+    pars = dict(periodic=True, k=0.05, c=1.0)
+    tmax = 1.0
+
+    simul = Simulation(model, model.fields_template(x=x, U=U0, V=V0),
+                       dict(pars), dt=0.5, tmax=tmax, tol=1e-12)
+    for t, fields in simul:
+        pass
+    U_row, V_row = np.asarray(fields["U"]), np.asarray(fields["V"])
+
+    oracle = Simulation(model, model.fields_template(x=x, U=U0, V=V0),
+                        dict(pars), scheme=schemes.scipy_ode,
+                        time_stepping=False, dt=0.5, tmax=tmax,
+                        atol=1e-13, rtol=1e-13, nsteps=50000)
+    for t, fields in oracle:
+        pass
+    assert np.allclose(U_row, np.asarray(fields["U"]), atol=1e-8)
+    assert np.allclose(V_row, np.asarray(fields["V"]), atol=1e-8)
+
+    # U<->V swap symmetry: swapping the initial fields swaps the solution
+    swapped = Simulation(model, model.fields_template(x=x, U=V0, V=U0),
+                         dict(pars), dt=0.5, tmax=tmax, tol=1e-12)
+    for t, fields in swapped:
+        pass
+    assert np.allclose(np.asarray(fields["U"]), V_row, atol=1e-9)
+    assert np.allclose(np.asarray(fields["V"]), U_row, atol=1e-9)
+
+
 def test_duck_typed_manual_model():
     """Hand-written model (no symbolic layer): object with .F and
     fields_template stepping through scipy_ode (reference manual-2D path)."""

@@ -33,6 +33,7 @@ TPU-first differences from the reference:
 from __future__ import annotations
 
 import logging
+import weakref
 
 import jax
 import jax.numpy as jnp
@@ -1686,12 +1687,33 @@ def _host_time_stepping(scheme, tol=1e-1, ord=2, m=10, reject_factor=2):
     """Host-loop step doubling for schemes that only exist as host callables
     (scipy_ode, duck-typed hand-written models): same controller as
     DeviceTimeStepping, driven through the ``scheme(t, fields, dt, pars,
-    hook)`` surface."""
-    carry = {"dt": None}
+    hook)`` surface.
+
+    The adapted step size is carried per TRAJECTORY, keyed on the identity
+    of the fields object handed back to the caller: two Simulations sharing
+    one wrapped scheme each keep their own dt sequence instead of
+    cross-contaminating through a shared slot."""
+    carried = {}  # id(fields) -> (weakref, adapted dt)
+
+    def _recall(fields, default):
+        entry = carried.pop(id(fields), None)
+        if entry is not None:
+            ref, h = entry
+            if ref() is fields:
+                return h
+        return default
+
+    def _remember(fields, h):
+        try:
+            carried[id(fields)] = (weakref.ref(fields), h)
+        except TypeError:  # pragma: no cover - non-weakrefable container
+            return
+        while len(carried) > 64:  # bound abandoned-trajectory entries
+            carried.pop(next(iter(carried)))
 
     def controlled(t, fields, dt, pars, hook=null_hook):
         target = t + dt
-        h = carry["dt"] or dt
+        h = _recall(fields, dt)
         while target - t > 1e-10 * max(1.0, abs(target)):
             # clamp only the attempt, not the carried step size: feeding
             # the clamped final sliver back into h would collapse the
@@ -1718,7 +1740,7 @@ def _host_time_stepping(scheme, tol=1e-1, ord=2, m=10, reject_factor=2):
             t, fields = t_f, fine
             if not clamped:
                 h = h_next
-        carry["dt"] = h
+        _remember(fields, h)
         return target, fields
 
     return controlled

@@ -128,6 +128,7 @@ def test_ensemble_scanned_steps_match_loop(burgers):
                        rtol=1e-12, atol=1e-14)
 
 
+@pytest.mark.slow
 def test_ensemble_merged_scanned_steps_match_loop(monkeypatch):
     """Merged fixed-dt steps(n) — which flips to the groups-outer
     whole-chunk kernel when ops/megastep applies — must match n
@@ -152,6 +153,7 @@ def test_ensemble_merged_scanned_steps_match_loop(monkeypatch):
                        rtol=1e-11, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_ensemble_merged_adaptive_whole_chunk(monkeypatch):
     """Adaptive merged steps(n) — which flips to the in-kernel shared-dt
     controller (ops/megastep.row_adaptive_scan_folded) when the whole
@@ -183,6 +185,7 @@ def test_ensemble_merged_adaptive_whole_chunk(monkeypatch):
                        rtol=1e-9, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_ensemble_per_member_mega_matches_vmapped(monkeypatch):
     """The in-kernel per-member controller (megastep per_member mode,
     member-constant clock/dt/attempt slabs + member-segmented error max)
@@ -221,6 +224,7 @@ def test_ensemble_per_member_mega_matches_vmapped(monkeypatch):
         (iters_a, ens_b.member_iters)
 
 
+@pytest.mark.slow
 def test_ensemble_merged_gated_off_for_compensated_refine(monkeypatch):
     """Regression: the merged folded core has no Kahan accumulation and no
     refinement hook — constructing an Ensemble with compensated=True or
@@ -248,6 +252,7 @@ def test_ensemble_merged_gated_off_for_compensated_refine(monkeypatch):
 
 
 @pytest.mark.parametrize("periodic", [True, False])
+@pytest.mark.slow
 def test_ensemble_merged_members_as_chunks(monkeypatch, periodic):
     """The members-as-chunks folded ensemble (ops/folded.py
     make_ensemble_plan) must match the vmapped node-layout path: member
@@ -278,6 +283,7 @@ def test_ensemble_merged_members_as_chunks(monkeypatch, periodic):
                        rtol=1e-10, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_ensemble_merged_adaptive(monkeypatch):
     """Merged adaptive: shared dt controlled by the max error over the
     whole merged grid == max over members."""
@@ -528,3 +534,74 @@ def test_ensemble_dirichlet_hook_matches_simulation():
             pass
         assert np.allclose(U[i, 0], np.asarray(fields["U"]),
                            rtol=1e-9, atol=1e-11)
+
+
+def test_ensemble_recompute_target_false_per_member():
+    """VERDICT r2 item 2: ``recompute_target=False`` (the reference's
+    interpolation semantics, schemes.py:213-227) must be honored by the
+    per-member Ensemble controller — each member overshoots on its own
+    internal grid and interpolates to the output time, matching a single
+    scheme-level run with the same flag."""
+    from triflow_tpu import Model, schemes
+    from triflow_tpu.parallel import Ensemble
+
+    model = Model("k * dxxU", "U", "k")
+    N = 64
+    x = np.linspace(0, 10, N, endpoint=False)
+    u0 = np.cos(x * 2 * np.pi / 10)
+    ks = [0.05, 0.5, 5.0]
+    B = len(ks)
+    tol = 1e-6
+
+    ens = Ensemble(model, np.tile(u0, (B, 1)),
+                   [dict(k=k, periodic=True) for k in ks], x,
+                   scheme=schemes.RODASPR, tol=tol, per_member_dt=True,
+                   recompute_target=False)
+    t, u = ens.step(0.7)
+    assert t == pytest.approx(0.7)
+
+    for b, k in enumerate(ks):
+        scheme = schemes.RODASPR(model, time_stepping=True, tol=tol,
+                                 recompute_target=False)
+        fields = model.fields_template(x=x, U=u0)
+        _t_ref, f_ref = scheme(0.0, fields, 0.7, dict(k=k, periodic=True))
+        assert np.allclose(np.asarray(ens.u[b, 0]),
+                           np.asarray(f_ref["U"]), atol=1e-8), b
+
+
+def test_ensemble_recompute_target_false_shared_dt():
+    """Shared-dt controller with identical members + recompute_target=False
+    reduces exactly to the single-run interpolating controller (the max
+    member error equals every member's error)."""
+    from triflow_tpu import Model, schemes
+    from triflow_tpu.parallel import Ensemble
+
+    model = Model("k * dxxU - U * dxU", "U", "k")
+    N = 64
+    x = np.linspace(0, 10, N, endpoint=False)
+    u0 = np.cos(x * 2 * np.pi / 10)
+    B, tol = 3, 1e-6
+
+    ens = Ensemble(model, np.tile(u0, (B, 1)), dict(k=1.0, periodic=True),
+                   x, scheme=schemes.RODASPR, tol=tol,
+                   recompute_target=False)
+    # the merged/megakernel path must have been gated off (it cannot carry
+    # the bracketing state)
+    assert ens._merged_plan is None
+    t, u = ens.step(0.5)
+    assert t == pytest.approx(0.5)
+
+    scheme = schemes.RODASPR(model, time_stepping=True, tol=tol,
+                             recompute_target=False)
+    fields = model.fields_template(x=x, U=u0)
+    _t_ref, f_ref = scheme(0.0, fields, 0.5, dict(k=1.0, periodic=True))
+    for b in range(B):
+        assert np.allclose(np.asarray(ens.u[b, 0]),
+                           np.asarray(f_ref["U"]), atol=1e-10), b
+    # sanity: interpolation mode actually changes the result vs clamping
+    ens_clamp = Ensemble(model, np.tile(u0, (B, 1)),
+                         dict(k=1.0, periodic=True), x,
+                         scheme=schemes.RODASPR, tol=tol)
+    ens_clamp.step(0.5)
+    assert not np.allclose(np.asarray(ens.u), np.asarray(ens_clamp.u),
+                           atol=1e-12)

@@ -18,6 +18,13 @@ import pytest
 
 from triflow_tpu import Model
 
+
+# whole-module slow tier: interpret-mode kernel equivalence / physics
+# workloads are minutes-long on the virtual CPU mesh (CI fast lane skips
+# them; the full matrix runs nightly)
+pytestmark = pytest.mark.slow
+
+
 VARS = ["u", "v", "w"]
 PARS = ["a", "b", "c"]
 

@@ -17,6 +17,13 @@ from triflow_tpu import Model, schemes
 from triflow_tpu.ops import folded, megastep
 
 
+# whole-module slow tier: interpret-mode kernel equivalence / physics
+# workloads are minutes-long on the virtual CPU mesh (CI fast lane skips
+# them; the full matrix runs nightly)
+pytestmark = pytest.mark.slow
+
+
+
 @pytest.fixture()
 def interpret_pallas(monkeypatch):
     monkeypatch.setenv("TRIFLOW_PALLAS_INTERPRET", "1")

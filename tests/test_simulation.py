@@ -294,6 +294,7 @@ def test_device_time_stepping_theta(heat_model):
     assert np.allclose(np.asarray(fields["T"]), expected, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_device_time_stepping_large_grid(heat_model):
     """Adaptive Theta at production-ish N steps in a handful of device
     calls (the round-1 host wrapper was unusable at this size)."""

@@ -111,6 +111,7 @@ def test_sharded_rodaspr_matches_single_device(ks_model, periodic):
     assert len(u_sh.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_sharded_multistep_trajectory(ks_model):
     """Several sharded RODASPR steps vs single-device trajectory."""
     N = 256
@@ -161,6 +162,7 @@ def _run(model, fields0, pars, mesh=None, **kw):
     return sim, t, fields
 
 
+@pytest.mark.slow
 def test_sharded_adaptive_matches_single_device(ks_model):
     """VERDICT r1 item 2: the lax.while_loop dt controller on the sharded
     grid (error pmax-reduced across shards) must reproduce the single-device
@@ -253,6 +255,7 @@ def test_sharded_dirichlet_hook_matches_single_device():
     assert np.allclose(U_sh, np.asarray(f_ref["U"]), rtol=1e-8, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_sharded_simulation_run_with_container(ks_model, tmpdir):
     """VERDICT r1 item 4: the L5 surface (run/container/persistence) drives
     a distributed adaptive run."""
@@ -272,6 +275,7 @@ def test_sharded_simulation_run_with_container(ks_model, tmpdir):
     assert np.allclose(np.asarray(data["U"])[-1], np.asarray(f["U"]))
 
 
+@pytest.mark.slow
 def test_sharded_adaptive_raw_stepper(ks_model):
     """row_stepper(time_stepping=True) exposes the device-resident adaptive
     controller over raw arrays."""
@@ -299,6 +303,7 @@ def test_sharded_adaptive_raw_stepper(ks_model):
                        rtol=1e-8, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_sharded_checkpoint_resume(ks_model, tmpdir):
     """Checkpoint/resume works with a sharded (mesh=) simulation: the
     resumed sharded trajectory matches the uninterrupted one."""
@@ -325,6 +330,7 @@ def test_sharded_checkpoint_resume(ks_model, tmpdir):
                        rtol=1e-8, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_sharded_folded_local_solve_matches(ks_model, monkeypatch):
     """The folded-layout local SPIKE factor/solve (interpret mode; engages
     when each shard's grid is big enough to fold, Nl >= 2048) matches the

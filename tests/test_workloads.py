@@ -3,9 +3,16 @@ workload integrated through the public API with physics assertions and, where
 cheap, a tight-tolerance scipy-oracle trajectory match (the 1e-8 strategy of
 SURVEY.md §4)."""
 
-import numpy as np
+import pytestumpy as np
 
 from triflow_tpu import Model, Simulation, schemes
+
+
+# whole-module slow tier: interpret-mode kernel equivalence / physics
+# workloads are minutes-long on the virtual CPU mesh (CI fast lane skips
+# them; the full matrix runs nightly)
+pytestmark = pytest.mark.slow
+
 
 
 def test_ks_trajectory_matches_scipy_oracle():

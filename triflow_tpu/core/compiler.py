@@ -262,6 +262,115 @@ class ArrayBackend:
             axis=-4,
         )
 
+    # ------------------------------------------------------- df64 entry
+    # (double-float precision: state/F/J as (hi, lo) f32 pairs — ~49-bit
+    # effective significand at f32 VPU speed; see ops/df64.py.  Replaces the
+    # reference's native-f64 compute, model.py:148, at TPU-viable cost.)
+    def _df64_lambdified(self):
+        from ..ops.df64 import LAMBDIFY_MODULES
+
+        if getattr(self, "_df64_fns", None) is None:
+            F_fns = [
+                sp.lambdify(self.args_symbols, expr, modules=LAMBDIFY_MODULES)
+                for expr in self.system.F_exprs
+            ]
+            J_fns = {
+                key: sp.lambdify(self.args_symbols, expr,
+                                 modules=LAMBDIFY_MODULES)
+                for key, expr in self.system.J_band_exprs.items()
+            }
+            self._df64_fns = (F_fns, J_fns)
+        return self._df64_fns
+
+    def _eval_args_df64(self, u, helpers, pstack, x, periodic: bool):
+        """df64 twin of _eval_args: every argument is a DF pair; shifts are
+        structural and applied to hi/lo componentwise (exact)."""
+        from ..ops.df64 import df_map
+
+        def df_shift(df, off):
+            if off == 0:
+                return df
+            if periodic:
+                return df_map(lambda a: jnp.roll(a, -off, axis=-1), df)
+
+            def edge(a):
+                pad = [(0, 0)] * (a.ndim - 1) + [(self.halo, self.halo)]
+                padded = jnp.pad(a, pad, mode="edge")
+                n = a.shape[-1]
+                return padded[..., self.halo + off: self.halo + off + n]
+
+            return df_map(edge, df)
+
+        named = {}
+        for i, name in enumerate(self.system.dep_vars):
+            named[name] = u[..., i, :]
+        for i, name in enumerate(self.system.help_funcs):
+            named[name] = helpers[..., i, :]
+        N = x.shape[-1]
+        dx = (x[..., -1] - x[..., 0]) / (N - 1)
+        args = [x]
+        for var, off in self._offset_args:
+            args.append(df_shift(named[var], off))
+        for i, _p in enumerate(self.system.pars):
+            args.append(pstack[..., i, :])
+        args.append(dx)
+        return args, N
+
+    def _as_df_row(self, val, like_shape):
+        from ..ops.df64 import DF, df_broadcast_to, from_scalar
+
+        if not isinstance(val, DF):
+            if isinstance(val, (int, float)):
+                val = DF.wrap(*from_scalar(val))  # exact split of constants
+            else:
+                val = DF(jnp.asarray(val, jnp.float32))
+        return df_broadcast_to(val, like_shape)
+
+    def F_df64(self, u, helpers, pstack, x, *, periodic: bool):
+        """df64 RHS: DF (..., nvar, N) from DF inputs."""
+        from ..ops.df64 import df_stack
+
+        F_fns, _ = self._df64_lambdified()
+        args, N = self._eval_args_df64(u, helpers, pstack, x, periodic)
+        like = jnp.broadcast_shapes(u.shape[:-2], x.shape[:-1]) + (N,)
+        rows = [self._as_df_row(fn(*args), like) for fn in F_fns]
+        return df_stack(rows, axis=-2)
+
+    def J_bands_df64(self, u, helpers, pstack, x, *, periodic: bool):
+        """df64 banded Jacobian: DF (..., window, nvar, nvar, N)."""
+        from ..ops.df64 import df_stack, df_zeros
+
+        _, J_fns = self._df64_lambdified()
+        args, N = self._eval_args_df64(u, helpers, pstack, x, periodic)
+        nvar = self.system.nvar
+        W = self.window
+        batch = jnp.broadcast_shapes(u.shape[:-2], x.shape[:-1])
+        like = batch + (N,)
+        rows = {}
+        for (m, n, k), fn in J_fns.items():
+            rows[(k, m, n)] = self._as_df_row(fn(*args), like)
+        zero = df_zeros(like)
+        bands = df_stack(
+            [
+                df_stack(
+                    [
+                        df_stack(
+                            [rows.get((k, m, n), zero) for n in range(nvar)],
+                            axis=-2,
+                        )
+                        for m in range(nvar)
+                    ],
+                    axis=-3,
+                )
+                for k in range(W)
+            ],
+            axis=-4,
+        )
+        if not periodic:
+            # fold_edges only uses functional .at updates, which DF mirrors
+            bands = fold_edges(bands, self.halo, jnp)
+        return bands
+
     # --------------------------------------------------- host-side helpers
     def pack_pars(self, pars: dict, x):
         """Broadcast scalar/per-node parameters to an (npar, N) stack

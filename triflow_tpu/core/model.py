@@ -47,7 +47,11 @@ def _coerce(arg):
     return tuple(arg)
 
 
-def _resolve_dtype(double: bool):
+def _resolve_dtype(double):
+    if double == "df64":
+        # double-float: state/compute as (hi, lo) f32 pairs (ops/df64.py);
+        # the backend's component dtype is f32, effective precision ~2^-48
+        return jnp.float32
     if double and jax.config.jax_enable_x64:
         return jnp.float64
     if double:
@@ -63,9 +67,10 @@ def _resolve_dtype(double: bool):
 _BACKENDS = {"jax": JaxBackend, "numpy": NumpyBackend, "theano": JaxBackend}
 
 
-def _reduce_model(eq_diffs, dep_vars, pars, help_functions, bdc_conditions, compiler):
+def _reduce_model(eq_diffs, dep_vars, pars, help_functions, bdc_conditions,
+                  compiler, double=True):
     return Model(eq_diffs, dep_vars, pars, help_functions, bdc_conditions,
-                 compiler=compiler)
+                 compiler=compiler, double=double)
 
 
 class Model:
@@ -213,6 +218,21 @@ class Model:
             sp.Symbol("dx"),
         ]
 
+    @property
+    def precision(self):
+        """'df64' (double-float pairs), 'f64' (native x64) or 'f32'.
+
+        ``double=True`` is the reference's native-f64 request
+        (/root/reference/triflow/core/model.py:148); ``double="df64"`` is
+        the TPU-native answer: ~49-bit effective significand carried as
+        (hi, lo) f32 pairs at f32 VPU speed (ops/df64.py)."""
+        if self._double == "df64":
+            return "df64"
+        if not hasattr(self, "backend"):  # hold_compilation=True
+            return "f64" if (self._double and jax.config.jax_enable_x64) \
+                else "f32"
+        return "f64" if self.backend.dtype == jnp.float64 else "f32"
+
     # convenience aliases used throughout the TPU-side code
     @property
     def halo(self):
@@ -246,7 +266,7 @@ class Model:
         return (
             _reduce_model,
             (self._diff_eqs, self._dep_vars, self._pars, self._help_funcs,
-             self._bdcs, compiler),
+             self._bdcs, compiler, self._double),
         )
 
     def __repr__(self):

@@ -73,22 +73,40 @@ def _seed_internal_dt(scheme, dt):
 # device-state plumbing shared by all schemes
 # ---------------------------------------------------------------------------
 
+def _tree_where(pred, a, b):
+    """``jnp.where`` over matching pytrees (covers DF double-float state)."""
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.where(pred, x, y), a, b
+    )
+
+
+def _zeros_like_tree(u):
+    return jax.tree_util.tree_map(jnp.zeros_like, u)
+
+
 class _DeviceProblem:
     """Binds a model + hook + static periodic flag into pure array functions.
 
     State tuple: (u (nvar, N), helpers (nhelp, N), pstack (npar, N), x (N,)).
+
+    With ``df64=True`` every state array is a DF double-float pair
+    (ops/df64.py) and F/J evaluate through the backend's df64 twins —
+    the reference's native-f64 compute path (model.py:148) at f32 speed.
     """
 
-    def __init__(self, model, hook, periodic: bool):
+    def __init__(self, model, hook, periodic: bool, df64: bool = False):
         self.backend = model.backend
         self.system = model.backend.system
         self.template = model.fields_template
         self.hook = hook
         self.periodic = periodic
+        self.df64 = df64
 
     def apply_hook(self, t, u, helpers, pstack, x):
         if self.hook is null_hook:
             return u, helpers, pstack, x
+        if self.df64:
+            return self._apply_hook_df64(t, u, helpers, pstack, x)
         sysm = self.system
         data = {"x": x}
         for i, name in enumerate(sysm.dep_vars):
@@ -119,14 +137,49 @@ class _DeviceProblem:
             pstack2 = pstack
         return u2, helpers2, pstack2, x2
 
+    def _apply_hook_df64(self, t, u, helpers, pstack, x):
+        """Hook semantics on double-float state: the hook sees the hi
+        component (the f32 value); entries it CHANGES get their lo zeroed
+        (a Dirichlet scatter sets the exact new value), entries it leaves
+        alone keep their full df64 pair."""
+        from ..ops.df64 import DF
+
+        u2h, h2h, p2, x2h = self._plain_hook(
+            t, u.hi, helpers.hi, pstack.hi, x.hi)
+        changed_u = u2h != u.hi
+        u_new = DF.wrap(u2h, jnp.where(changed_u, 0.0, u.lo))
+        changed_h = h2h != helpers.hi
+        h_new = DF.wrap(h2h, jnp.where(changed_h, 0.0, helpers.lo))
+        changed_x = x2h != x.hi
+        x_new = DF.wrap(x2h, jnp.where(changed_x, 0.0, x.lo))
+        changed_p = p2 != pstack.hi
+        p_new = DF.wrap(p2, jnp.where(changed_p, 0.0, pstack.lo))
+        return u_new, h_new, p_new, x_new
+
+    def _plain_hook(self, t, u, helpers, pstack, x):
+        """The f32 hook application (the non-df64 apply_hook body)."""
+        saved, self.df64 = self.df64, False
+        try:
+            return self.apply_hook(t, u, helpers, pstack, x)
+        finally:
+            self.df64 = saved
+
     def F(self, u, helpers, pstack, x):
+        if self.df64:
+            return self.backend.F_df64(u, helpers, pstack, x,
+                                       periodic=self.periodic)
         return self.backend.F_impl(u, helpers, pstack, x, periodic=self.periodic)
 
     def J_bands(self, u, helpers, pstack, x):
+        if self.df64:
+            return self.backend.J_bands_df64(u, helpers, pstack, x,
+                                             periodic=self.periodic)
         return self.backend.J_bands_impl(u, helpers, pstack, x, periodic=self.periodic)
 
     def J_system(self, u, helpers, pstack, x):
         """(J, phase-split J or None) — feeds factor_linearized."""
+        if self.df64:
+            return self.J_bands(u, helpers, pstack, x), None
         return self.backend.J_bands_split_impl(
             u, helpers, pstack, x, periodic=self.periodic
         )
@@ -141,6 +194,7 @@ class _SchemeBase:
         self._model = model
         self._steppers = {}
         self._compensated = False
+        self._df64 = getattr(model, "precision", None) == "df64"
 
     # subclasses build the jitted stepper for a bound problem
     def _build_stepper(self, problem):
@@ -149,7 +203,8 @@ class _SchemeBase:
     def _get_stepper(self, hook, periodic):
         key = (hook, periodic)
         if key not in self._steppers:
-            problem = _DeviceProblem(self._model, hook, periodic)
+            problem = _DeviceProblem(self._model, hook, periodic,
+                                     df64=self._df64)
             self._steppers[key] = self._build_stepper(problem)
         return self._steppers[key]
 
@@ -166,7 +221,8 @@ class _SchemeBase:
         """Pure single fixed step (no adaptive loop) where the scheme defines
         one: ``fixed(t, u, helpers, pstack, x, dt) -> (u', helpers', pstack',
         x', err)``."""
-        problem = _DeviceProblem(self._model, hook, periodic)
+        problem = _DeviceProblem(self._model, hook, periodic,
+                                 df64=self._df64)
         return self._fixed_step_fn(problem)
 
     def device_steps(self, t, fields, n, dt, pars, hook=null_hook):
@@ -203,7 +259,7 @@ class _SchemeBase:
                     st = jnp.maximum(status, st2)
                     return ((t2, u2, c_, h2, p2, x2, dti2, st),
                             (t2, u2, h2, st))
-                carry = (t, u, jnp.zeros_like(u), h, p, x, internal_dt,
+                carry = (t, u, _zeros_like_tree(u), h, p, x, internal_dt,
                          jnp.int32(0))
                 return jax.lax.scan(body, carry, length=n)
             self._steppers[key] = jax.jit(scan_run, static_argnums=(7,))
@@ -223,10 +279,14 @@ class _SchemeBase:
             self._internal_dt = dt_i
         # ONE bulk transfer per stacked output instead of a scalar sync for
         # t/status plus one array fetch per snapshot downstream
+        from ..ops.df64 import DF
+
         ts = np.asarray(ts)
         sts = np.asarray(sts)
-        us = np.asarray(us)
-        hs = np.asarray(hs)
+        us = us.to_float64() if isinstance(us, DF) else np.asarray(us)
+        hs = hs.to_float64() if isinstance(hs, DF) else np.asarray(hs)
+        if isinstance(x2, DF):
+            x2 = x2.to_float64()
         status = int(sts[-1]) if int(n) else 0
         n_valid = int(n) if status == 0 else int(np.argmax(sts != 0))
         snapshots = [
@@ -250,15 +310,49 @@ class _SchemeBase:
         single-device kernels."""
         from ..ops import folded as _folded
 
+        if getattr(problem, "df64", False):
+            return None  # folded/Pallas kernels are plain-f32 only
         return _folded.folded_plan_for(problem.backend, u, x)
 
     def _split(self, fields, pars):
         backend = self._model.backend
+        if self._df64:
+            return self._split_df64(fields, pars)
         u, helpers, x = backend.split_fields(fields)
         pstack = backend.pack_pars(pars, x)
         return u, helpers, pstack, x
 
+    def _split_df64(self, fields, pars):
+        """Host f64 fields -> DF double-float device state (exact split)."""
+        from ..ops.df64 import DF
+
+        sysm = self._model.backend.system
+        N = fields.size
+        x = np.asarray(fields["x"], dtype=np.float64)
+        if sysm.dep_vars:
+            u = np.stack([np.asarray(fields[k], dtype=np.float64)
+                          for k in sysm.dep_vars])
+        else:
+            u = np.zeros((0, N))
+        if sysm.help_funcs:
+            helpers = np.stack([np.asarray(fields[k], dtype=np.float64)
+                                for k in sysm.help_funcs])
+        else:
+            helpers = np.zeros((0, N))
+        rows = [np.broadcast_to(np.asarray(pars[key], dtype=np.float64), (N,))
+                for key in sysm.pars]
+        pstack = np.stack(rows) if rows else np.zeros((0, N))
+        return (DF.from_float64(u), DF.from_float64(helpers),
+                DF.from_float64(pstack), DF.from_float64(x))
+
     def _rebuild(self, fields, u, helpers, x):
+        from ..ops.df64 import DF
+
+        if isinstance(u, DF):
+            u = u.to_float64()
+            helpers = (helpers.to_float64() if isinstance(helpers, DF)
+                       else helpers)
+            x = x.to_float64() if isinstance(x, DF) else np.asarray(x)
         sysm = self._model.backend.system
         data = {"x": x}
         for i, name in enumerate(sysm.dep_vars):
@@ -440,7 +534,7 @@ def _adaptive_embedded_loop(fixed_step, *, tol, safety, max_iter, dt_min,
                 # remember the bracketing pre-step state for the final
                 # interpolation to next_t
                 tp = jnp.where(accept, t_, tp)
-                up = jnp.where(accept, u_, up)
+                up = _tree_where(accept, u_, up)
             # controller: dt <- safety * dt * (tol / err)**exponent
             # (reference schemes.py:203-204), with growth capped at 10x
             # per step (the reference's uncapped controller can jump to
@@ -492,7 +586,7 @@ def _adaptive_embedded_loop(fixed_step, *, tol, safety, max_iter, dt_min,
         # in interpolate mode the whole point is that the internal dt is
         # NOT disturbed by the output cadence — never clamp it to dt
         dt0 = internal_dt if interpolate else jnp.minimum(internal_dt, dt)
-        carry = pack(t, t, u, u, jnp.zeros_like(u), helpers, pstack, x,
+        carry = pack(t, t, u, u, _zeros_like_tree(u), helpers, pstack, x,
                      dt0, jnp.int32(0), jnp.int32(0))
         import os as _os
 
@@ -541,7 +635,9 @@ class ROW_general(_SchemeBase):
                  safety_factor=0.9, recompute_target=True,
                  compensated=False, refine=0):
         super().__init__(model)
-        self._compensated = compensated
+        # df64 state already carries ~49-bit significands; the f32 Kahan
+        # track would be both redundant and DF-incompatible
+        self._compensated = compensated and not self._df64
         self._refine = int(refine)
         self._alpha = np.asarray(alpha, dtype=np.float64)
         self._gamma = np.asarray(gamma, dtype=np.float64)
@@ -600,6 +696,8 @@ class ROW_general(_SchemeBase):
         periodic = problem.periodic
         refine = getattr(self, "_refine", 0)
 
+        df64 = self._df64
+
         def fixed_step(t, u, helpers, pstack, x, dt):
             u, helpers, pstack, x = problem.apply_hook(t, u, helpers, pstack, x)
             # refined solves use the generic banded path (the folded kernel
@@ -611,10 +709,26 @@ class ROW_general(_SchemeBase):
                     problem.backend, plan, tables, s,
                     periodic, u, helpers, pstack, x, dt)
             J, Jg = problem.J_system(u, helpers, pstack, x)
-            fact = factor_linearized(1.0, -float(g00) * dt, J, Jg, periodic)
+            if df64:
+                from ..ops.banded_df import (axpy_bands_df,
+                                             banded_matvec_df,
+                                             factor_banded_df)
+                from ..ops.df64 import DF, from_scalar
+
+                # -g00*dt in full df64: the exact-double table constant
+                # times the (exact) f32 dt
+                g00_df = DF.wrap(*from_scalar(float(g00)))
+                gdt = g00_df * DF(dt)
+                fact = factor_banded_df(
+                    axpy_bands_df(1.0, -gdt, J), periodic)
+                mv = banded_matvec_df
+            else:
+                fact = factor_linearized(1.0, -float(g00) * dt, J, Jg,
+                                         periodic)
+                gdt = float(g00) * dt
+                mv = banded_matvec
             # Hairer-Wanner transformed stages (see __init__): one banded
             # factorization, s solves, NO per-stage banded matvec
-            gdt = float(g00) * dt
             us = []
             for i in range(s):
                 u_i = u
@@ -631,7 +745,7 @@ class ROW_general(_SchemeBase):
                     # one iterative-refinement pass per stage: recover the
                     # residual of (I - g00*dt*J) k = rhs against the TRUE
                     # banded operator and correct through the factorization
-                    r = rhs - (k_i - gdt * banded_matvec(J, k_i, periodic))
+                    r = rhs - (k_i - gdt * mv(J, k_i, periodic))
                     k_i = k_i + fact.solve(r)
                 us.append(k_i)
             u_new = u
@@ -645,10 +759,16 @@ class ROW_general(_SchemeBase):
                     if c:
                         diff = (float(c) * us[i] if diff is None
                             else diff + float(c) * us[i])
-                err = jnp.max(jnp.abs(diff))
+                if df64:
+                    from ..ops.df64 import df_max_abs
+
+                    err = df_max_abs(diff)
+                else:
+                    err = jnp.max(jnp.abs(diff))
                 err = jnp.where(jnp.isnan(err) | jnp.isinf(err), jnp.inf, err)
             else:
-                err = jnp.asarray(jnp.inf, dtype=u.dtype)
+                err = jnp.asarray(jnp.inf, dtype=jnp.float32 if df64
+                                  else u.dtype)
             return u_new, helpers, pstack, x, err
 
         return fixed_step
@@ -664,7 +784,8 @@ class ROW_general(_SchemeBase):
         from ..ops import folded as fl
 
         backend = self._model.backend
-        plan = fl.plan_for_backend(backend, N)
+        plan = (None if self._df64
+                else fl.plan_for_backend(backend, N))
         if plan is None:
             return None
         tables, s = self._tables, self._s
@@ -691,7 +812,8 @@ class ROW_general(_SchemeBase):
         from ..ops import megastep
 
         backend = self._model.backend
-        plan = fl.plan_for_backend(backend, N)
+        plan = (None if self._df64
+                else fl.plan_for_backend(backend, N))
         if plan is None or not megastep.applicable(backend, plan, self._s):
             return None
         tables, s = self._tables, self._s
@@ -1374,8 +1496,28 @@ class Theta(_SchemeBase):
         periodic = problem.periodic
         solver = self._solver
 
+        df64 = self._df64
+
         def fixed_step(t, u, helpers, pstack, x, dt):
             u, helpers, pstack, x = problem.apply_hook(t, u, helpers, pstack, x)
+            if df64:
+                from ..ops.banded_df import (axpy_bands_df,
+                                             banded_matvec_df,
+                                             factor_banded_df)
+                from ..ops.df64 import DF
+
+                F = problem.F(u, helpers, pstack, x)
+                dt_df = DF(dt)
+                if theta == 0:
+                    u2 = u + dt_df * F
+                else:
+                    J = problem.J_bands(u, helpers, pstack, x)
+                    th_dt = float(theta) * dt_df
+                    B = dt_df * F - th_dt * banded_matvec_df(J, u, periodic) \
+                        + u
+                    u2 = factor_banded_df(
+                        axpy_bands_df(1.0, -th_dt, J), periodic).solve(B)
+                return u2, helpers, pstack, x, jnp.zeros((), jnp.float32)
             if theta != 0 and solver is None:
                 from ..ops import folded as _folded
 
@@ -1416,7 +1558,8 @@ class Theta(_SchemeBase):
         from ..ops import folded as fl
 
         problem = _DeviceProblem(self._model, null_hook, periodic)
-        plan = fl.plan_for_backend(problem.backend, N)
+        plan = (None if self._df64
+                else fl.plan_for_backend(problem.backend, N))
         if plan is None:
             return None
         core = self._folded_core(problem, plan, periodic)
@@ -1436,7 +1579,8 @@ class Theta(_SchemeBase):
         from ..ops import megastep
 
         backend = self._model.backend
-        plan = fl.plan_for_backend(backend, N)
+        plan = (None if self._df64
+                else fl.plan_for_backend(backend, N))
         if plan is None or not megastep.applicable(backend, plan, 1):
             return None
         theta = self._theta
@@ -1508,6 +1652,10 @@ class DeviceTimeStepping(_SchemeBase):
     def _norm(self, diff):
         # reference semantics: np.linalg.norm(coarse - fine, ord) per
         # dependent variable, max over variables; diff is (nvar, N)
+        from ..ops.df64 import DF
+
+        if isinstance(diff, DF):  # error ESTIMATE: f32 of the df64 value
+            diff = diff.hi + diff.lo
         if self._ord == np.inf:
             per_var = jnp.max(jnp.abs(diff), axis=-1)
         elif self._ord == 2:
@@ -1643,9 +1791,9 @@ class DeviceTimeStepping(_SchemeBase):
                                    0.1 * dt_eff, 10.0 * dt_eff)
                 accept = dt_next >= dt_eff / reject
                 t_ = jnp.where(accept, t_ + dt_eff, t_)
-                u_ = jnp.where(accept, uf, u_)
-                h_ = jnp.where(accept, hf, h_)
-                p_ = jnp.where(accept, pf, p_)
+                u_ = _tree_where(accept, uf, u_)
+                h_ = _tree_where(accept, hf, h_)
+                p_ = _tree_where(accept, pf, p_)
                 dt_i = jnp.where(accept & clamped, dt_i, dt_next)
                 niter = niter + jnp.int32(1)
                 dt_floor = (1e3 * jnp.finfo(dt_eff.dtype).tiny

@@ -143,11 +143,24 @@ class Simulation(object):
         # keep the state device-resident from the start so hooks can rely on
         # jax array semantics (.at[...].set(...)) both on the host and traced
         if hasattr(model, "backend"):
+            import jax
             import jax.numpy as jnp
+            import numpy as _np
 
-            dtype = model.backend.dtype
-            for key in self.fields.keys():
-                self.fields[key] = jnp.asarray(self.fields[key], dtype=dtype)
+            if getattr(model, "precision", None) == "df64":
+                # df64 runs keep the HOST state at full float64; the scheme
+                # splits it into (hi, lo) f32 pairs at the device boundary
+                # (_SchemeBase._split_df64).  jnp f64 arrays when x64 is on
+                # (hooks keep .at semantics), numpy otherwise.
+                host = (jnp if jax.config.jax_enable_x64 else _np)
+                for key in self.fields.keys():
+                    self.fields[key] = host.asarray(self.fields[key],
+                                                    dtype=_np.float64)
+            else:
+                dtype = model.backend.dtype
+                for key in self.fields.keys():
+                    self.fields[key] = jnp.asarray(self.fields[key],
+                                                   dtype=dtype)
         self.t = t
         self.user_dt = self.dt = dt
         self.tmax = tmax

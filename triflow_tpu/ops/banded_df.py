@@ -1,0 +1,560 @@
+"""df64 (double-float) block-banded solver: the precision twin of
+ops/banded.py.
+
+Same algorithm family — supernode block-tridiagonal assembly, chunked
+Thomas/SPIKE sweeps with a PCR-factored reduced interface system, PCR for
+small M, Sherman-Morrison-Woodbury periodic corners — but every arithmetic
+operation runs in double-float (hi, lo) pairs (ops/df64.py), giving ~49-bit
+significands from f32 VPU ops.  This replaces the reference's float64
+SuperLU solves (/root/reference/triflow/core/schemes.py:148-163) at
+TPU-viable cost: measured ~10-30x the f32 op count, vs ~150x for XLA's
+software-emulated f64.
+
+No MXU dots anywhere: block products are unrolled elementwise multiply-adds
+(the MXU's bf16 passes would destroy the error-free transforms).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .banded import _wrapped_indices
+from .df64 import (
+    DF,
+    df_concat,
+    df_map,
+    df_roll,
+    df_stack,
+    df_where,
+    df_zeros,
+    df_zeros_like,
+)
+
+
+# ---------------------------------------------------------------------------
+# block algebra on DF stacks (..., s, s, M) / (..., s, M)
+# ---------------------------------------------------------------------------
+
+def _stack_block(rows):
+    return df_stack([df_stack(r, axis=-2) for r in rows], axis=-3)
+
+
+def _mm(a, b):
+    m, k = a.shape[-3], a.shape[-2]
+    n = b.shape[-2]
+    out = []
+    for i in range(m):
+        row = []
+        for j in range(n):
+            acc = a[..., i, 0, :] * b[..., 0, j, :]
+            for q in range(1, k):
+                acc = acc + a[..., i, q, :] * b[..., q, j, :]
+            row.append(acc)
+        out.append(row)
+    return _stack_block(out)
+
+
+def _mv(a, b):
+    m, k = a.shape[-3], a.shape[-2]
+    out = []
+    for i in range(m):
+        acc = a[..., i, 0, :] * b[..., 0, :]
+        for q in range(1, k):
+            acc = acc + a[..., i, q, :] * b[..., q, :]
+        out.append(acc)
+    return df_stack(out, axis=-2)
+
+
+def _small_inv(D):
+    s = D.shape[-3]
+    if s == 1:
+        return _inv1(D)
+    if s == 2:
+        a = D[..., 0, 0, :]
+        b = D[..., 0, 1, :]
+        c = D[..., 1, 0, :]
+        d = D[..., 1, 1, :]
+        inv_det = 1.0 / (a * d - b * c)
+        return _stack_block(
+            [[d * inv_det, -b * inv_det], [-c * inv_det, a * inv_det]]
+        )
+    # block-Schur recursion (mirrors banded._small_inv)
+    p = s // 2
+    A = D[..., :p, :p, :]
+    B = D[..., :p, p:, :]
+    C = D[..., p:, :p, :]
+    Dd = D[..., p:, p:, :]
+    Ainv = _small_inv(A)
+    Sinv = _small_inv(Dd - _mm(C, _mm(Ainv, B)))
+    AinvB = _mm(Ainv, B)
+    CAinv = _mm(C, Ainv)
+    top_left = Ainv + _mm(AinvB, _mm(Sinv, CAinv))
+    top_right = -_mm(AinvB, Sinv)
+    bot_left = -_mm(Sinv, CAinv)
+    top = df_concat([top_left, top_right], axis=-2)
+    bot = df_concat([bot_left, Sinv], axis=-2)
+    return df_concat([top, bot], axis=-3)
+
+
+def _inv1(D):
+    return _stack_block([[1.0 / D[..., 0, 0, :]]])
+
+
+# ---------------------------------------------------------------------------
+# wrap extraction + supernode assembly (structural, mirrors banded.py)
+# ---------------------------------------------------------------------------
+
+def _extract_wrap(bands, periodic: bool):
+    W, nvar, _, N = bands.shape[-4:]
+    h = W // 2
+    if not periodic or h == 0:
+        return bands, None, None
+    P = nvar * h
+    batch = bands.shape[:-4]
+    T = df_zeros(batch + (P, P))
+    B = df_zeros(batch + (P, P))
+    top, bottom = _wrapped_indices(W, nvar, N)
+    for (k, i, r, c) in top:
+        T = T.at[..., r * nvar:(r + 1) * nvar,
+                 c * nvar:(c + 1) * nvar].set(bands[..., k, :, :, i])
+        bands = bands.at[..., k, :, :, i].set(0.0)
+    for (k, i, r, c) in bottom:
+        B = B.at[..., r * nvar:(r + 1) * nvar,
+                 c * nvar:(c + 1) * nvar].set(bands[..., k, :, :, i])
+        bands = bands.at[..., k, :, :, i].set(0.0)
+    return bands, T, B
+
+
+def _assemble_blocks(bands):
+    W, nvar, _, N = bands.shape[-4:]
+    h = W // 2
+    g = max(h, 1)
+    s = nvar * g
+    M = -(-N // g)
+    Np = M * g
+    batch = bands.shape[:-4]
+    if Np != N:
+        pad_width = [(0, 0)] * (bands.ndim - 1) + [(0, Np - N)]
+        bands = df_map(lambda a: jnp.pad(a, pad_width), bands)
+        diag_idx = jnp.arange(nvar)
+        bands = DF.wrap(
+            bands.hi.at[..., h, diag_idx, diag_idx, N:].set(1.0),
+            bands.lo.at[..., h, diag_idx, diag_idx, N:].set(0.0),
+        )
+
+    bands_t = df_map(
+        lambda a: jnp.moveaxis(a.reshape(batch + (W, nvar, nvar, M, g)),
+                               -1, -5),
+        bands,
+    )
+    bands_t = DF.wrap(*jax.lax.optimization_barrier((bands_t.hi, bands_t.lo)))
+    zero = df_zeros(batch + (M,))
+
+    def block(dblock):
+        rows = []
+        for a in range(g):
+            for m in range(nvar):
+                row = []
+                for b in range(g):
+                    for n in range(nvar):
+                        delta = (b - a) + dblock
+                        if abs(delta) > h:
+                            row.append(zero)
+                        else:
+                            row.append(bands_t[..., a, h + delta, m, n, :])
+                rows.append(df_stack(row, axis=-2))
+        return df_stack(rows, axis=-3)
+
+    L = block(-g)
+    D = block(0)
+    U = block(g)
+    L = L.at[..., 0].set(0.0)
+    U = U.at[..., M - 1].set(0.0)
+    return L, D, U, g, s, M, Np
+
+
+# ---------------------------------------------------------------------------
+# PCR (small M)
+# ---------------------------------------------------------------------------
+
+class PcrFactorDF:
+    def __init__(self, alphas, betas, Dinv, ds):
+        self.alphas, self.betas, self.Dinv, self.ds = alphas, betas, Dinv, tuple(ds)
+
+
+jax.tree_util.register_pytree_node(
+    PcrFactorDF,
+    lambda f: ((f.alphas, f.betas, f.Dinv), f.ds),
+    lambda ds, leaves: PcrFactorDF(*leaves, ds),
+)
+
+
+def _pcr_factor(L, D, U):
+    M = L.shape[-1]
+    idx = jnp.arange(M)
+    levels = []
+    d = 1
+    while d < M:
+        Dinv = _small_inv(D)
+        alpha = -_mm(L, df_roll(Dinv, d))
+        beta = -_mm(U, df_roll(Dinv, -d))
+        alpha = df_where(idx >= d, alpha, 0.0)
+        beta = df_where(idx < M - d, beta, 0.0)
+        newD = D + _mm(alpha, df_roll(U, d)) + _mm(beta, df_roll(L, -d))
+        newL = _mm(alpha, df_roll(L, d))
+        newU = _mm(beta, df_roll(U, -d))
+        levels.append((alpha, beta, d))
+        L, D, U = newL, newD, newU
+        d *= 2
+    return PcrFactorDF([a for a, _, _ in levels], [b for _, b, _ in levels],
+                       _small_inv(D), [d for _, _, d in levels])
+
+
+def _pcr_solve(fact, b):
+    for alpha, beta, d in zip(fact.alphas, fact.betas, fact.ds):
+        b = b + _mv(alpha, df_roll(b, d)) + _mv(beta, df_roll(b, -d))
+    return _mv(fact.Dinv, b)
+
+
+# ---------------------------------------------------------------------------
+# chunked Thomas / SPIKE (large M)
+# ---------------------------------------------------------------------------
+
+class ChunkedFactorDF:
+    def __init__(self, fac, Dhinv, DU, W, V, red, C, Mc, M, s):
+        self.fac, self.Dhinv, self.DU = fac, Dhinv, DU
+        self.W, self.V, self.red = W, V, red
+        self.C, self.Mc, self.M, self.s = C, Mc, M, s
+
+
+jax.tree_util.register_pytree_node(
+    ChunkedFactorDF,
+    lambda f: ((f.fac, f.Dhinv, f.DU, f.W, f.V, f.red),
+               (f.C, f.Mc, f.M, f.s)),
+    lambda aux, leaves: ChunkedFactorDF(*leaves, *aux),
+)
+
+
+def _to_chunks(A, C, Mc):
+    return df_map(
+        lambda a: jnp.moveaxis(a.reshape(a.shape[:-1] + (C, Mc)), -1, 0), A
+    )
+
+
+def _from_chunks(A, M):
+    def f(a):
+        a = jnp.moveaxis(a, 0, -1)
+        a = a.reshape(a.shape[:-2] + (-1,))
+        return a[..., :M]
+
+    return df_map(f, A)
+
+
+_CHUNK_MIN_M = 512
+
+
+def _pick_chunks(M: int) -> int:
+    C = 1
+    while C * 64 < M and C < 8192:
+        C *= 2
+    return C
+
+
+def _chunked_factor(L, D, U, C):
+    s, M = L.shape[-3], L.shape[-1]
+    Mc = -(-M // C)
+    Mp = Mc * C
+    if Mp != M:
+        padn = Mp - M
+        eye = jnp.broadcast_to(jnp.eye(s, dtype=jnp.float32)[..., None],
+                               D.shape[:-1] + (padn,))
+        zero = jnp.zeros(L.shape[:-1] + (padn,), dtype=jnp.float32)
+        L = df_map(lambda a, z=zero: jnp.concatenate([a, z], axis=-1), L)
+        D = DF.wrap(jnp.concatenate([D.hi, eye], axis=-1),
+                    jnp.concatenate([D.lo, jnp.zeros_like(eye)], axis=-1))
+        U = df_map(lambda a, z=zero: jnp.concatenate([a, z], axis=-1), U)
+    Lc = _to_chunks(L, C, Mc)
+    Dc = _to_chunks(D, C, Mc)
+    Uc = _to_chunks(U, C, Mc)
+    Tl = Lc[0]
+    Tr = Uc[-1]
+    Lc = Lc.at[0].set(0.0)
+    Uc = Uc.at[-1].set(0.0)
+
+    zero_blk = df_zeros_like(Tl)
+    bW = df_zeros_like(Lc).at[0].set(Tl)
+    bV = df_zeros_like(Uc).at[-1].set(Tr)
+
+    def fwd(carry, inputs):
+        Dhinv_prev, U_prev, wt_prev = carry
+        L_j, D_j, U_j, bW_j = inputs
+        fac_j = _mm(L_j, Dhinv_prev)
+        Dhinv_j = _small_inv(D_j - _mm(fac_j, U_prev))
+        wt_j = bW_j - _mm(fac_j, wt_prev)
+        return (Dhinv_j, U_j, wt_j), (fac_j, Dhinv_j, wt_j)
+
+    init = (zero_blk, zero_blk, zero_blk)
+    _, (fac, Dhinv, wt) = jax.lax.scan(fwd, init, (Lc, Dc, Uc, bW))
+
+    def bwd(carry, inputs):
+        W_next, V_next = carry
+        Dhinv_j, U_j, wt_j, bV_j = inputs
+        DhU = _mm(Dhinv_j, U_j)
+        W_j = _mm(Dhinv_j, wt_j) - _mm(DhU, W_next)
+        V_j = _mm(Dhinv_j, bV_j) - _mm(DhU, V_next)
+        return (W_j, V_j), (W_j, V_j)
+
+    _, (Wsp, Vsp) = jax.lax.scan(bwd, (zero_blk, zero_blk),
+                                 (Dhinv, Uc, wt, bV), reverse=True)
+    DU = _mm(Dhinv, Uc)
+
+    red = _reduced_interface_factor(Wsp, Vsp, C, s)
+    return ChunkedFactorDF(fac, Dhinv, DU, Wsp, Vsp, red, C, Mc, M, s)
+
+
+def _reduced_interface_factor(W, V, C, s):
+    d2 = 2 * s
+    Lred = df_zeros(W.shape[1:-3] + (d2, d2, C))
+    Ured = df_zeros_like(Lred)
+    eye = jnp.broadcast_to(jnp.eye(d2, dtype=jnp.float32)[..., None],
+                           Lred.hi.shape)
+    Dred = DF.wrap(eye, jnp.zeros_like(eye))
+    Lred = Lred.at[..., :s, s:, :].set(W[0])
+    Lred = Lred.at[..., s:, s:, :].set(W[-1])
+    Ured = Ured.at[..., :s, :s, :].set(V[0])
+    Ured = Ured.at[..., s:, :s, :].set(V[-1])
+    Lred = Lred.at[..., 0].set(0.0)
+    Ured = Ured.at[..., C - 1].set(0.0)
+    return _pcr_factor(Lred, Dred, Ured)
+
+
+def _chunked_solve(fact, b):
+    C, Mc, M, s = fact.C, fact.Mc, fact.M, fact.s
+    Mp = Mc * C
+    if Mp != M:
+        pad = [(0, 0)] * (b.ndim - 1) + [(0, Mp - M)]
+        b = df_map(lambda a: jnp.pad(a, pad), b)
+    bc = df_map(
+        lambda a: jnp.moveaxis(a.reshape(a.shape[:-1] + (C, Mc)), -1, 0), b
+    )
+
+    fac, Dhinv, DU = fact.fac, fact.Dhinv, fact.DU
+
+    def fwd(bt_prev, inputs):
+        fac_j, b_j = inputs
+        bt_j = b_j - _mv(fac_j, bt_prev)
+        return bt_j, bt_j
+
+    zero_vec = df_zeros_like(bc[0])
+    _, bt = jax.lax.scan(fwd, zero_vec, (fac, bc))
+
+    def bwd(y_next, inputs):
+        Dhinv_j, DU_j, bt_j = inputs
+        y_j = _mv(Dhinv_j, bt_j) - _mv(DU_j, y_next)
+        return y_j, y_j
+
+    _, y = jax.lax.scan(bwd, zero_vec, (Dhinv, DU, bt), reverse=True)
+
+    yred = df_concat([y[0], y[-1]], axis=-2)
+    z = _pcr_solve(fact.red, yred)
+    ztop, zbot = z[..., :s, :], z[..., s:, :]
+    xm1_bot = df_concat(
+        [df_zeros_like(zbot[..., :1]), zbot[..., :-1]], axis=-1
+    )
+    xp1_top = df_concat(
+        [ztop[..., 1:], df_zeros_like(ztop[..., :1])], axis=-1
+    )
+    Wb, Vb = fact.W, fact.V
+    extra = y.ndim - 3
+    if extra > 0:
+        expand = (slice(None),) + (None,) * extra
+        Wb = Wb[expand]
+        Vb = Vb[expand]
+    x = y - _mv(Wb, xm1_bot) - _mv(Vb, xp1_top)
+    return _from_chunks(x, M)
+
+
+def _tri_factor(L, D, U):
+    M = L.shape[-1]
+    if M >= _CHUNK_MIN_M:
+        return _chunked_factor(L, D, U, _pick_chunks(M))
+    return _pcr_factor(L, D, U)
+
+
+def _tri_solve(fact, b):
+    if isinstance(fact, ChunkedFactorDF):
+        return _chunked_solve(fact, b)
+    return _pcr_solve(fact, b)
+
+
+# ---------------------------------------------------------------------------
+# public interface
+# ---------------------------------------------------------------------------
+
+def _dense_matvec(A, v):
+    """(..., m, n) DF dense @ (..., n) DF -> (..., m): tiny Woodbury blocks
+    (no MXU — unrolled elementwise, exactly like _mm)."""
+    m, n = A.shape[-2], A.shape[-1]
+    rows = []
+    for i in range(m):
+        acc = A[..., i, 0] * v[..., 0]
+        for q in range(1, n):
+            acc = acc + A[..., i, q] * v[..., q]
+        rows.append(acc)
+    return df_stack(rows, axis=-1)
+
+
+class BandedFactorizationDF:
+    """df64 twin of banded.BandedFactorization."""
+
+    def __init__(self, tri_fact, g, s, N, nvar, periodic, wood_Z=None,
+                 wood_cap_inv=None, halo=0):
+        self.tri_fact = tri_fact
+        self.g, self.s, self.N, self.nvar = g, s, N, nvar
+        self.periodic = periodic
+        self.wood_Z = wood_Z
+        self.wood_cap_inv = wood_cap_inv
+        self.halo = halo
+
+    def _tri_solve_nodes(self, rhs):
+        nvar, N, g, s = self.nvar, self.N, self.g, self.s
+        M = -(-N // g)
+        Np = M * g
+        b = rhs
+        if Np != N:
+            pad = [(0, 0)] * (b.ndim - 1) + [(0, Np - N)]
+            b = df_map(lambda a: jnp.pad(a, pad), b)
+        b = df_map(lambda a: a.reshape(a.shape[:-1] + (M, g)), b)
+        b = df_map(lambda a: jnp.moveaxis(a, -1, -3), b)
+        b = df_map(lambda a: a.reshape(a.shape[:-3] + (s, M)), b)
+        x = _tri_solve(self.tri_fact, b)
+        x = df_map(lambda a: a.reshape(a.shape[:-2] + (g, nvar, M)), x)
+        x = df_map(lambda a: jnp.moveaxis(a, -3, -1), x)
+        x = df_map(lambda a: a.reshape(a.shape[:-2] + (Np,))[..., :N], x)
+        return x
+
+    def solve(self, rhs):
+        y = self._tri_solve_nodes(rhs)
+        if not self.periodic or self.wood_Z is None:
+            return y
+        h, nvar, N = self.halo, self.nvar, self.N
+        P = nvar * h
+        y_end = df_map(
+            lambda a: jnp.moveaxis(a[..., N - h:], -2, -1).reshape(
+                a.shape[:-2] + (P,)), y)
+        y_top = df_map(
+            lambda a: jnp.moveaxis(a[..., :h], -2, -1).reshape(
+                a.shape[:-2] + (P,)), y)
+        vty = df_concat([y_end, y_top], axis=-1)
+        coef = _dense_matvec(self.wood_cap_inv, vty)
+        # corr[..., n, i] = sum_c Z[..., c, n, i] * coef[..., c]
+        Zc = self.wood_Z
+        n2p = Zc.shape[-3]
+        acc = Zc[..., 0, :, :] * coef[..., 0, None, None]
+        for c in range(1, n2p):
+            acc = acc + Zc[..., c, :, :] * coef[..., c, None, None]
+        return y - acc
+
+    __call__ = solve
+
+
+jax.tree_util.register_pytree_node(
+    BandedFactorizationDF,
+    lambda f: ((f.tri_fact, f.wood_Z, f.wood_cap_inv),
+               (f.g, f.s, f.N, f.nvar, f.periodic, f.halo)),
+    lambda aux, leaves: BandedFactorizationDF(
+        leaves[0], *aux[:5], leaves[1], leaves[2], aux[5]),
+)
+
+
+def _dense_inv(cap):
+    """Small dense df64 inverse via the recursive block-Schur on an
+    (..., n, n, 1) stack."""
+    capb = df_map(lambda a: a[..., None], cap)
+    inv = _small_inv(capb)
+    return df_map(lambda a: a[..., 0], inv)
+
+
+def _attach_woodbury(fact, T, B):
+    h, nvar, N = fact.halo, fact.nvar, fact.N
+    P = nvar * h
+    batch = T.shape[:-2]
+    cols = df_zeros(batch + (2 * P, nvar, N))
+    T_cols = df_map(
+        lambda a: jnp.moveaxis(
+            jnp.moveaxis(a, -1, -2).reshape(batch + (P, h, nvar)), -1, -2),
+        T)
+    cols = cols.at[..., :P, :, :h].set(T_cols)
+    B_cols = df_map(
+        lambda a: jnp.moveaxis(
+            jnp.moveaxis(a, -1, -2).reshape(batch + (P, h, nvar)), -1, -2),
+        B)
+    cols = cols.at[..., P:, :, N - h:].set(B_cols)
+    Z = fact._tri_solve_nodes(cols)
+    Z_end = df_map(
+        lambda a: jnp.moveaxis(a[..., N - h:], -2, -1).reshape(
+            batch + (2 * P, P)), Z)
+    Z_top = df_map(
+        lambda a: jnp.moveaxis(a[..., :h], -2, -1).reshape(
+            batch + (2 * P, P)), Z)
+    VtZ = df_concat([Z_end, Z_top], axis=-1)
+    eye = jnp.eye(2 * P, dtype=jnp.float32)
+    cap = df_map(lambda a: jnp.moveaxis(a, -1, -2), VtZ)
+    cap = DF.wrap(cap.hi + eye, cap.lo)  # I + Vt Z (eye is exact in f32)
+    fact.wood_Z = Z
+    fact.wood_cap_inv = _dense_inv(cap)
+    return fact
+
+
+def factor_banded_df(A_bands, periodic: bool) -> BandedFactorizationDF:
+    """Factor a DF block-banded matrix (..., window, nvar, nvar, N)."""
+    W, nvar, _, N = A_bands.shape[-4:]
+    h = W // 2
+    if N < 2 * max(h, 1):
+        raise ValueError(f"banded solver requires N >= {2*max(h,1)} (got {N})")
+    bands_tri, T, B = _extract_wrap(A_bands, periodic)
+    L, D, U, g, s, M, Np = _assemble_blocks(bands_tri)
+    tri = _tri_factor(L, D, U)
+    fact = BandedFactorizationDF(tri, g, s, N, nvar, periodic, halo=h)
+    if not periodic or h == 0:
+        return fact
+    return _attach_woodbury(fact, T, B)
+
+
+def axpy_bands_df(alpha, beta, J_bands):
+    """``alpha * I + beta * J`` on DF bands; alpha/beta may be DF scalars."""
+    W, nvar = J_bands.shape[-4], J_bands.shape[-3]
+    h = W // 2
+    A = J_bands * beta if isinstance(beta, DF) else J_bands * float(beta)
+    diag_idx = jnp.arange(nvar)
+    return A.at[..., h, diag_idx, diag_idx, :].add(alpha)
+
+
+def banded_matvec_df(bands, u, periodic: bool):
+    """DF banded matvec (residual checks / refinement)."""
+    W, nvar, _, N = bands.shape[-4:]
+    h = W // 2
+    out = None
+    for k in range(W):
+        off = k - h
+        if periodic:
+            u_shift = df_roll(u, -off) if off else u
+        else:
+            zero = df_zeros_like(u)
+            if off == 0:
+                u_shift = u
+            elif off > 0:
+                u_shift = zero.at[..., : N - off].set(u[..., off:])
+            else:
+                u_shift = zero.at[..., -off:].set(u[..., : N + off])
+        # term[..., m, i] = sum_n bands[..., k, m, n, i] * u_shift[..., n, i]
+        rows = []
+        for m in range(nvar):
+            acc = bands[..., k, m, 0, :] * u_shift[..., 0, :]
+            for n in range(1, nvar):
+                acc = acc + bands[..., k, m, n, :] * u_shift[..., n, :]
+            rows.append(acc)
+        term = df_stack(rows, axis=-2)
+        out = term if out is None else out + term
+    return out

@@ -116,7 +116,9 @@ def _roll_axis(x, d, axis):
     if os.environ.get("TRIFLOW_PALLAS_INTERPRET"):
         return jnp.roll(x, d, axis=axis)
     ax = axis % x.ndim
-    return pltpu.roll(x, d % x.shape[ax], ax)
+    # int32 shift: under jax_enable_x64 a bare Python int weak-types to
+    # i64, which tpu.dynamic_rotate rejects at Mosaic verification
+    return pltpu.roll(x, jnp.int32(d % x.shape[ax]), ax)
 
 
 def _roll_c(x, d, C8):

@@ -75,7 +75,7 @@ def _with_output_hook(stepper, vhook, per_member):
 
 
 def _per_member_adaptive_loop(vfixed, B, *, tol, safety, max_iter, dt_min,
-                              expo, compensated):
+                              expo, compensated, interpolate=False):
     """Masked per-member adaptive while_loop over a batched fixed step.
 
     ``vfixed(tb, u, helpers, pstack, x, dtb) -> (u2, h2, p2, x, errs)``
@@ -85,24 +85,46 @@ def _per_member_adaptive_loop(vfixed, B, *, tol, safety, max_iter, dt_min,
     status, nb)``: every member advances from t to t+dt on its OWN
     error-controlled internal step sequence; converged members freeze
     (masked updates) while stiff members keep retrying.  Shared by the
-    vmapped single-chip path and the dp x sp shard-mapped path."""
+    vmapped single-chip path and the dp x sp shard-mapped path.
+
+    ``interpolate=True`` is the reference's ``recompute_target=False``
+    (schemes.py:213-227) per member: internal steps never clamp to the
+    output time — each member overshoots and its state at ``t + dt`` is
+    linearly interpolated between its OWN bracketing internal steps."""
     def stepper(t, u, helpers, pstack, x, dt, internal_dt):
         next_t = t + dt
         eps = 1e-12 * jnp.maximum(jnp.abs(next_t), 1.0)
         dtype = u.dtype
         tb0 = jnp.full((B,), t, dtype=dtype)
-        dtb0 = jnp.minimum(jnp.broadcast_to(internal_dt, (B,)), dt)
+        idt_b = jnp.broadcast_to(internal_dt, (B,))
+        dtb0 = idt_b if interpolate else jnp.minimum(idt_b, dt)
+
+        def unpack(carry):
+            if interpolate:
+                return carry
+            tb, u, cu, h, p, dtb, nb, status = carry
+            return (tb, None, None, u, cu, h, p, dtb, nb, status)
+
+        def pack(tb, tpb, up, u, cu, h, p, dtb, nb, status):
+            if interpolate:
+                return (tb, tpb, up, u, cu, h, p, dtb, nb, status)
+            return (tb, u, cu, h, p, dtb, nb, status)
 
         def cond(carry):
-            tb, u, cu, h, p, dtb, nb, status = carry
+            tb = carry[0]
+            status = carry[-1]
             return jnp.any(tb < next_t - eps) & (status == 0)
 
         def body(carry):
-            tb, u, cu, h, p, dtb, nb, status = carry
+            tb, tpb, up, u, cu, h, p, dtb, nb, status = unpack(carry)
             active = tb < next_t - eps
-            remaining = next_t - tb
-            clamped = dtb >= remaining
-            dt_eff = jnp.minimum(dtb, remaining)
+            if interpolate:
+                clamped = jnp.zeros((B,), bool)
+                dt_eff = dtb
+            else:
+                remaining = next_t - tb
+                clamped = dtb >= remaining
+                dt_eff = jnp.minimum(dtb, remaining)
             u2, h2, p2, _x, errs = vfixed(tb, u, h, p, x, dt_eff)
             accept = (errs <= tol) & active
             err_safe = jnp.maximum(errs, jnp.finfo(dtype).tiny)
@@ -111,8 +133,12 @@ def _per_member_adaptive_loop(vfixed, B, *, tol, safety, max_iter, dt_min,
                 0.1 * dt_eff, 10.0 * dt_eff,
             )
             dtb = jnp.where(active & ~(accept & clamped), dt_next, dtb)
-            tb = jnp.where(accept, tb + dt_eff, tb)
             sel = accept[:, None, None]
+            if interpolate:
+                # remember each member's bracketing pre-step snapshot
+                tpb = jnp.where(accept, tb, tpb)
+                up = jnp.where(sel, u, up)
+            tb = jnp.where(accept, tb + dt_eff, tb)
             if compensated:
                 from ..ops.compensated import kahan_update
 
@@ -135,12 +161,18 @@ def _per_member_adaptive_loop(vfixed, B, *, tol, safety, max_iter, dt_min,
             still = tb < next_t - eps
             status = jnp.where(jnp.any(still & (dtb < dt_floor)),
                                jnp.int32(2), status)
-            return (tb, u, cu, h, p, dtb, nb, status)
+            return pack(tb, tpb, up, u, cu, h, p, dtb, nb, status)
 
-        carry = (tb0, u, jnp.zeros_like(u), helpers, pstack, dtb0,
-                 jnp.zeros((B,), jnp.int32), jnp.int32(0))
-        tb, u2, _cu, h2, p2, dtb, nb, status = jax.lax.while_loop(
-            cond, body, carry)
+        carry = pack(tb0, tb0, u, u, jnp.zeros_like(u), helpers, pstack,
+                     dtb0, jnp.zeros((B,), jnp.int32), jnp.int32(0))
+        (tb, tpb, up, u2, _cu, h2, p2, dtb, nb,
+         status) = unpack(jax.lax.while_loop(cond, body, carry))
+        if interpolate:
+            # member-local linear interpolation to next_t between each
+            # member's bracketing internal steps (tb >= next_t on exit)
+            span = jnp.maximum(tb - tpb, jnp.finfo(dtype).tiny)
+            w = jnp.clip((next_t - tpb) / span, 0.0, 1.0)[:, None, None]
+            u2 = up + w * (u2 - up)
         return next_t, u2, h2, p2, dtb, status, nb
 
     return stepper
@@ -328,7 +360,8 @@ class Ensemble:
                 safety=scheme._safety_factor, max_iter=scheme._max_iter,
                 dt_min=scheme._dt_min,
                 expo=getattr(scheme, "_err_exponent", 0.5),
-                compensated=scheme._compensated)
+                compensated=scheme._compensated,
+                interpolate=not getattr(scheme, "_recompute_target", True))
             if vhook is not None:
                 stepper = _with_output_hook(stepper, vhook, True)
             return jax.jit(self._finish_dp_sp(mesh, mesh_axis, space_axis,
@@ -346,7 +379,8 @@ class Ensemble:
                 batch_fixed, tol=scheme._tol, safety=scheme._safety_factor,
                 max_iter=scheme._max_iter, dt_min=scheme._dt_min,
                 compensated=scheme._compensated,
-                exponent=getattr(scheme, "_err_exponent", 0.5))
+                exponent=getattr(scheme, "_err_exponent", 0.5),
+                interpolate=not getattr(scheme, "_recompute_target", True))
 
             def stepper(t, u, helpers, pstack, x, dt, internal_dt):
                 (next_t, u2, h2, p2, _x, dt_i, _niter,
@@ -499,6 +533,12 @@ class Ensemble:
             # the merged folded core has no Kahan accumulation and no
             # residual-refinement hook: fall back to the vmapped paths,
             # which honor both, rather than silently dropping the options
+            return None
+        if self._adaptive and not getattr(scheme, "_recompute_target", True):
+            # recompute_target=False (reference schemes.py:213-227): the
+            # merged/megakernel controllers do not carry the bracketing
+            # pre-step state needed for output interpolation — fall back to
+            # the vmapped controllers, which honor it
             return None
         backend = self.model.backend
         picked = self._pick_group_plan(backend)
@@ -825,7 +865,8 @@ class Ensemble:
             batch_fixed, tol=scheme._tol, safety=scheme._safety_factor,
             max_iter=scheme._max_iter, dt_min=scheme._dt_min,
             compensated=scheme._compensated,
-            exponent=getattr(scheme, "_err_exponent", 0.5))
+            exponent=getattr(scheme, "_err_exponent", 0.5),
+            interpolate=not getattr(scheme, "_recompute_target", True))
 
         def stepper(t, u, helpers, pstack, x, dt, internal_dt):
             (next_t, u2, h2, p2, _x, dt_i, _niter,
@@ -850,7 +891,8 @@ class Ensemble:
             safety=self._scheme._safety_factor,
             max_iter=self._scheme._max_iter, dt_min=self._scheme._dt_min,
             expo=getattr(self._scheme, "_err_exponent", 0.5),
-            compensated=self._scheme._compensated)
+            compensated=self._scheme._compensated,
+            interpolate=not getattr(self._scheme, "_recompute_target", True))
 
 
     # ------------------------------------------------------------------

@@ -3,7 +3,8 @@ workload integrated through the public API with physics assertions and, where
 cheap, a tight-tolerance scipy-oracle trajectory match (the 1e-8 strategy of
 SURVEY.md §4)."""
 
-import pytestumpy as np
+import pytest
+import numpy as np
 
 from triflow_tpu import Model, Simulation, schemes
 

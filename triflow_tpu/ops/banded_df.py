@@ -41,29 +41,28 @@ def _stack_block(rows):
 
 
 def _mm(a, b):
-    m, k = a.shape[-3], a.shape[-2]
-    n = b.shape[-2]
-    out = []
-    for i in range(m):
-        row = []
-        for j in range(n):
-            acc = a[..., i, 0, :] * b[..., 0, j, :]
-            for q in range(1, k):
-                acc = acc + a[..., i, q, :] * b[..., q, j, :]
-            row.append(acc)
-        out.append(row)
-    return _stack_block(out)
+    """(..., m, k, M) @ (..., k, n, M) with ARRAY-level DF ops: one DF
+    multiply over the broadcast (m, k, n, M) product and k-1 DF adds over
+    the contraction axis — ~15x fewer HLO ops than per-element slicing,
+    with identical arithmetic (same ascending-q summation order)."""
+    k = a.shape[-2]
+    aa = a[..., :, :, None, :]      # (..., m, k, 1, M)
+    bb = b[..., None, :, :, :]      # (..., 1, k, n, M)
+    prod = aa * bb                  # (..., m, k, n, M)
+    acc = prod[..., :, 0, :, :]
+    for q in range(1, k):
+        acc = acc + prod[..., :, q, :, :]
+    return acc
 
 
 def _mv(a, b):
-    m, k = a.shape[-3], a.shape[-2]
-    out = []
-    for i in range(m):
-        acc = a[..., i, 0, :] * b[..., 0, :]
-        for q in range(1, k):
-            acc = acc + a[..., i, q, :] * b[..., q, :]
-        out.append(acc)
-    return df_stack(out, axis=-2)
+    """(..., m, k, M) @ (..., k, M) -> (..., m, M), array-level DF ops."""
+    k = a.shape[-2]
+    prod = a * b[..., None, :, :]   # (..., m, k, M)
+    acc = prod[..., :, 0, :]
+    for q in range(1, k):
+        acc = acc + prod[..., :, q, :]
+    return acc
 
 
 def _small_inv(D):
@@ -251,7 +250,13 @@ def _from_chunks(A, M):
     return df_map(f, A)
 
 
-_CHUNK_MIN_M = 512
+# df64 routes to the scan-based chunked path at almost every size: each
+# unrolled PCR level costs ~20x the HLO of its f32 twin (every scalar op is
+# an error-free-transform chain), and XLA compile time on the resulting
+# 25k-op modules is pathological.  The lax.scan sweeps keep the traced
+# graph at one-body size; the reduced interface PCR only ever sees C <= 8192
+# supernodes and stays shallow.
+_CHUNK_MIN_M = 16
 
 
 def _pick_chunks(M: int) -> int:
@@ -309,7 +314,11 @@ def _chunked_factor(L, D, U, C):
                                  (Dhinv, Uc, wt, bV), reverse=True)
     DU = _mm(Dhinv, Uc)
 
-    red = _reduced_interface_factor(Wsp, Vsp, C, s)
+    # C == 1: no cross-chunk couplings exist (Tl/Tr are the structural
+    # zeros of a non-cyclic system) — the interface solve is the identity;
+    # building it anyway would bottom every recursion in a fat unrolled
+    # 2s x 2s block inverse
+    red = _reduced_interface_factor(Wsp, Vsp, C, s) if C > 1 else None
     return ChunkedFactorDF(fac, Dhinv, DU, Wsp, Vsp, red, C, Mc, M, s)
 
 
@@ -326,7 +335,10 @@ def _reduced_interface_factor(W, V, C, s):
     Ured = Ured.at[..., s:, :s, :].set(V[-1])
     Lred = Lred.at[..., 0].set(0.0)
     Ured = Ured.at[..., C - 1].set(0.0)
-    return _pcr_factor(Lred, Dred, Ured)
+    # recurse through _tri_factor: a large interface system takes the
+    # scan-based chunked path again (unrolled PCR levels on 2s-blocks are
+    # the dominant trace-size term otherwise — ~60k HLO ops at C=16)
+    return _tri_factor(Lred, Dred, Ured)
 
 
 def _chunked_solve(fact, b):
@@ -356,8 +368,11 @@ def _chunked_solve(fact, b):
 
     _, y = jax.lax.scan(bwd, zero_vec, (Dhinv, DU, bt), reverse=True)
 
+    if fact.red is None:  # single chunk: no interface correction
+        return _from_chunks(y, M)
+
     yred = df_concat([y[0], y[-1]], axis=-2)
-    z = _pcr_solve(fact.red, yred)
+    z = _tri_solve(fact.red, yred)
     ztop, zbot = z[..., :s, :], z[..., s:, :]
     xm1_bot = df_concat(
         [df_zeros_like(zbot[..., :1]), zbot[..., :-1]], axis=-1
@@ -377,7 +392,10 @@ def _chunked_solve(fact, b):
 
 def _tri_factor(L, D, U):
     M = L.shape[-1]
-    if M >= _CHUNK_MIN_M:
+    if M >= _CHUNK_MIN_M or M > 1:
+        # scan-based even at small M: a sequential C=1 Thomas sweep traces
+        # its body ONCE, where unrolled PCR levels on wide recursion blocks
+        # (2s x 2s) dominate the whole module's HLO count
         return _chunked_factor(L, D, U, _pick_chunks(M))
     return _pcr_factor(L, D, U)
 
@@ -549,12 +567,6 @@ def banded_matvec_df(bands, u, periodic: bool):
             else:
                 u_shift = zero.at[..., -off:].set(u[..., : N + off])
         # term[..., m, i] = sum_n bands[..., k, m, n, i] * u_shift[..., n, i]
-        rows = []
-        for m in range(nvar):
-            acc = bands[..., k, m, 0, :] * u_shift[..., 0, :]
-            for n in range(1, nvar):
-                acc = acc + bands[..., k, m, n, :] * u_shift[..., n, :]
-            rows.append(acc)
-        term = df_stack(rows, axis=-2)
+        term = _mv(bands[..., k, :, :, :], u_shift)
         out = term if out is None else out + term
     return out

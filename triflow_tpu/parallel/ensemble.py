@@ -430,16 +430,50 @@ class Ensemble:
             self.x, NamedSharding(mesh, PartitionSpec(space_axis)))
         return stepper
 
-    # group-plan cost-model constants, fitted to measured v5e step times at
-    # B=1024 x N=1e5 (KS/RODASPR, 50-step scans) — see _pick_group_plan:
+    # group-plan cost-model rate constants, fitted to measured v5e step
+    # times at B=1024 x N=1e5 (KS/RODASPR, 50-step scans) — see
+    # _pick_group_plan:
     #   B_g  =    8     16     32     64    1024
     #   meas = 25.6   22.2   66.3   96.6    99.2   ms/step
     #   model= 25.3   22.1  128.0    ...   123.0   (ranking preserved)
+    # The rates are per-family FALLBACKS; the VMEM budget itself is derived
+    # from the runtime device (_vmem_budget_bytes) so a different chip
+    # generation re-plans instead of inheriting v5e's spill threshold.
     _GROUP_OVERHEAD_US = 70.0      # per-group launch-sequence overhead
     _SWEEP_ITER_US = 5.0           # per sequential sweep row-block iteration
     _CELL_RESIDENT_US = 1.1e-4     # ~9 G cells/s when the group fits VMEM
     _CELL_SPILLED_US = 1.15e-3     # ~0.9 G cells/s once buffers hit HBM
-    _VMEM_RESIDENT_BYTES = 100 << 20   # v5e VMEM is 128MB; leave headroom
+
+    #: physical VMEM per chip by device generation (MiB).  Sources: TPU
+    #: system documentation / the public scaling-book hardware tables —
+    #: v2/v3 cores carry 16 MiB of vector memory, v4 onward 128 MiB.
+    _VMEM_MIB_BY_KIND = {"v2": 16, "v3": 16, "v4": 128, "v5": 128,
+                         "v5 lite": 128, "v5p": 128, "v6": 128,
+                         "v6 lite": 128, "v6e": 128}
+
+    @classmethod
+    def _vmem_budget_bytes(cls):
+        """Usable-VMEM planning budget for the attached device: the
+        physical VMEM of the runtime device's generation minus ~22%
+        headroom for Mosaic scratch and double-buffering (100/128 is the
+        ratio the v5e constants were fitted with).  Unknown chips (and the
+        CPU interpret harness) keep the v5e-fitted fallback.
+
+        Env override: TRIFLOW_VMEM_BUDGET_MB."""
+        import os
+
+        forced = os.environ.get("TRIFLOW_VMEM_BUDGET_MB")
+        if forced:
+            return int(float(forced) * (1 << 20))
+        try:
+            kind = jax.devices()[0].device_kind.lower()
+        except RuntimeError:  # pragma: no cover - backend init failure
+            kind = ""
+        for key in sorted(cls._VMEM_MIB_BY_KIND, key=len, reverse=True):
+            if key in kind:
+                phys = cls._VMEM_MIB_BY_KIND[key] << 20
+                return int(phys * 100 / 128)
+        return 100 << 20  # fitted v5e fallback
 
     def _pick_group_plan(self, backend):
         """Choose the member-group size B_g (a divisor of B): each group of
@@ -468,6 +502,7 @@ class Ensemble:
         ws_rows = (2 + stages + 0 + len(backend.system.help_funcs)
                    + len(backend.system.pars))
         forced = int(os.environ.get("TRIFLOW_ENSEMBLE_BG", 0))
+        vmem_budget = self._vmem_budget_bytes()
         best = None
         # single-group whole-batch megakernel candidate (ops/megastep.py):
         # the launch-bound small-sweep regime — the whole parameter sweep
@@ -499,7 +534,7 @@ class Ensemble:
             groups = B // Bg
             ws = Bg * N * nvar * item * (ws_rows + plan.W * nvar)
             per_cell = (self._CELL_RESIDENT_US
-                        if ws <= self._VMEM_RESIDENT_BYTES
+                        if ws <= vmem_budget
                         else self._CELL_SPILLED_US)
             est_us = (groups * (self._GROUP_OVERHEAD_US
                                 + self._SWEEP_ITER_US * (plan.Mc // r))
@@ -509,6 +544,11 @@ class Ensemble:
                 best = (score, Bg, plan)
         if best is None:
             return None
+        logger.info(
+            "ensemble group plan: B=%d N=%d -> B_g=%d (%d groups), "
+            "estimated %.1f us/step, VMEM budget %.0f MiB",
+            B, N, best[1], B // best[1], best[0][0],
+            vmem_budget / (1 << 20))
         return best[1], best[2]
 
     def _build_merged(self):

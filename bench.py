@@ -54,7 +54,31 @@ def _enable_compile_cache():
 _enable_compile_cache()
 
 
-def _emit(metric, value, n_cells, steps, extra=None):
+#: sustained single-chip HBM bandwidth measured on this device for multi-GB
+#: streaming workloads (BASELINE.md: 650-750 GB/s); roofline percentages
+#: are quoted against the midpoint.
+_HBM_SUSTAINED_GBS = 700.0
+
+
+def _row_step_bytes(N, nvar, halo, stages, item=4):
+    """Estimated HBM bytes per implicit ROW step under a NO-VMEM-REUSE
+    model (every major array spills between kernels): fused J+factor write
+    (fac/Dhinv/DU = 3 s^2 M), the stencil read of the state, per-stage
+    factor re-read + rhs/k traffic, and the final stage combination.
+    Theta is the stages=1 case.  An upper bound on real traffic — when the
+    measured rate implies >100% of sustained HBM, the working set is
+    (partly) VMEM-resident; BASELINE.md §Roofline interprets each config."""
+    g = max(halo, 1)
+    s = nvar * g
+    M = -(-N // g)
+    factor = 3 * s * s * M                 # fac/Dhinv/DU written once
+    reads_u = (2 * halo + 1) * nvar * N    # stencil read of the state
+    per_stage = 3 * s * s * M + 3 * nvar * N  # factor re-read, rhs, k
+    combine = (stages + 2) * nvar * N      # k_i reads + u read/write
+    return item * (factor + reads_u + stages * per_stage + combine)
+
+
+def _emit(metric, value, n_cells, steps, extra=None, bytes_per_step=None):
     import jax
 
     rec = {
@@ -66,6 +90,12 @@ def _emit(metric, value, n_cells, steps, extra=None):
         "steps_timed": steps,
         "device": str(jax.devices()[0]),
     }
+    if bytes_per_step is not None:
+        # steps/s = cells/s / cells-per-step; GB/s implied by the byte model
+        steps_per_s = value / max(n_cells, 1)
+        gbs = bytes_per_step * steps_per_s / 1e9
+        rec["bytes_per_step"] = int(bytes_per_step)
+        rec["pct_roofline"] = round(100.0 * gbs / _HBM_SUSTAINED_GBS, 1)
     rec.update(extra or {})
     print(json.dumps(rec), flush=True)
 
@@ -179,7 +209,8 @@ def bench_ks():
     REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
     double = bool(int(os.environ.get("BENCH_DOUBLE", "0")))
     best = _ks_throughput(N, STEPS, REPEATS, double=double)
-    _emit("ks-implicit-cell-updates", best, N, STEPS, {"N": N})
+    _emit("ks-implicit-cell-updates", best, N, STEPS, {"N": N},
+          bytes_per_step=_row_step_bytes(N, 1, 2, 6))
 
 
 def bench_ks_scaling():
@@ -191,7 +222,8 @@ def bench_ks_scaling():
     for N, steps in ((10_000, 20_000), (100_000, 4_000)):
         best = _ks_throughput(N, steps, REPEATS)
         _emit("ks-scaling-cell-updates", best, N, steps,
-              {"N": N, "us_per_step": round(N / best * 1e6, 2)})
+              {"N": N, "us_per_step": round(N / best * 1e6, 2)},
+              bytes_per_step=_row_step_bytes(N, 1, 2, 6))
 
 
 def bench_ks_adaptive():
@@ -258,7 +290,8 @@ def bench_ks_adaptive():
         raise RuntimeError("non-finite state")
     _emit("ks-adaptive-cell-updates", best, N, attempts,
           {"N": N, "tol": 1e-3, "attempts_timed": attempts,
-           "out_steps": M})
+           "out_steps": M},
+          bytes_per_step=_row_step_bytes(N, 1, 2, 6))
 
 
 def bench_ensemble():
@@ -296,7 +329,8 @@ def bench_ensemble():
     if not bool(jnp.isfinite(ens.u).all()):
         raise RuntimeError("non-finite state")
     _emit("ks-ensemble-cell-updates", best, B * N, STEPS,
-          {"B": B, "N": N, "merged_fold": merged})
+          {"B": B, "N": N, "merged_fold": merged},
+          bytes_per_step=B * _row_step_bytes(N, 1, 2, 6))
 
 
 def bench_sweep():
@@ -346,7 +380,8 @@ def bench_sweep():
     _emit("ks-sweep-cell-updates", best, B * N, STEPS * CALLS,
           {"B": B, "N": N,
            "merged_fold": ens._merged_plan is not None,
-           "us_per_step": round(B * N / best * 1e6, 2)})
+           "us_per_step": round(B * N / best * 1e6, 2)},
+          bytes_per_step=B * _row_step_bytes(N, 1, 2, 6))
 
 
 def bench_burgers():
@@ -406,7 +441,8 @@ def bench_burgers():
                                 REPEATS, N * STEPS)
     if not bool(jnp.isfinite(u).all()):
         raise RuntimeError("non-finite state")
-    _emit("burgers-theta-cell-updates", best, N, STEPS, {"N": N})
+    _emit("burgers-theta-cell-updates", best, N, STEPS, {"N": N},
+          bytes_per_step=_row_step_bytes(N, 1, 1, 1))
 
 
 def bench_film():
@@ -456,7 +492,8 @@ def bench_film():
                                 REPEATS, 2 * N * STEPS)
     if not bool(jnp.isfinite(u).all()):
         raise RuntimeError("non-finite state")
-    _emit("film-rodaspr-cell-updates", best, 2 * N, STEPS, {"N": N})
+    _emit("film-rodaspr-cell-updates", best, 2 * N, STEPS, {"N": N},
+          bytes_per_step=_row_step_bytes(N, 2, 2, 6))
 
 
 def bench_advdiff():
@@ -503,7 +540,8 @@ def bench_advdiff():
                                 REPEATS, N * STEPS)
     if not bool(jnp.isfinite(u).all()):
         raise RuntimeError("non-finite state")
-    _emit("advdiff-theta-cell-updates", best, N, STEPS, {"N": N})
+    _emit("advdiff-theta-cell-updates", best, N, STEPS, {"N": N},
+          bytes_per_step=_row_step_bytes(N, 1, 1, 1))
 
 
 # The headline bench runs LAST so the final emitted line IS the headline

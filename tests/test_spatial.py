@@ -204,14 +204,55 @@ def test_sharded_time_stepping_wrapper_plan_gate(ks_model, monkeypatch):
         problem, u, jnp.asarray(x, ks_model.backend.dtype)) is None
 
 
-def test_sharded_refine_raises(ks_model):
-    """refine>0 has no sharded implementation — the scheme must say so
-    instead of silently returning unrefined solves."""
+def test_sharded_refine_matches_single_device(ks_model):
+    """VERDICT r2 item 5: sharded ``refine=1`` runs the residual matvec
+    through the halo-extended bands and corrects through the same SPIKE
+    factorization — it must match the single-device refine=1 step."""
+    N = 512
+    x, u, fields = _states(ks_model, N)
+    be = ks_model.backend
+    helpers = jnp.zeros((0, N), be.dtype)
+    pstack = jnp.zeros((0, N), be.dtype)
+
+    scheme = schemes.RODASPR(ks_model, time_stepping=False, tol=None,
+                             refine=1)
+    fixed = scheme.device_fixed_step(periodic=True)
+    u_ref, *_ = fixed(0.0, jnp.asarray(u, be.dtype), helpers, pstack,
+                      jnp.asarray(x, be.dtype), 0.02)
+
     sm = SpatialModel(ks_model, make_mesh(), periodic=True)
-    cls = sm.scheme_class(schemes.RODASPR)
-    scheme = cls(ks_model, time_stepping=False, tol=None, refine=1)
-    with pytest.raises(NotImplementedError, match="refine"):
-        scheme.device_fixed_step(periodic=True)
+    step = sm.row_stepper(schemes.RODASPR, refine=1)
+    _t2, u_sh = step(0.0, sm.shard(u), sm.shard(helpers), sm.shard(pstack),
+                     sm.shard(x), 0.02)
+    assert np.allclose(np.asarray(u_sh), np.asarray(u_ref),
+                       rtol=1e-8, atol=1e-9)
+
+
+def test_sharded_periodic_nonpow2_ndev(ks_model):
+    """VERDICT r2 item 3: a periodic ring on a NON-power-of-two device
+    count (6 — a real pod subshape) closes through the acyclic-PCR +
+    rank-2P Woodbury interface path (no dense inverse of the gathered
+    system) and matches the single device step to 1e-8."""
+    from triflow_tpu.parallel import spatial as spatial_mod
+
+    N = 510  # divides 6, not a power of two
+    x, u, fields = _states(ks_model, N)
+    be = ks_model.backend
+    helpers = jnp.zeros((0, N), be.dtype)
+    pstack = jnp.zeros((0, N), be.dtype)
+
+    scheme = schemes.RODASPR(ks_model, time_stepping=False, tol=None)
+    fixed = scheme.device_fixed_step(periodic=True)
+    u_ref, *_ = fixed(0.0, jnp.asarray(u, be.dtype), helpers, pstack,
+                      jnp.asarray(x, be.dtype), 0.02)
+
+    sm = SpatialModel(ks_model, make_mesh(6), periodic=True)
+    step = sm.row_stepper(schemes.RODASPR)
+    _t2, u_sh = step(0.0, sm.shard(u), sm.shard(helpers), sm.shard(pstack),
+                     sm.shard(x), 0.02)
+    assert np.allclose(np.asarray(u_sh), np.asarray(u_ref),
+                       rtol=1e-8, atol=1e-9)
+    assert len(u_sh.sharding.device_set) == 6
 
 
 def test_sharded_erk_matches_single_device():

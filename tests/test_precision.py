@@ -103,3 +103,147 @@ def test_f64_meets_1e8_target():
     mu = c * np.sin(om * dx) / dx
     exact = np.exp(lam * T) * np.cos(om * x - mu * T)
     assert np.abs(np.asarray(fields["U"]) - exact).max() < 1e-8
+
+
+# ---------------------------------------------------------------------------
+# df64 (double-float): the 1e-8 target at f32-hardware speed (VERDICT r2
+# item 1 — ops/df64.py / ops/banded_df.py)
+# ---------------------------------------------------------------------------
+
+def test_df64_arithmetic_under_jit():
+    """The error-free transforms must survive jit compilation: XLA:CPU's
+    LLVM lowering FMA-contracts multiplies into consumers, which silently
+    broke the classical Dekker product (7 decimal digits lost, measured);
+    the shipped two_prod assembles the product from exact 12-bit partials
+    and is rewrite-immune by construction.  This test pins that property —
+    it fails with ~1e-7 errors if two_prod regresses to a contraction-prone
+    form."""
+    import jax
+
+    from triflow_tpu.ops.df64 import DF, from_scalar
+
+    rng = np.random.RandomState(0)
+    k = DF.from_float64(0.05 * rng.randn(1, 96))
+    u = DF.from_float64(rng.randn(1, 96))
+    coeffs = (28.64361161, -3.07211773, -57.71212046, -0.99116566)
+
+    def combo(u, k):
+        out = u
+        for c in coeffs:
+            out = out + c * k
+        return out
+
+    ref = u.to_float64() + sum(c * k.to_float64() for c in coeffs)
+    jitted = jax.jit(combo)(u, k)
+    assert np.max(np.abs(jitted.to_float64() - ref)) < 1e-12
+    # division and sqrt too
+    q = jax.jit(lambda u, k: u / k)(u, k)
+    assert np.max(np.abs(q.to_float64() - u.to_float64() / k.to_float64())
+                  / np.abs(u.to_float64() / k.to_float64())) < 1e-13
+
+
+def test_df64_banded_solver_vs_scipy():
+    """df64 factor+solve matches the scipy f64 sparse solve to ~1e-13."""
+    import jax
+    import scipy.sparse.linalg as spla
+
+    from triflow_tpu.core.compiler import bands_to_csc
+    from triflow_tpu.ops import banded_df as bdf
+    from triflow_tpu.ops.df64 import DF
+
+    rng = np.random.RandomState(0)
+    for (W, nvar, N, periodic) in [(5, 1, 300, True), (5, 2, 200, False)]:
+        h = W // 2
+        bands64 = rng.randn(W, nvar, nvar, N) * 0.1
+        di = np.arange(nvar)
+        bands64[h, di, di, :] += 5.0
+        rhs64 = rng.randn(nvar, N)
+        A = bands_to_csc(bands64, periodic)
+        x_ref = spla.spsolve(A, np.moveaxis(rhs64, 0, 1).reshape(-1))
+        x_ref = x_ref.reshape(N, nvar).T
+
+        solve = jax.jit(
+            lambda b, r, p=periodic: bdf.factor_banded_df(b, p).solve(r))
+        x = solve(DF.from_float64(bands64), DF.from_float64(rhs64))
+        rel = np.max(np.abs(x.to_float64() - x_ref)) / np.max(np.abs(x_ref))
+        assert rel < 1e-12, (W, nvar, N, periodic, rel)
+
+
+@pytest.mark.slow
+def test_df64_meets_1e8_target_ks():
+    """VERDICT r2 item 1 'done' condition: a df64 KS trajectory matches the
+    CPU-f64 trajectory to <= 1e-8 (measured ~1e-13 over 40 steps) while
+    computing exclusively in paired-f32 arithmetic — reference-grade
+    precision (model.py:148 double=True) on f32-only hardware.  The same
+    pipeline measured 1.5e-13 vs CPU f64 on the REAL TPU chip (BASELINE.md
+    §Precision, round 3)."""
+    import jax
+
+    from triflow_tpu.ops.df64 import DF
+
+    N, steps = 96, 40
+    dt = 0.0625  # exactly representable in f32: both paths use the same dt
+    x = np.arange(N, dtype=np.float64) * 0.5
+    rng = np.random.RandomState(0)
+    u0 = (np.cos(2 * np.pi * np.arange(N) / N * 3)
+          + 0.1 * rng.randn(N))[None]
+
+    def run(double):
+        model = Model("-dxxU - dxxxxU - U * dxU", "U", double=double)
+        scheme = schemes.RODASPR(model, time_stepping=False, tol=None)
+        fixed = scheme.device_fixed_step(periodic=True)
+        if double == "df64":
+            u = DF.from_float64(u0)
+            h = DF.from_float64(np.zeros((0, N)))
+            p = DF.from_float64(np.zeros((0, N)))
+            xx = DF.from_float64(x)
+            step = jax.jit(
+                lambda t, u: fixed(t, u, h, p, xx, jnp.float32(dt))[0])
+            u_ = u
+            for i in range(steps):
+                u_ = step(jnp.float32(i * dt), u_)
+            return u_.to_float64()[0]
+        dtype = model.backend.dtype
+        u = jnp.asarray(u0, dtype)
+        h = jnp.zeros((0, N), dtype)
+        p = jnp.zeros((0, N), dtype)
+        xx = jnp.asarray(x, dtype)
+        step = jax.jit(
+            lambda t, u: fixed(t, u, h, p, xx, jnp.asarray(dt, dtype))[0])
+        u_ = u
+        for i in range(steps):
+            u_ = step(jnp.asarray(i * dt, dtype), u_)
+        return np.asarray(u_[0], np.float64)
+
+    ref = run(True)       # native f64 (x64 is on in the test harness)
+    vdf = run("df64")
+    err = np.max(np.abs(vdf - ref))
+    assert err < 1e-8, err      # the BASELINE target
+    assert err < 1e-11, err     # the measured headroom (documented 1e-13)
+
+
+def test_df64_simulation_end_to_end():
+    """Model(double='df64') through the full Simulation driver: host fields
+    stay float64, device stepping runs on (hi, lo) f32 pairs, and the
+    trajectory matches the exact discrete-operator solution to 1e-8 (same
+    workload as test_f64_meets_1e8_target)."""
+    from triflow_tpu import Simulation
+
+    model = Model("k * dxxU - c * dxU", "U", ["k", "c"], double="df64")
+    assert model.precision == "df64"
+    N = 256
+    x, dx = np.linspace(0, 10, N, endpoint=False, retstep=True)
+    om = 2 * np.pi / 10
+    U0 = np.cos(om * x)
+    k, c = 0.05, 0.3
+    T = 2.0
+    sim = Simulation(model, model.fields_template(x=x, U=U0),
+                     dict(periodic=True, k=k, c=c), dt=0.5, tmax=T,
+                     tol=1e-12)
+    for t, fields in sim:
+        pass
+    lam = k * (2 * np.cos(om * dx) - 2) / dx ** 2
+    mu = c * np.sin(om * dx) / dx
+    exact = np.exp(lam * T) * np.cos(om * x - mu * T)
+    assert np.asarray(fields["U"]).dtype == np.float64
+    assert np.abs(np.asarray(fields["U"]) - exact).max() < 1e-8

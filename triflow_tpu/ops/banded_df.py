@@ -258,6 +258,15 @@ def _from_chunks(A, M):
 # supernodes and stays shallow.
 _CHUNK_MIN_M = 16
 
+#: scan unroll factor for the sequential sweeps: the df64 sweep bodies are
+#: tiny (a handful of (s, s, C) DF block ops), so the per-iteration
+#: while_loop overhead dominates on TPU (~3000 sequential iterations per
+#: RODASPR step at N=1e6 measured 150 ms/step); unrolling fuses UNROLL
+#: bodies per while iteration.  Env override: TRIFLOW_DF64_UNROLL.
+import os as _os
+
+_SCAN_UNROLL = int(_os.environ.get("TRIFLOW_DF64_UNROLL", 8))
+
 
 def _pick_chunks(M: int) -> int:
     C = 1
@@ -300,7 +309,8 @@ def _chunked_factor(L, D, U, C):
         return (Dhinv_j, U_j, wt_j), (fac_j, Dhinv_j, wt_j)
 
     init = (zero_blk, zero_blk, zero_blk)
-    _, (fac, Dhinv, wt) = jax.lax.scan(fwd, init, (Lc, Dc, Uc, bW))
+    _, (fac, Dhinv, wt) = jax.lax.scan(fwd, init, (Lc, Dc, Uc, bW),
+                                       unroll=min(_SCAN_UNROLL, Mc))
 
     def bwd(carry, inputs):
         W_next, V_next = carry
@@ -311,7 +321,8 @@ def _chunked_factor(L, D, U, C):
         return (W_j, V_j), (W_j, V_j)
 
     _, (Wsp, Vsp) = jax.lax.scan(bwd, (zero_blk, zero_blk),
-                                 (Dhinv, Uc, wt, bV), reverse=True)
+                                 (Dhinv, Uc, wt, bV), reverse=True,
+                                 unroll=min(_SCAN_UNROLL, Mc))
     DU = _mm(Dhinv, Uc)
 
     # C == 1: no cross-chunk couplings exist (Tl/Tr are the structural
@@ -359,14 +370,16 @@ def _chunked_solve(fact, b):
         return bt_j, bt_j
 
     zero_vec = df_zeros_like(bc[0])
-    _, bt = jax.lax.scan(fwd, zero_vec, (fac, bc))
+    _, bt = jax.lax.scan(fwd, zero_vec, (fac, bc),
+                         unroll=min(_SCAN_UNROLL, Mc))
 
     def bwd(y_next, inputs):
         Dhinv_j, DU_j, bt_j = inputs
         y_j = _mv(Dhinv_j, bt_j) - _mv(DU_j, y_next)
         return y_j, y_j
 
-    _, y = jax.lax.scan(bwd, zero_vec, (Dhinv, DU, bt), reverse=True)
+    _, y = jax.lax.scan(bwd, zero_vec, (Dhinv, DU, bt), reverse=True,
+                        unroll=min(_SCAN_UNROLL, Mc))
 
     if fact.red is None:  # single chunk: no interface correction
         return _from_chunks(y, M)

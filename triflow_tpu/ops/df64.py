@@ -60,19 +60,49 @@ def quick_two_sum(a, b):
 
 
 def split(a):
-    """Veltkamp split: a == hi + lo with 12-bit halves (exact)."""
-    c = _SPLITTER * a
-    hi = c - (c - a)
+    """Split a == hi + lo into 12-bit-significand halves (exact).
+
+    NOT the arithmetic Veltkamp split ``c = 4097*a; hi = c - (c - a)``:
+    compiler FMA contraction (LLVM on the XLA CPU backend fuses the
+    mul-sub into an fma with no intermediate rounding) silently breaks it
+    under jit — measured 1-ulp hi corruption that cost the whole pipeline
+    ~7 decimal digits.  Mantissa bit-masking computes the same truncated
+    split and is immune to any floating-point rewrite: hi keeps the
+    implicit bit + the top 11 explicit mantissa bits (12 significand
+    bits), lo = a - hi is exact (same exponent, full cancellation) and
+    also fits 12 bits — so every cross product of two splits is exact in
+    f32 (24-bit significands)."""
+    ai = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(
+        ai & np.uint32(0xFFFFF000), jnp.float32
+    )
     return hi, a - hi
 
 
 def two_prod(a, b):
-    """p + e == a * b exactly, p = fl(a * b) (Dekker product)."""
-    p = a * b
+    """p + e == a * b (+O(eps^2 ab)) with |e| <= ulp(p)/2.
+
+    COMPILER-REWRITE-IMMUNE BY CONSTRUCTION — this is not the classical
+    Dekker product.  Dekker computes ``p = fl(a*b)`` and recovers the
+    rounding error from split partial products; that breaks under FMA
+    contraction (XLA:CPU lowers fusions through LLVM with ``contract``
+    fast-math flags, so a consumer's ``p + x`` becomes ``fma(a, b, x)``
+    with the UNROUNDED product — measured as a 7-decimal-digit loss; the
+    barriers that would prevent it are stripped by the CPU pipeline).
+
+    Here instead the product is assembled purely from EXACT partial
+    products of the 12-bit mantissa-masked halves (each fits f32's 24-bit
+    significand) combined with error-free additions: FMA-contracting an
+    exact multiply into an add is value-identical, and adds never
+    contract with adds — so no floating-point rewrite can change the
+    result on any backend."""
     a_hi, a_lo = split(a)
     b_hi, b_lo = split(b)
-    e = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
-    return p, e
+    t1 = a_hi * b_hi                     # all four partials are exact
+    s1, r1 = two_sum(a_hi * b_lo, a_lo * b_hi)
+    p, e1 = two_sum(t1, s1)
+    e = e1 + (r1 + a_lo * b_lo)
+    return quick_two_sum(p, e)
 
 
 # ---------------------------------------------------------------------------

@@ -80,3 +80,31 @@ def test_display_async_drains_final_frame(heat_model):
     d.close()
     assert seen  # worker drew at least the initial + some frames
     assert seen[-1] == 5.0  # the drained final frame is the last state
+
+
+def test_live_handle_updates_in_place(heat_model, monkeypatch):
+    """The notebook live view re-publishes the figure through its display
+    handle on every frame (the reference's DynamicMap/Pipe semantics,
+    displays.py:43-73)."""
+    from triflow_tpu.plugins.displays import Display
+
+    updates = []
+
+    class FakeHandle:
+        def update(self, fig):
+            updates.append(fig)
+
+    monkeypatch.setattr(Display, "_make_live_handle",
+                        lambda self, live: FakeHandle())
+    sim = make_simul(heat_model, tmax=3)
+    Display.display_fields(sim)
+    for _t, _fields in sim:
+        pass
+    # skeleton draw + the start-of-run emission + one per output step
+    assert len(updates) == sim.i + 2
+
+
+def test_live_disabled_outside_kernel(heat_model):
+    sim = make_simul(heat_model, tmax=2)
+    d = display_fields(sim, live=False)
+    assert d._handle is None

@@ -346,10 +346,13 @@ def _reduced_interface_factor(W, V, C, s):
     Ured = Ured.at[..., s:, :s, :].set(V[-1])
     Lred = Lred.at[..., 0].set(0.0)
     Ured = Ured.at[..., C - 1].set(0.0)
-    # recurse through _tri_factor: a large interface system takes the
-    # scan-based chunked path again (unrolled PCR levels on 2s-blocks are
-    # the dominant trace-size term otherwise — ~60k HLO ops at C=16)
-    return _tri_factor(Lred, Dred, Ured)
+    # UNROLLED PCR for the interface system: log2(C) wide vectorized
+    # levels with NO sequential loops.  Recursing through the scan-based
+    # chunked path instead costs hundreds of tiny while-iterations per
+    # solve (the dominant term of the 157 ms/step first cut at N=1e6 —
+    # per-iteration overhead, not compute); with the array-level _mm the
+    # unrolled levels stay ~2k HLO ops each.
+    return _pcr_factor(Lred, Dred, Ured)
 
 
 def _chunked_solve(fact, b):
@@ -385,7 +388,7 @@ def _chunked_solve(fact, b):
         return _from_chunks(y, M)
 
     yred = df_concat([y[0], y[-1]], axis=-2)
-    z = _tri_solve(fact.red, yred)
+    z = _pcr_solve(fact.red, yred)
     ztop, zbot = z[..., :s, :], z[..., s:, :]
     xm1_bot = df_concat(
         [df_zeros_like(zbot[..., :1]), zbot[..., :-1]], axis=-1

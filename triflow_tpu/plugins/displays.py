@@ -61,11 +61,18 @@ class Display:
         Pipe/DynamicMap, displays.py:43-73): a slow plot_function then
         drops intermediate frames instead of stalling the time loop.  Call
         :meth:`close` to drain the final frame.
+    live : bool or None — self-updating in-notebook view: the figure is
+        published through an IPython display handle and every redrawn frame
+        replaces it IN PLACE, so the notebook cell shows the simulation
+        progressing as the loop runs — the notebook-facing behavior of the
+        reference's ``DynamicMap``/``Pipe`` display (displays.py:43-73).
+        ``None`` (default) auto-enables inside an IPython kernel with a
+        display; ``False`` disables.
     """
 
     def __init__(self, skel_data, plot_function, on_disk=None,
                  on_disk_name="triflow_plot", fmt="png", every=1,
-                 asynchronous=False, **renderer_args):
+                 asynchronous=False, live=None, **renderer_args):
         self._plt = _load_matplotlib()
         self._plot_function = plot_function
         self.on_disk = on_disk
@@ -88,6 +95,7 @@ class Display:
         self._every = max(1, int(every))
         self._count = 0
         self._async = bool(asynchronous)
+        self._handle = self._make_live_handle(live)
         if on_disk:
             Path(on_disk).mkdir(parents=True, exist_ok=True)
         if self._async:
@@ -101,10 +109,33 @@ class Display:
             self._thread.start()
         self._draw(skel_data)
 
+    def _make_live_handle(self, live):
+        """IPython display handle for the self-updating notebook view
+        (None when disabled or outside a kernel)."""
+        if live is False:
+            return None
+        try:
+            from IPython import get_ipython
+            from IPython.display import display
+        except ImportError:
+            if live:
+                raise RuntimeError(
+                    "live=True requires IPython (run inside a notebook)")
+            return None
+        ip = get_ipython()
+        in_kernel = ip is not None and type(ip).__name__ == "ZMQInteractiveShell"
+        if live is None and not in_kernel:
+            return None  # auto mode: plain scripts get no live view
+        return display(self._fig, display_id=True)
+
     def _draw(self, simul):
         self._fig.clf()
         self._plot_function(simul, self._fig)
         self._fig.canvas.draw_idle()
+        if self._handle is not None:
+            # in-place replacement of the published figure: the notebook
+            # cell re-renders as the loop runs (DynamicMap/Pipe semantics)
+            self._handle.update(self._fig)
         if self.on_disk:
             target = Path(self.on_disk) / (
                 "%s_%i.%s" % (self._on_disk_name, simul.i, self._fmt)
@@ -158,7 +189,8 @@ class Display:
     # ------------------------------------------------------------- factories
     @staticmethod
     def display_fields(simul, keys="all", on_disk=None, on_disk_name=None,
-                       every=1, asynchronous=False, **renderer_args):
+                       every=1, asynchronous=False, live=None,
+                       **renderer_args):
         """One curve per 1D dependent/helper variable, redrawn per step
         (reference displays.py:89-113)."""
 
@@ -187,14 +219,14 @@ class Display:
         display = Display(simul, plot_function, on_disk=on_disk,
                           on_disk_name=on_disk_name or "triflow_plot",
                           every=every, asynchronous=asynchronous,
-                          **renderer_args)
+                          live=live, **renderer_args)
         display.connect(simul.stream)
         return display
 
     @staticmethod
     def display_probe(simul, function, xlabel=None, ylabel=None, buffer=None,
                       on_disk=None, on_disk_name=None, every=1,
-                      asynchronous=False, **renderer_args):
+                      asynchronous=False, live=None, **renderer_args):
         """Scalar time-series probe with a ring buffer
         (reference displays.py:115-142)."""
         history = deque([], buffer)
@@ -222,6 +254,6 @@ class Display:
         display = Display(simul, plot_function, on_disk=on_disk,
                           on_disk_name=on_disk_name or "triflow_probe",
                           every=every, asynchronous=asynchronous,
-                          **renderer_args)
+                          live=live, **renderer_args)
         display.connect(simul.stream)
         return display

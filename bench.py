@@ -20,9 +20,13 @@ config.  The other configs, in emission order:
    (dispatch-bound; measures the scan-chunked small-problem path).
 8. config 3 headline — KS N=1e6 (LAST; ``vs_baseline`` = value / 1e9).
 
+A df64 precision point (double-float KS at N=1e6, ``vs_baseline`` =
+value / 1e7 — the 10x-over-emulated-f64 target) runs just before the
+headline.
+
 Environment knobs: BENCH_N, BENCH_STEPS, BENCH_REPEATS, BENCH_ONLY
 (comma-separated subset of {ks,ks_scaling,ks_adaptive,ensemble,burgers,
-film,advdiff,sweep}).
+film,advdiff,sweep,df64,ks}).
 """
 
 import json
@@ -384,6 +388,67 @@ def bench_sweep():
           bytes_per_step=B * _row_step_bytes(N, 1, 2, 6))
 
 
+def bench_df64():
+    """Precision point: KS RODASPR fixed steps in df64 (double-float
+    (hi, lo) f32 pairs — ops/df64.py) at N=1e6.  Reference-grade accuracy
+    (<= 1e-8 trajectory match vs CPU f64; measured ~1.5e-13 over 30 steps
+    on this chip) at a rate to compare against the ~1.0e6 cells/s of
+    XLA's software-emulated f64 (BASELINE.md §Precision).  vs_baseline
+    here = value / 1e7 (the 10x-over-emulated-f64 target)."""
+    import jax
+    import jax.numpy as jnp
+
+    from triflow_tpu import Model, schemes
+    from triflow_tpu.ops.df64 import DF
+
+    N = int(os.environ.get("BENCH_DF64_N", 1_000_000))
+    STEPS = int(os.environ.get("BENCH_DF64_STEPS", 20))
+    REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
+    DTX = 0.0625
+
+    model = Model("-dxxU - dxxxxU - U * dxU", "U", double="df64")
+    scheme = schemes.RODASPR(model, time_stepping=False, tol=None)
+    fixed = scheme.device_fixed_step(periodic=True)
+
+    x = np.arange(N, dtype=np.float64) * 0.5
+    rng = np.random.RandomState(0)
+    u0 = (np.cos(2 * np.pi * np.arange(N) / N * 10)
+          + 0.1 * rng.randn(N))[None]
+    u = DF.from_float64(u0)
+    h = DF.from_float64(np.zeros((0, N)))
+    p = DF.from_float64(np.zeros((0, N)))
+    xx = DF.from_float64(x)
+
+    def chain(carry, _):
+        t, u_ = carry
+        u2, *_ = fixed(t, u_, h, p, xx, jnp.float32(DTX))
+        return (t + DTX, u2), ()
+
+    @jax.jit
+    def run_chunk(t, u_):
+        return jax.lax.scan(chain, (t, u_), length=STEPS)[0]
+
+    t, u = run_chunk(jnp.float32(0.0), u)      # warmup / compile
+    jax.block_until_ready(u.hi)
+    best = 0.0
+    for _ in range(REPEATS):
+        start = time.perf_counter()
+        t, u = run_chunk(t, u)
+        jax.block_until_ready(u.hi)
+        best = max(best, N * STEPS / (time.perf_counter() - start))
+    if not bool(jnp.isfinite(u.hi).all()):
+        raise RuntimeError("non-finite state")
+    rec = {
+        "metric": "ks-df64-cell-updates", "value": round(best, 1),
+        "unit": "cells/s", "vs_baseline": round(best / 1e7, 4),
+        "cells": N, "steps_timed": STEPS, "N": N,
+        "device": str(jax.devices()[0]),
+        "precision": "df64 (~1e-13 vs CPU f64)",
+        "vs_emulated_f64": round(best / 1.0e6, 1),
+    }
+    print(json.dumps(rec), flush=True)
+
+
 def bench_burgers():
     """Config 2: Burgers at N=1e6, backward-Euler (Theta, linearized) —
     banded J eval + fused factor + solve per step."""
@@ -554,6 +619,7 @@ BENCHES = [
     ("burgers", bench_burgers),
     ("film", bench_film),
     ("advdiff", bench_advdiff),
+    ("df64", bench_df64),
     ("ks", bench_ks),
 ]
 

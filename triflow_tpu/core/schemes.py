@@ -473,7 +473,8 @@ def _row_fixed_step_folded(backend, plan, tables, s,
 
 
 def _adaptive_embedded_loop(fixed_step, *, tol, safety, max_iter, dt_min,
-                            compensated, exponent=0.5, interpolate=False):
+                            compensated, exponent=0.5, interpolate=False,
+                            precise_time=False):
     """Generic embedded-error adaptive retry loop over a fixed step.
 
     ``fixed_step(t, u, helpers, pstack, x, dt) -> (u', h', p', x', err)``
@@ -494,7 +495,14 @@ def _adaptive_embedded_loop(fixed_step, *, tol, safety, max_iter, dt_min,
     output time — the loop overshoots and the state at ``t + dt`` is
     linearly interpolated between the bracketing internal steps, so the
     adapted dt is undisturbed by the output grid (O(dt_i^2) interpolation
-    error, the documented tradeoff)."""
+    error, the documented tradeoff).
+
+    ``precise_time=True`` (the df64 path) carries the internal clock as a
+    compensated (hi, lo) f32 pair: the plain f32 accumulation quantizes
+    each accepted step by ~ulp(t)/2, which puts an irreducible ~1e-7
+    time-grid error on the trajectory — far above the df64 state's
+    ~1e-13.  The host clock is f64 either way; only the within-output-step
+    accumulation needs the pair."""
 
     def unpack(carry):
         # the bracketing (tp, up) pre-step snapshot rides in the carry ONLY
@@ -510,6 +518,37 @@ def _adaptive_embedded_loop(fixed_step, *, tol, safety, max_iter, dt_min,
             return (t_, tp, up, u_, cu, h, p, x_, dt_i, niter, status)
         return (t_, u_, cu, h, p, x_, dt_i, niter, status)
 
+    # internal-clock representation: scalar f32, or a compensated
+    # (hi, lo) pair under precise_time
+    if precise_time:
+        def t_make(t):
+            return (t, jnp.zeros_like(t))
+
+        def t_rem(t_, next_t):
+            return (next_t - t_[0]) - t_[1]
+
+        def t_adv(t_, dt_eff, accept):
+            from ..ops.df64 import add_f
+
+            th2, tl2 = add_f(t_[0], t_[1], dt_eff)
+            return (jnp.where(accept, th2, t_[0]),
+                    jnp.where(accept, tl2, t_[1]))
+
+        def t_val(t_):
+            return t_[0] + t_[1]
+    else:
+        def t_make(t):
+            return t
+
+        def t_rem(t_, next_t):
+            return next_t - t_
+
+        def t_adv(t_, dt_eff, accept):
+            return jnp.where(accept, t_ + dt_eff, t_)
+
+        def t_val(t_):
+            return t_
+
     def loop(t, u, helpers, pstack, x, dt, internal_dt):
         next_t = t + dt
         eps = 1e-12 * jnp.maximum(jnp.abs(next_t), 1.0)
@@ -517,7 +556,7 @@ def _adaptive_embedded_loop(fixed_step, *, tol, safety, max_iter, dt_min,
         def cond(carry):
             t_ = carry[0]
             status = carry[-1]
-            return (t_ < next_t - eps) & (status == 0)
+            return (t_rem(t_, next_t) > eps) & (status == 0)
 
         def body(carry):
             t_, tp, up, u_, cu, h, p, x_, dt_i, niter, status = unpack(carry)
@@ -525,15 +564,15 @@ def _adaptive_embedded_loop(fixed_step, *, tol, safety, max_iter, dt_min,
                 clamped = jnp.full((), False)
                 dt_eff = dt_i
             else:
-                remaining = next_t - t_
+                remaining = t_rem(t_, next_t)
                 clamped = dt_i >= remaining
                 dt_eff = jnp.minimum(dt_i, remaining)
-            u2, h2, p2, x2, err = fixed_step(t_, u_, h, p, x_, dt_eff)
+            u2, h2, p2, x2, err = fixed_step(t_val(t_), u_, h, p, x_, dt_eff)
             accept = err <= tol
             if interpolate:
                 # remember the bracketing pre-step state for the final
                 # interpolation to next_t
-                tp = jnp.where(accept, t_, tp)
+                tp = jnp.where(accept, t_val(t_), tp)
                 up = _tree_where(accept, u_, up)
             # controller: dt <- safety * dt * (tol / err)**exponent
             # (reference schemes.py:203-204), with growth capped at 10x
@@ -550,7 +589,7 @@ def _adaptive_embedded_loop(fixed_step, *, tol, safety, max_iter, dt_min,
             # inf/NaN stage must retry at a smaller dt, not jump to zero
             dt_next = jnp.clip(dt_next, 0.1 * dt_eff, 10.0 * dt_eff)
             dt_i_new = jnp.where(accept & clamped, dt_i, dt_next)
-            t_ = jnp.where(accept, t_ + dt_eff, t_)
+            t_ = t_adv(t_, dt_eff, accept)
             if compensated:
                 from ..ops.compensated import kahan_update
 
@@ -586,8 +625,8 @@ def _adaptive_embedded_loop(fixed_step, *, tol, safety, max_iter, dt_min,
         # in interpolate mode the whole point is that the internal dt is
         # NOT disturbed by the output cadence — never clamp it to dt
         dt0 = internal_dt if interpolate else jnp.minimum(internal_dt, dt)
-        carry = pack(t, t, u, u, _zeros_like_tree(u), helpers, pstack, x,
-                     dt0, jnp.int32(0), jnp.int32(0))
+        carry = pack(t_make(t), t, u, u, _zeros_like_tree(u), helpers,
+                     pstack, x, dt0, jnp.int32(0), jnp.int32(0))
         import os as _os
 
         chunk = int(_os.environ.get("TRIFLOW_ADAPT_SCAN", 0))
@@ -599,7 +638,7 @@ def _adaptive_embedded_loop(fixed_step, *, tol, safety, max_iter, dt_min,
             # masked wasted attempts per output step.  Decisions are
             # identical, so the trajectory is bit-equal to the plain loop.
             def body_scan(c, _):
-                live = (c[0] < next_t - eps) & (c[-1] == 0)
+                live = (t_rem(c[0], next_t) > eps) & (c[-1] == 0)
                 new = body(c)
                 c = jax.tree_util.tree_map(
                     lambda o, nw: jnp.where(live, nw, o), c, new)
@@ -613,10 +652,11 @@ def _adaptive_embedded_loop(fixed_step, *, tol, safety, max_iter, dt_min,
             final = jax.lax.while_loop(cond, body, carry)
         (t2, tp, up, u2, _cu, h2, p2, x2, dt_i, niter,
          status) = unpack(final)
+        t2 = t_val(t2)
         if interpolate:
             # state at next_t from the bracketing internal steps
             # (reference schemes.py:213-227); t2 >= next_t on a clean exit
-            span = jnp.maximum(t2 - tp, jnp.finfo(u.dtype).tiny)
+            span = jnp.maximum(t2 - tp, jnp.finfo(x.dtype).tiny)
             w = jnp.clip((next_t - tp) / span, 0.0, 1.0)
             u2 = up + w * (u2 - up)
         return next_t, u2, h2, p2, x2, dt_i, niter, status
@@ -848,7 +888,7 @@ class ROW_general(_SchemeBase):
         generic_loop = _adaptive_embedded_loop(
             fixed_step, tol=tol, safety=safety, max_iter=max_iter,
             dt_min=dt_min, compensated=compensated, exponent=0.5,
-            interpolate=interp)
+            interpolate=interp, precise_time=self._df64)
 
         def stepper(t, u, helpers, pstack, x, dt, internal_dt):
             next_t = t + dt

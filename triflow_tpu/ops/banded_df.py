@@ -125,7 +125,14 @@ def _extract_wrap(bands, periodic: bool):
     return bands, T, B
 
 
-def _assemble_blocks(bands):
+def _assemble_blocks(bands, keep_ring=False):
+    """Supernode block-tridiagonal (L, D, U) from the bands.  With
+    ``keep_ring=True`` (periodic, N divisible by g) the wrap entries of
+    the boundary supernodes are KEPT as L[0] / U[M-1] ring couplings —
+    the block-Toeplitz structure maps column (i+delta) mod N to exactly
+    the right local position of the opposite supernode — so the periodic
+    closure rides the chunk-interface ring (cyclic PCR) with no Woodbury
+    correction at all."""
     W, nvar, _, N = bands.shape[-4:]
     h = W // 2
     g = max(h, 1)
@@ -168,8 +175,9 @@ def _assemble_blocks(bands):
     L = block(-g)
     D = block(0)
     U = block(g)
-    L = L.at[..., 0].set(0.0)
-    U = U.at[..., M - 1].set(0.0)
+    if not keep_ring:
+        L = L.at[..., 0].set(0.0)
+        U = U.at[..., M - 1].set(0.0)
     return L, D, U, g, s, M, Np
 
 
@@ -189,8 +197,14 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _pcr_factor(L, D, U):
+def _pcr_factor(L, D, U, cyclic=False):
+    """Unrolled PCR levels; ``cyclic=True`` (power-of-two M) keeps the
+    ring couplings — rolls wrap naturally and the leftover distance-M
+    couplings ARE the diagonal, absorbed into the final block inverse
+    (same construction as banded._pcr_factor_xla)."""
     M = L.shape[-1]
+    if cyclic and M & (M - 1):
+        raise ValueError("cyclic PCR requires power-of-two M")
     idx = jnp.arange(M)
     levels = []
     d = 1
@@ -198,14 +212,17 @@ def _pcr_factor(L, D, U):
         Dinv = _small_inv(D)
         alpha = -_mm(L, df_roll(Dinv, d))
         beta = -_mm(U, df_roll(Dinv, -d))
-        alpha = df_where(idx >= d, alpha, 0.0)
-        beta = df_where(idx < M - d, beta, 0.0)
+        if not cyclic:
+            alpha = df_where(idx >= d, alpha, 0.0)
+            beta = df_where(idx < M - d, beta, 0.0)
         newD = D + _mm(alpha, df_roll(U, d)) + _mm(beta, df_roll(L, -d))
         newL = _mm(alpha, df_roll(L, d))
         newU = _mm(beta, df_roll(U, -d))
         levels.append((alpha, beta, d))
         L, D, U = newL, newD, newU
         d *= 2
+    if cyclic:
+        D = D + L + U
     return PcrFactorDF([a for a, _, _ in levels], [b for _, b, _ in levels],
                        _small_inv(D), [d for _, _, d in levels])
 
@@ -221,17 +238,49 @@ def _pcr_solve(fact, b):
 # ---------------------------------------------------------------------------
 
 class ChunkedFactorDF:
-    def __init__(self, fac, Dhinv, DU, W, V, red, C, Mc, M, s):
+    def __init__(self, fac, Dhinv, DU, W, V, red, C, Mc, M, s,
+                 cyclic=False):
         self.fac, self.Dhinv, self.DU = fac, Dhinv, DU
         self.W, self.V, self.red = W, V, red
         self.C, self.Mc, self.M, self.s = C, Mc, M, s
+        self.cyclic = cyclic
 
 
 jax.tree_util.register_pytree_node(
     ChunkedFactorDF,
     lambda f: ((f.fac, f.Dhinv, f.DU, f.W, f.V, f.red),
-               (f.C, f.Mc, f.M, f.s)),
+               (f.C, f.Mc, f.M, f.s, f.cyclic)),
     lambda aux, leaves: ChunkedFactorDF(*leaves, *aux),
+)
+
+
+class RingReducedDF:
+    """Reduced chunk-interface RING (periodic, any C): acyclic PCR of the
+    peeled chain + a rank-2s Woodbury correction — the df64 twin of
+    parallel/spatial._InterfaceWoodbury, here applied at the WITHIN-chip
+    chunk level so the periodic closure never needs full-size spike
+    columns (the former Woodbury attach cost ~4 full tri-solves per
+    factorization — ~40% of the df64 step at N=1e6)."""
+
+    def __init__(self, fact, Z, cap_inv, s, C):
+        self.fact, self.Z, self.cap_inv = fact, Z, cap_inv
+        self.s, self.C = s, C
+
+    def solve(self, yred):
+        s, C = self.s, self.C
+        y = _pcr_solve(self.fact, yred)                # (..., 2s, C)
+        vty = df_concat([y[..., s:, C - 1], y[..., :s, 0]], axis=-1)
+        coef = _dense_matvec(self.cap_inv, vty)        # (..., 2s)
+        corr = self.Z[..., 0, :, :] * coef[..., 0, None, None]
+        for c in range(1, 2 * s):
+            corr = corr + self.Z[..., c, :, :] * coef[..., c, None, None]
+        return y - corr
+
+
+jax.tree_util.register_pytree_node(
+    RingReducedDF,
+    lambda f: ((f.fact, f.Z, f.cap_inv), (f.s, f.C)),
+    lambda aux, leaves: RingReducedDF(*leaves, *aux),
 )
 
 
@@ -275,10 +324,31 @@ def _pick_chunks(M: int) -> int:
     return C
 
 
-def _chunked_factor(L, D, U, C):
+def _pick_chunks_divisor(M: int, target_depth: int = 32):
+    """Divisor C of M with sweep depth Mc = M/C nearest target_depth
+    (the ring-native cyclic path needs C | M so no identity padding
+    breaks the ring).  None when no divisor gives 2 <= Mc and C >= 8."""
+    best = None
+    d = 1
+    while d * d <= M:
+        if M % d == 0:
+            for C in (d, M // d):
+                Mc = M // C
+                if Mc < 2 or C < 8 or C > 65536:
+                    continue
+                key = abs(Mc - target_depth)
+                if best is None or key < best[0]:
+                    best = (key, C)
+        d += 1
+    return None if best is None else best[1]
+
+
+def _chunked_factor(L, D, U, C, cyclic=False):
     s, M = L.shape[-3], L.shape[-1]
     Mc = -(-M // C)
     Mp = Mc * C
+    if cyclic and Mp != M:
+        raise ValueError("cyclic chunked factor requires C | M")
     if Mp != M:
         padn = Mp - M
         eye = jnp.broadcast_to(jnp.eye(s, dtype=jnp.float32)[..., None],
@@ -329,11 +399,13 @@ def _chunked_factor(L, D, U, C):
     # zeros of a non-cyclic system) — the interface solve is the identity;
     # building it anyway would bottom every recursion in a fat unrolled
     # 2s x 2s block inverse
-    red = _reduced_interface_factor(Wsp, Vsp, C, s) if C > 1 else None
-    return ChunkedFactorDF(fac, Dhinv, DU, Wsp, Vsp, red, C, Mc, M, s)
+    red = (_reduced_interface_factor(Wsp, Vsp, C, s, cyclic)
+           if C > 1 else None)
+    return ChunkedFactorDF(fac, Dhinv, DU, Wsp, Vsp, red, C, Mc, M, s,
+                           cyclic=cyclic)
 
 
-def _reduced_interface_factor(W, V, C, s):
+def _reduced_interface_factor(W, V, C, s, cyclic=False):
     d2 = 2 * s
     Lred = df_zeros(W.shape[1:-3] + (d2, d2, C))
     Ured = df_zeros_like(Lred)
@@ -344,6 +416,31 @@ def _reduced_interface_factor(W, V, C, s):
     Lred = Lred.at[..., s:, s:, :].set(W[-1])
     Ured = Ured.at[..., :s, :s, :].set(V[0])
     Ured = Ured.at[..., s:, :s, :].set(V[-1])
+    if cyclic:
+        if C & (C - 1) == 0:
+            # power-of-two ring: cyclic PCR, no correction at all
+            return _pcr_factor(Lred, Dred, Ured, cyclic=True)
+        # peel the two ring-wrap blocks (rank s each), factor the acyclic
+        # chain, reinstate via a rank-2s Woodbury on the REDUCED system
+        Lw = df_concat([W[0], W[-1]], axis=-3)      # (..., 2s, s, C) slice 0
+        Vw = df_concat([V[0], V[-1]], axis=-3)      # (..., 2s, s, C) slice -1
+        Lw0 = Lw[..., :, :, 0]                      # (..., 2s, s)
+        VwC = Vw[..., :, :, C - 1]
+        Lred = Lred.at[..., 0].set(0.0)
+        Ured = Ured.at[..., C - 1].set(0.0)
+        fact = _pcr_factor(Lred, Dred, Ured)
+        cols = df_zeros(Lred.shape[:-3] + (d2, d2, C))
+        cols = cols.at[..., :s, :, 0].set(
+            df_map(lambda a: jnp.swapaxes(a, -1, -2), Lw0))
+        cols = cols.at[..., s:, :, C - 1].set(
+            df_map(lambda a: jnp.swapaxes(a, -1, -2), VwC))
+        Z = _pcr_solve(fact, cols)                  # (..., 2s, d2, C)
+        VtZ = df_concat([Z[..., :, s:, C - 1], Z[..., :, :s, 0]],
+                        axis=-1)                    # (..., 2s, 2s) [c, r]
+        cap = df_map(lambda a: jnp.swapaxes(a, -1, -2), VtZ)
+        eye2 = jnp.eye(d2, dtype=jnp.float32)
+        cap = DF.wrap(cap.hi + eye2, cap.lo)
+        return RingReducedDF(fact, Z, _dense_inv(cap), s, C)
     Lred = Lred.at[..., 0].set(0.0)
     Ured = Ured.at[..., C - 1].set(0.0)
     # UNROLLED PCR for the interface system: log2(C) wide vectorized
@@ -388,14 +485,21 @@ def _chunked_solve(fact, b):
         return _from_chunks(y, M)
 
     yred = df_concat([y[0], y[-1]], axis=-2)
-    z = _pcr_solve(fact.red, yred)
+    if isinstance(fact.red, RingReducedDF):
+        z = fact.red.solve(yred)
+    else:
+        z = _pcr_solve(fact.red, yred)
     ztop, zbot = z[..., :s, :], z[..., s:, :]
-    xm1_bot = df_concat(
-        [df_zeros_like(zbot[..., :1]), zbot[..., :-1]], axis=-1
-    )
-    xp1_top = df_concat(
-        [ztop[..., 1:], df_zeros_like(ztop[..., :1])], axis=-1
-    )
+    if fact.cyclic:
+        xm1_bot = df_roll(zbot, 1)
+        xp1_top = df_roll(ztop, -1)
+    else:
+        xm1_bot = df_concat(
+            [df_zeros_like(zbot[..., :1]), zbot[..., :-1]], axis=-1
+        )
+        xp1_top = df_concat(
+            [ztop[..., 1:], df_zeros_like(ztop[..., :1])], axis=-1
+        )
     Wb, Vb = fact.W, fact.V
     extra = y.ndim - 3
     if extra > 0:
@@ -542,11 +646,27 @@ def _attach_woodbury(fact, T, B):
 
 
 def factor_banded_df(A_bands, periodic: bool) -> BandedFactorizationDF:
-    """Factor a DF block-banded matrix (..., window, nvar, nvar, N)."""
+    """Factor a DF block-banded matrix (..., window, nvar, nvar, N).
+
+    Periodic systems whose grid folds cleanly (g | N, a usable divisor
+    chunk count) take the RING-NATIVE path: the wrap entries stay as
+    supernode ring couplings and close at the reduced chunk-interface
+    level — no full-size Woodbury spike columns (which cost ~4 extra
+    tri-solves per factorization, measured ~40% of the df64 RODASPR step
+    at N=1e6)."""
     W, nvar, _, N = A_bands.shape[-4:]
     h = W // 2
-    if N < 2 * max(h, 1):
-        raise ValueError(f"banded solver requires N >= {2*max(h,1)} (got {N})")
+    g = max(h, 1)
+    if N < 2 * g:
+        raise ValueError(f"banded solver requires N >= {2*g} (got {N})")
+    if periodic and h > 0 and N % g == 0:
+        M = N // g
+        C = _pick_chunks_divisor(M) if M >= _CHUNK_MIN_M else None
+        if C is not None:
+            L, D, U, g, s, M, Np = _assemble_blocks(A_bands,
+                                                    keep_ring=True)
+            tri = _chunked_factor(L, D, U, C, cyclic=True)
+            return BandedFactorizationDF(tri, g, s, N, nvar, True, halo=h)
     bands_tri, T, B = _extract_wrap(A_bands, periodic)
     L, D, U, g, s, M, Np = _assemble_blocks(bands_tri)
     tri = _tri_factor(L, D, U)

@@ -18,12 +18,17 @@ so every member satisfies the tolerance.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..core import schemes as schemes_mod
 from ..core.schemes import null_hook
+
+logger = logging.getLogger(__name__)
+logger.addHandler(logging.NullHandler())
 
 
 def stack_parameters(model, parameter_sets, N):

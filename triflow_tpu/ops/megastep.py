@@ -2,8 +2,15 @@
 
 At small grid sizes the folded step is launch-bound, not compute- or
 bandwidth-bound: the N=1e4 KS RODASPR step compiles to 28 ``pallas_call``s
-plus ~84 XLA fusions, ~0.7us of fixed per-op overhead each, against ~3us of
-actual arithmetic — 78us/step measured where ~10us is possible.  When the
+plus ~84 XLA fusions, ~0.7us of fixed per-op overhead each — 78us/step
+measured, vs 22us through this kernel.  Measured floor (round 3, same
+N=1e4 plan Mc=10/9 PCR levels): a theta step (s=1) runs 8.4us and each
+ADDITIONAL Rosenbrock stage adds 2.7us — the stages are data-dependent, so
+their sweep-row + PCR-level serial chains cannot overlap, and a 6-stage
+RODASPR step bottoms out at ~8.4 + 5 x 2.7 = 22us.  (An earlier revision
+of this docstring claimed "~10us possible" from the arithmetic count
+alone; that bound ignored the per-stage serial depth and was wrong —
+BASELINE.md §Small-N records the measurement.)  When the
 whole working set (state, stage vectors, factorization, reduced interface
 operators) fits VMEM at once, the entire Rosenbrock-Wanner (or theta) step
 — banded-Jacobian evaluation, fused assembly+factor Thomas sweeps, reduced

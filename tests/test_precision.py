@@ -120,7 +120,7 @@ def test_df64_arithmetic_under_jit():
     form."""
     import jax
 
-    from triflow_tpu.ops.df64 import DF, from_scalar
+    from triflow_tpu.ops.df64 import DF
 
     rng = np.random.RandomState(0)
     k = DF.from_float64(0.05 * rng.randn(1, 96))

@@ -233,8 +233,6 @@ def test_sharded_periodic_nonpow2_ndev(ks_model):
     count (6 — a real pod subshape) closes through the acyclic-PCR +
     rank-2P Woodbury interface path (no dense inverse of the gathered
     system) and matches the single device step to 1e-8."""
-    from triflow_tpu.parallel import spatial as spatial_mod
-
     N = 510  # divides 6, not a power of two
     x, u, fields = _states(ks_model, N)
     be = ks_model.backend

@@ -247,3 +247,48 @@ def test_df64_simulation_end_to_end():
     exact = np.exp(lam * T) * np.cos(om * x - mu * T)
     assert np.asarray(fields["U"]).dtype == np.float64
     assert np.abs(np.asarray(fields["U"]) - exact).max() < 1e-8
+
+
+def test_df64_mixed_solve_accuracy():
+    """df64_mixed_solve=n replaces the full-df64 stage solves with an
+    f32-factorization preconditioner + n df64-residual refinement passes
+    (Higham-style mixed precision).  On the well-conditioned KS system one
+    pass already reaches the full-df64 accuracy class (~1e-13 vs f64)."""
+    import jax
+
+    from triflow_tpu.ops.df64 import DF
+
+    N, steps, dt = 96, 20, 0.0625
+    x = np.arange(N, dtype=np.float64) * 0.5
+    rng = np.random.RandomState(0)
+    u0 = (np.cos(2 * np.pi * np.arange(N) / N * 3)
+          + 0.1 * rng.randn(N))[None]
+
+    def run(double, **kw):
+        model = Model("-dxxU - dxxxxU - U * dxU", "U", double=double)
+        scheme = schemes.RODASPR(model, time_stepping=False, tol=None, **kw)
+        fixed = scheme.device_fixed_step(periodic=True)
+        if double == "df64":
+            u = DF.from_float64(u0)
+            h = DF.from_float64(np.zeros((0, N)))
+            p = DF.from_float64(np.zeros((0, N)))
+            xx = DF.from_float64(x)
+            step = jax.jit(
+                lambda t, u: fixed(t, u, h, p, xx, jnp.float32(dt))[0])
+            for i in range(steps):
+                u = step(jnp.float32(i * dt), u)
+            return u.to_float64()[0]
+        dtype = model.backend.dtype
+        u = jnp.asarray(u0, dtype)
+        h = jnp.zeros((0, N), dtype)
+        p = jnp.zeros((0, N), dtype)
+        xx = jnp.asarray(x, dtype)
+        step = jax.jit(
+            lambda t, u: fixed(t, u, h, p, xx, jnp.asarray(dt, dtype))[0])
+        for i in range(steps):
+            u = step(jnp.asarray(i * dt, dtype), u)
+        return np.asarray(u[0], np.float64)
+
+    ref = run(True)
+    v = run("df64", df64_mixed_solve=1)
+    assert np.max(np.abs(v - ref)) < 1e-10

@@ -390,11 +390,14 @@ def bench_sweep():
 
 def bench_df64():
     """Precision point: KS RODASPR fixed steps in df64 (double-float
-    (hi, lo) f32 pairs — ops/df64.py) at N=1e6.  Reference-grade accuracy
-    (<= 1e-8 trajectory match vs CPU f64; measured ~1.5e-13 over 30 steps
-    on this chip) at a rate to compare against the ~1.0e6 cells/s of
-    XLA's software-emulated f64 (BASELINE.md §Precision).  vs_baseline
-    here = value / 1e7 (the 10x-over-emulated-f64 target)."""
+    (hi, lo) f32 pairs — ops/df64.py) at N=1e6, with the recommended
+    mixed-precision stage solves (f32-factorization preconditioner + one
+    df64-residual refinement pass, ``df64_mixed_solve=1``).
+    Reference-grade accuracy (<= 1e-8 target; measured 1.2e-13 vs CPU f64
+    over 30 steps on this chip) at >= 10x the ~1.0e6 cells/s of XLA's
+    software-emulated f64 (BASELINE.md §Precision; measured 14x).
+    vs_baseline here = value / 1e7 (the 10x-over-emulated-f64 target).
+    BENCH_DF64_FULL=1 benches the full-df64 solver instead (~7e6)."""
     import jax
     import jax.numpy as jnp
 
@@ -404,10 +407,12 @@ def bench_df64():
     N = int(os.environ.get("BENCH_DF64_N", 1_000_000))
     STEPS = int(os.environ.get("BENCH_DF64_STEPS", 20))
     REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
+    mixed = 0 if os.environ.get("BENCH_DF64_FULL") else 1
     DTX = 0.0625
 
     model = Model("-dxxU - dxxxxU - U * dxU", "U", double="df64")
-    scheme = schemes.RODASPR(model, time_stepping=False, tol=None)
+    scheme = schemes.RODASPR(model, time_stepping=False, tol=None,
+                             df64_mixed_solve=mixed)
     fixed = scheme.device_fixed_step(periodic=True)
 
     x = np.arange(N, dtype=np.float64) * 0.5
@@ -444,6 +449,7 @@ def bench_df64():
         "cells": N, "steps_timed": STEPS, "N": N,
         "device": str(jax.devices()[0]),
         "precision": "df64 (~1e-13 vs CPU f64)",
+        "solver": "mixed-n1" if mixed else "full-df64",
         "vs_emulated_f64": round(best / 1.0e6, 1),
     }
     print(json.dumps(rec), flush=True)

@@ -292,3 +292,63 @@ def test_df64_mixed_solve_accuracy():
     ref = run(True)
     v = run("df64", df64_mixed_solve=1)
     assert np.max(np.abs(v - ref)) < 1e-10
+
+
+def test_df64_dirichlet_hook():
+    """Hooks on double-float state: the hook sees the hi component; entries
+    it CHANGES get lo zeroed (exact Dirichlet scatter), unchanged entries
+    keep their full pair (_DeviceProblem._apply_hook_df64)."""
+    from triflow_tpu import Simulation
+
+    model = Model("k * dxxU", "U", "k", double="df64")
+    N = 64
+    x = np.linspace(0, 1, N)
+    U0 = np.cos(2 * np.pi * x * 3)
+
+    def dirichlet(t, fields, pars):
+        fields["U"] = fields["U"].at[0].set(1.0).at[-1].set(0.0)
+        return fields, pars
+
+    sim = Simulation(model, model.fields_template(x=x, U=U0),
+                     dict(periodic=False, k=1e-2), hook=dirichlet,
+                     dt=2.0, tmax=120.0, tol=1e-8)
+    for t, fields in sim:
+        pass
+    U = np.asarray(fields["U"])
+    assert U.dtype == np.float64
+    assert U[0] == pytest.approx(1.0, abs=1e-12)
+    assert U[-1] == pytest.approx(0.0, abs=1e-12)
+    # steady state ~ linear profile between the boundary values (the
+    # remaining ~5e-4 deviation is the DISCRETE steady solution of the
+    # edge-folded operator, not a transient or a precision artifact)
+    assert np.abs(U - np.linspace(1.0, 0.0, N)).max() < 1e-3
+
+
+def test_df64_theta_step():
+    """Theta's df64 branch: a backward-Euler df64 step matches the f64
+    step to the df64 class."""
+    import jax
+
+    from triflow_tpu.ops.df64 import DF
+
+    N, dt = 128, 0.25
+    x = np.linspace(0, 10, N, endpoint=False)
+    u0 = np.cos(2 * np.pi * x / 10)[None]
+
+    m64 = Model("k * dxxU - U * dxU", "U", "k", double=True)
+    s64 = schemes.Theta(m64, theta=1.0)
+    f64s = s64.device_fixed_step(periodic=True)
+    p64 = m64.backend.pack_pars(dict(k=0.5, periodic=True), jnp.asarray(x))
+    ref, *_ = f64s(0.0, jnp.asarray(u0), jnp.zeros((0, N)), p64,
+                   jnp.asarray(x), jnp.float64(dt))
+
+    mdf = Model("k * dxxU - U * dxU", "U", "k", double="df64")
+    sdf = schemes.Theta(mdf, theta=1.0)
+    fdf = sdf.device_fixed_step(periodic=True)
+    u = DF.from_float64(u0)
+    h = DF.from_float64(np.zeros((0, N)))
+    p = DF.from_float64(np.broadcast_to(0.5, (1, N)).astype(np.float64))
+    xx = DF.from_float64(x)
+    out, *_ = jax.jit(lambda u: fdf(jnp.float32(0.0), u, h, p, xx,
+                                    jnp.float32(dt)))(u)
+    assert np.max(np.abs(out.to_float64() - np.asarray(ref))) < 1e-11

@@ -353,6 +353,13 @@ class _SchemeBase:
             helpers = (helpers.to_float64() if isinstance(helpers, DF)
                        else helpers)
             x = x.to_float64() if isinstance(x, DF) else np.asarray(x)
+            if jax.config.jax_enable_x64:
+                # keep jax-array semantics for host-side hooks (.at[...])
+                # wherever f64 device arrays exist (CPU runs); on TPU the
+                # host state stays numpy f64 and hooks apply traced
+                # in-device (Simulation skips the host re-application)
+                u, helpers, x = (jnp.asarray(u), jnp.asarray(helpers),
+                                 jnp.asarray(x))
         sysm = self._model.backend.system
         data = {"x": x}
         for i, name in enumerate(sysm.dep_vars):

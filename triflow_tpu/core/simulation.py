@@ -198,7 +198,13 @@ class Simulation(object):
     def _compute_one_step(self, t, fields, pars):
         """One output step: hook, clamp dt against tmax, scheme call, timers
         (reference simulation.py:210-226)."""
-        fields, pars = self._hook(t, fields, pars)
+        if not (getattr(self.model, "precision", None) == "df64"
+                and isinstance(fields["x"], np.ndarray)):
+            # df64 on a non-x64 backend keeps host fields as numpy f64,
+            # which lacks jax .at semantics — skip the (idempotent) host
+            # re-application; the hook still runs traced inside the device
+            # step at attempt and output time (schemes apply_hook)
+            fields, pars = self._hook(t, fields, pars)
         self.dt = (
             self.tmax - t
             if self.tmax and (t + self.dt >= self.tmax)

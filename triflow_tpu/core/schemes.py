@@ -1231,28 +1231,40 @@ def _erk_stage_combination(a, b, b_pred, s, dt, eval_F, u, k1=None):
     error uses ``b - b_pred``.  Returns ``(u_new, err, k_last)``; ``err``
     is inf when no predictor row is given (nothing reads it), NaN/inf
     stage blowups are mapped to inf so the controller rejects."""
+    from ..ops.df64 import DF, df_max_abs, from_scalar
+
+    df64 = isinstance(u, DF)
+
+    def coeff(c):
+        # df64: the coefficient c*dt in full double-float (a pre-rounded
+        # f32 product would quantize every stage at ~eps32)
+        if df64:
+            return DF.wrap(*from_scalar(float(c))) * DF(dt)
+        return float(c) * dt
+
     ks = [] if k1 is None else [k1]
     for i in range(len(ks), s):
         u_i = u
         for j in range(i):
             if a[i, j]:
-                u_i = u_i + (float(a[i, j]) * dt) * ks[j]
+                u_i = u_i + coeff(a[i, j]) * ks[j]
         ks.append(eval_F(u_i))
     u_new = u
     for i in range(s):
         if b[i]:
-            u_new = u_new + (float(b[i]) * dt) * ks[i]
+            u_new = u_new + coeff(b[i]) * ks[i]
     if b_pred is not None:
         diff = None
         for i in range(s):
             c = b[i] - b_pred[i]
             if c:
-                term = (float(c) * dt) * ks[i]
+                term = coeff(c) * ks[i]
                 diff = term if diff is None else diff + term
-        err = jnp.max(jnp.abs(diff))
+        err = df_max_abs(diff) if df64 else jnp.max(jnp.abs(diff))
         err = jnp.where(jnp.isnan(err) | jnp.isinf(err), jnp.inf, err)
     else:
-        err = jnp.asarray(jnp.inf, dtype=u.dtype)
+        err = jnp.asarray(jnp.inf,
+                          dtype=jnp.float32 if df64 else u.dtype)
     return u_new, err, ks[s - 1]
 
 
@@ -1350,7 +1362,7 @@ class ERK_general(_SchemeBase):
         # accumulation; trajectories are bit-equal to the generic loop.
         a, b, b_pred = self._a, self._b, self._b_pred
         s = self._s
-        fsal = (self._fsal_capable
+        fsal = (self._fsal_capable and not self._df64
                 and b_pred is not None and b[s - 1] == 0.0
                 and np.allclose(a[s - 1, :s - 1], b[:s - 1]))
         if (fsal and problem.hook is null_hook

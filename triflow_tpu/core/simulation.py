@@ -162,6 +162,15 @@ class Simulation(object):
                     self.fields[key] = jnp.asarray(self.fields[key],
                                                    dtype=dtype)
         self.t = t
+        if getattr(model, "precision", None) == "df64":
+            # the device step consumes dt as an f32 scalar; quantize the
+            # REQUESTED dt to that value up front so the (f64) host clock
+            # accumulates exactly the dt the state integrates with —
+            # otherwise a non-representable dt (e.g. 0.01) would mislabel
+            # the trajectory by ~2e-8 * t, swamping df64's ~1e-13
+            import numpy as _np
+
+            dt = float(_np.float32(dt))
         self.user_dt = self.dt = dt
         self.tmax = tmax
         self.i = 0

@@ -352,3 +352,47 @@ def test_df64_theta_step():
     out, *_ = jax.jit(lambda u: fdf(jnp.float32(0.0), u, h, p, xx,
                                     jnp.float32(dt)))(u)
     assert np.max(np.abs(out.to_float64() - np.asarray(ref))) < 1e-11
+
+
+@pytest.mark.slow
+def test_df64_erk_dopri5():
+    """The explicit RK family is df64-capable: stage coefficients c*dt are
+    formed in double-float (a pre-rounded f32 product would quantize every
+    stage) and DOPRI5 fixed steps match native f64 to the df64 class.
+    dt is f32-representable so both paths integrate the same time grid."""
+    import jax
+
+    from triflow_tpu.ops.df64 import DF
+
+    N, dt, steps = 128, 0.00390625, 60   # dt = 1/256: exact in f32
+    # AND inside the explicit stability bound dx^2/(2k) ~ 0.006
+    x = np.linspace(0, 10, N, endpoint=False)
+    u0 = np.cos(2 * np.pi * x / 10)[None]
+
+    def run(double):
+        m = Model("k * dxxU - U * dxU", "U", "k", double=double)
+        s = schemes.DOPRI5(m, time_stepping=False, tol=None)
+        f = s.device_fixed_step(periodic=True)
+        if double == "df64":
+            u = DF.from_float64(u0)
+            h = DF.from_float64(np.zeros((0, N)))
+            p = DF.from_float64(
+                np.broadcast_to(0.5, (1, N)).astype(np.float64))
+            xx = DF.from_float64(x)
+            step = jax.jit(lambda u: f(jnp.float32(0.0), u, h, p, xx,
+                                       jnp.float32(dt))[0])
+            for _ in range(steps):
+                u = step(u)
+            return u.to_float64()
+        u = jnp.asarray(u0)
+        h = jnp.zeros((0, N))
+        p = m.backend.pack_pars(dict(k=0.5, periodic=True), jnp.asarray(x))
+        step = jax.jit(lambda u: f(0.0, u, h, p, jnp.asarray(x),
+                                   jnp.float64(dt))[0])
+        for _ in range(steps):
+            u = step(u)
+        return np.asarray(u)
+
+    ref = run(True)
+    v = run("df64")
+    assert np.max(np.abs(v - ref)) < 1e-11

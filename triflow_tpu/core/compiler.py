@@ -336,6 +336,68 @@ class ArrayBackend:
         rows = [self._as_df_row(fn(*args), like) for fn in F_fns]
         return df_stack(rows, axis=-2)
 
+    def _eval_args_ext_df64(self, u_ext, helpers_ext, pstack, x, dx):
+        """df64 twin of _eval_args_ext: pre-haloed DF arrays (a shard_map
+        halo exchange supplies the ghost cells componentwise — structural,
+        so the DF pairs stay exact); offsets are interior slices."""
+        h = self.halo
+        named = {}
+        for i, name in enumerate(self.system.dep_vars):
+            named[name] = u_ext[..., i, :]
+        for i, name in enumerate(self.system.help_funcs):
+            named[name] = helpers_ext[..., i, :]
+        N = u_ext.shape[-1] - 2 * h
+        args = [x]
+        for var, off in self._offset_args:
+            args.append(named[var][..., h + off: h + off + N])
+        for i, _p in enumerate(self.system.pars):
+            args.append(pstack[..., i, :])
+        args.append(dx)
+        return args, N
+
+    def F_ext_df64(self, u_ext, helpers_ext, pstack, x, dx):
+        """df64 RHS over pre-haloed DF arrays -> DF (..., nvar, N_int)."""
+        from ..ops.df64 import df_stack
+
+        F_fns, _ = self._df64_lambdified()
+        args, N = self._eval_args_ext_df64(u_ext, helpers_ext, pstack, x, dx)
+        like = jnp.broadcast_shapes(u_ext.shape[:-2], x.shape[:-1]) + (N,)
+        rows = [self._as_df_row(fn(*args), like) for fn in F_fns]
+        return df_stack(rows, axis=-2)
+
+    def J_bands_ext_df64(self, u_ext, helpers_ext, pstack, x, dx):
+        """df64 banded Jacobian over pre-haloed DF arrays (no edge folding
+        — the caller owns the global boundary closure, exactly as
+        J_bands_ext_impl)."""
+        from ..ops.df64 import df_stack, df_zeros
+
+        _, J_fns = self._df64_lambdified()
+        args, N = self._eval_args_ext_df64(u_ext, helpers_ext, pstack, x, dx)
+        nvar = self.system.nvar
+        W = self.window
+        batch = jnp.broadcast_shapes(u_ext.shape[:-2], x.shape[:-1])
+        like = batch + (N,)
+        rows = {}
+        for (m, n, k), fn in J_fns.items():
+            rows[(k, m, n)] = self._as_df_row(fn(*args), like)
+        zero = df_zeros(like)
+        return df_stack(
+            [
+                df_stack(
+                    [
+                        df_stack(
+                            [rows.get((k, m, n), zero) for n in range(nvar)],
+                            axis=-2,
+                        )
+                        for m in range(nvar)
+                    ],
+                    axis=-3,
+                )
+                for k in range(W)
+            ],
+            axis=-4,
+        )
+
     def J_bands_df64(self, u, helpers, pstack, x, *, periodic: bool):
         """df64 banded Jacobian: DF (..., window, nvar, nvar, N)."""
         from ..ops.df64 import df_stack, df_zeros

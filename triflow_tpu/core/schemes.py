@@ -141,7 +141,18 @@ class _DeviceProblem:
         """Hook semantics on double-float state: the hook sees the hi
         component (the f32 value); entries it CHANGES get their lo zeroed
         (a Dirichlet scatter sets the exact new value), entries it leaves
-        alone keep their full df64 pair."""
+        alone keep their full df64 pair.
+
+        Granularity caveat (documented limitation): change detection is by
+        value inequality on hi, so a hook that re-imposes a value whose hi
+        ALREADY equals the target (e.g. re-setting U[0]=1.0 after the
+        solver drifted only the lo component) leaves the stale lo in
+        place — df64 hooks enforce values only to f32 granularity when hi
+        is unchanged.  In practice Dirichlet targets are f32-representable
+        constants whose lo is 0 at the first enforcement, and every
+        subsequent solver update that moves hi re-triggers the exact
+        scatter; a drift confined strictly to lo is bounded by ulp(hi)/2
+        (~6e-8 relative), the same envelope the caveat states."""
         from ..ops.df64 import DF
 
         u2h, h2h, p2, x2h = self._plain_hook(
@@ -776,21 +787,66 @@ class ROW_general(_SchemeBase):
                 gdt = g00_df * DF(dt)
                 mixed = getattr(self, "_df64_mixed", 0)
                 if mixed:
-                    # f32 preconditioner from the rounded system (the fast
-                    # fused path) + df64 operator for the residual passes
-                    A_df = axpy_bands_df(1.0, -gdt, J)
-                    J32 = J.hi + J.lo
-                    fact32 = factor_linearized(
-                        1.0, -float(g00) * dt, J32, None, periodic)
+                    # f32 preconditioner + df64 operator for the residual
+                    # passes.  The preconditioner routes through the FOLDED
+                    # f32 fast path where it applies: the node-layout
+                    # generic banded solve measured 4.6 ms/solve at N=1e6
+                    # on the v5e (x12 per RODASPR step = the dominant line
+                    # of the r3 df64 step, ~55 of 71 ms), while a folded
+                    # solve is ~0.05 ms plus a fold/unfold relayout.  The
+                    # folded factor evaluates J32 from the ROUNDED state
+                    # (J(round(u)) instead of round(J_df64(u)) — both are
+                    # f32-accurate preconditioners; the refinement corrects
+                    # against the df64 operator either way, so the
+                    # converged answer is unchanged).
+                    from ..ops import folded as _fl
+
+                    N = x.hi.shape[-1]
+                    plan32 = _fl.plan_for_backend(problem.backend, N)
+                    if plan32 is not None:
+                        u32 = u.hi + u.lo
+                        h32 = helpers.hi + helpers.lo
+                        p32 = pstack.hi + pstack.lo
+                        x32 = x.hi + x.lo
+                        uf = _fl.fold(u32, plan32)
+                        hf = _fl.fold(h32, plan32)
+                        pf = _fl.fold(p32, plan32)
+                        xf = _fl.fold(x32, plan32)
+                        dx32 = (x32[..., -1] - x32[..., 0]) / (N - 1)
+                        ffact = _fl.factor_folded_direct(
+                            1.0, -float(g00) * dt, problem.backend,
+                            uf, hf, pf, xf, dx32, periodic, plan32)
+                        if ffact is None:
+                            bands_f = _fl.eval_J_folded(
+                                problem.backend, uf, hf, pf, xf, dx32,
+                                periodic, plan32)
+                            ffact = _fl.factor_folded(
+                                1.0, -float(g00) * dt, bands_f, periodic,
+                                plan32)
+
+                        def solve32(r32, _p=plan32, _f=ffact):
+                            return _fl.unfold(_f.solve(_fl.fold(r32, _p)),
+                                              _p)
+                    else:
+                        J32 = J.hi + J.lo
+                        fact32 = factor_linearized(
+                            1.0, -float(g00) * dt, J32, None, periodic)
+
+                        def solve32(r32, _f=fact32):
+                            return _f.solve(r32)
 
                     class _MixedFact:
                         def solve(self_, rhs_df):
-                            k = DF(fact32.solve(
-                                rhs_df.hi + rhs_df.lo))
+                            # residual of (I - gdt*J) k = rhs computed
+                            # straight from the df64 J bands — NOT from a
+                            # materialized A = I - gdt*J band array, whose
+                            # (hi, lo) write+reread was ~40 MB/step of
+                            # pure overhead at N=1e6
+                            k = DF(solve32(rhs_df.hi + rhs_df.lo))
                             for _ in range(mixed):
-                                r = rhs_df - banded_matvec_df(
-                                    A_df, k, periodic)
-                                k = k + DF(fact32.solve(r.hi + r.lo))
+                                jk = banded_matvec_df(J, k, periodic)
+                                r = (rhs_df - k) + gdt * jk
+                                k = k + DF(solve32(r.hi + r.lo))
                             return k
 
                     fact = _MixedFact()
@@ -1304,7 +1360,10 @@ class ERK_general(_SchemeBase):
                  safety_factor=0.9, recompute_target=True,
                  compensated=False):
         super().__init__(model)
-        self._compensated = compensated
+        # df64 state already carries ~49-bit significands; the f32 Kahan
+        # track would be both redundant and DF-incompatible (same guard as
+        # ROW_general.__init__)
+        self._compensated = compensated and not self._df64
         self._a = np.asarray(a, dtype=np.float64)
         self._b = np.asarray(b, dtype=np.float64)
         self._b_pred = (None if b_pred is None
@@ -1375,7 +1434,8 @@ class ERK_general(_SchemeBase):
             max_iter=self._max_iter, dt_min=self._dt_min,
             compensated=self._compensated,
             exponent=self._err_exponent,
-            interpolate=not self._recompute_target)
+            interpolate=not self._recompute_target,
+            precise_time=self._df64)
 
         def stepper(t, u, helpers, pstack, x, dt, internal_dt):
             (next_t, u2, h2, p2, x2, dt_i, niter,
@@ -1578,7 +1638,11 @@ class Theta(_SchemeBase):
                                         periodic, plan)
             rhs = fl.eval_F_folded(backend, uf, hf, pf, xf, dx, periodic,
                                    plan, scale=dt)
-            return uf + fact.solve(rhs)
+            # u2 = u + A^-1(dt F): the state add rides the solve's final
+            # spike-correction expression (add_to) instead of a separate
+            # read-delta/read-u/write pass — 2 fewer full state passes per
+            # step on the bandwidth-bound burgers-theta config
+            return fact.solve(rhs, add_to=uf)
 
         return folded_step
 

@@ -307,14 +307,32 @@ def _from_chunks(A, M):
 # supernodes and stays shallow.
 _CHUNK_MIN_M = 16
 
-#: scan unroll factor for the sequential sweeps: the df64 sweep bodies are
-#: tiny (a handful of (s, s, C) DF block ops), so the per-iteration
-#: while_loop overhead dominates on TPU (~3000 sequential iterations per
-#: RODASPR step at N=1e6 measured 150 ms/step); unrolling fuses UNROLL
-#: bodies per while iteration.  Env override: TRIFLOW_DF64_UNROLL.
 import os as _os
 
-_SCAN_UNROLL = int(_os.environ.get("TRIFLOW_DF64_UNROLL", 8))
+
+def _scan_unroll() -> int:
+    """Scan unroll factor for the sequential sweeps, decided at trace time.
+
+    The df64 sweep bodies are tiny (a handful of (s, s, C) DF block ops),
+    so on TPU the per-iteration while_loop overhead dominates (~3000
+    sequential iterations per RODASPR step at N=1e6 measured 150 ms/step)
+    and unrolling 8 bodies per iteration was the measured win.  On
+    XLA:CPU the same unroll multiplies the EFT-chain body into a
+    pathological compile (measured: >280 s for one N=96 ROS2 df64 stepper
+    vs 44 s at unroll=1, round 4) while buying nothing — the test/CI
+    backend is compile-bound, not launch-bound.  Env override:
+    TRIFLOW_DF64_UNROLL."""
+    forced = _os.environ.get("TRIFLOW_DF64_UNROLL")
+    if forced:
+        return int(forced)
+    try:
+        import jax as _jax
+
+        if _jax.default_backend() == "tpu":
+            return 8
+    except RuntimeError:  # pragma: no cover - backend init failure
+        pass
+    return 1
 
 
 def _pick_chunks(M: int) -> int:
@@ -380,7 +398,7 @@ def _chunked_factor(L, D, U, C, cyclic=False):
 
     init = (zero_blk, zero_blk, zero_blk)
     _, (fac, Dhinv, wt) = jax.lax.scan(fwd, init, (Lc, Dc, Uc, bW),
-                                       unroll=min(_SCAN_UNROLL, Mc))
+                                       unroll=min(_scan_unroll(), Mc))
 
     def bwd(carry, inputs):
         W_next, V_next = carry
@@ -392,7 +410,7 @@ def _chunked_factor(L, D, U, C, cyclic=False):
 
     _, (Wsp, Vsp) = jax.lax.scan(bwd, (zero_blk, zero_blk),
                                  (Dhinv, Uc, wt, bV), reverse=True,
-                                 unroll=min(_SCAN_UNROLL, Mc))
+                                 unroll=min(_scan_unroll(), Mc))
     DU = _mm(Dhinv, Uc)
 
     # C == 1: no cross-chunk couplings exist (Tl/Tr are the structural
@@ -471,7 +489,7 @@ def _chunked_solve(fact, b):
 
     zero_vec = df_zeros_like(bc[0])
     _, bt = jax.lax.scan(fwd, zero_vec, (fac, bc),
-                         unroll=min(_SCAN_UNROLL, Mc))
+                         unroll=min(_scan_unroll(), Mc))
 
     def bwd(y_next, inputs):
         Dhinv_j, DU_j, bt_j = inputs
@@ -479,7 +497,7 @@ def _chunked_solve(fact, b):
         return y_j, y_j
 
     _, y = jax.lax.scan(bwd, zero_vec, (Dhinv, DU, bt), reverse=True,
-                        unroll=min(_SCAN_UNROLL, Mc))
+                        unroll=min(_scan_unroll(), Mc))
 
     if fact.red is None:  # single chunk: no interface correction
         return _from_chunks(y, M)
@@ -512,7 +530,7 @@ def _chunked_solve(fact, b):
 
 def _tri_factor(L, D, U):
     M = L.shape[-1]
-    if M >= _CHUNK_MIN_M or M > 1:
+    if M > 1:
         # scan-based even at small M: a sequential C=1 Thomas sweep traces
         # its body ONCE, where unrolled PCR levels on wide recursion blocks
         # (2s x 2s) dominate the whole module's HLO count
@@ -683,6 +701,20 @@ def axpy_bands_df(alpha, beta, J_bands):
     A = J_bands * beta if isinstance(beta, DF) else J_bands * float(beta)
     diag_idx = jnp.arange(nvar)
     return A.at[..., h, diag_idx, diag_idx, :].add(alpha)
+
+
+def banded_matvec_ext_df(bands, v_ext):
+    """DF local band application against a pre-haloed DF vector — the df64
+    twin of parallel/spatial.banded_matvec_ext (no einsum/MXU: the block
+    contraction goes through _mv's unrolled DF multiply-adds).  Couplings
+    to neighbor shards are applied through the ghost cells, so this is the
+    TRUE distributed operator for sharded residual-refinement passes."""
+    W, nvar, _, Nl = bands.shape[-4:]
+    out = None
+    for k in range(W):
+        term = _mv(bands[..., k, :, :, :], v_ext[..., k: k + Nl])
+        out = term if out is None else out + term
+    return out
 
 
 def banded_matvec_df(bands, u, periodic: bool):

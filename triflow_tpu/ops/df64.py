@@ -33,8 +33,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_SPLITTER = np.float32(4097.0)  # 2^12 + 1 (f32: 24-bit significand)
-
 
 def _f32(x):
     return jnp.asarray(x, jnp.float32)
@@ -448,6 +446,14 @@ def df_minimum(a, b):
 def df_max_abs(df):
     """max|value| as a plain f32 scalar (error-estimate reductions)."""
     return jnp.max(jnp.abs(df.hi + df.lo))
+
+
+def host64(a):
+    """Host float64 numpy view of a DF pair or plain array — the one
+    conversion point persistence/checkpoint layers use, so DF state round
+    trips exactly (hi + lo is exactly representable in f64, and
+    DF.from_float64 of that value reproduces the identical pair)."""
+    return a.to_float64() if isinstance(a, DF) else np.asarray(a)
 
 
 def df_sqrt(df):

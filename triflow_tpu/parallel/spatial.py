@@ -71,7 +71,15 @@ except (ImportError, TypeError):  # pragma: no cover
 
 def halo_extend(arr, h: int, axis_name: str, ndev: int, periodic: bool):
     """Extend the local shard with `h` ghost cells per side from the ring
-    neighbors; global edges are edge-padded in non-periodic mode."""
+    neighbors; global edges are edge-padded in non-periodic mode.
+
+    DF double-float shards extend componentwise (ppermute and the edge
+    select are structural/value-preserving, so the pairs stay exact)."""
+    from ..ops.df64 import DF, df_map
+
+    if isinstance(arr, DF):
+        return df_map(
+            lambda a: halo_extend(a, h, axis_name, ndev, periodic), arr)
     if h == 0:
         return arr
     right_ring = [(i, (i + 1) % ndev) for i in range(ndev)]
@@ -393,7 +401,10 @@ class SpatialModel:
         return NamedSharding(self.mesh, PartitionSpec(*spec))
 
     def shard(self, arr):
-        arr = jnp.asarray(arr, dtype=self.backend.dtype)
+        from ..ops.df64 import DF
+
+        if not isinstance(arr, DF):
+            arr = jnp.asarray(arr, dtype=self.backend.dtype)
         if arr.shape[-1] % self.ndev:
             raise ValueError(
                 f"grid size {arr.shape[-1]} must divide the mesh axis "
@@ -488,8 +499,24 @@ class SpatialModel:
             out_specs=(bspec, none),
         )
 
+    def _df64_local_J(self, u_ext, helpers_ext, pstack, x, dx, periodic):
+        """df64 local Jacobian bands over pre-haloed DF shards, with the
+        same boundary-shard edge folding as _local_J (fold ops are
+        functional .at updates, which DF mirrors exactly)."""
+        h, ndev, axis = self.h, self.ndev, self.axis
+        bands = self.backend.J_bands_ext_df64(u_ext, helpers_ext, pstack,
+                                              x, dx)
+        if not periodic:
+            idx = jax.lax.axis_index(axis)
+            bands = jax.lax.cond(
+                idx == 0, partial(_fold_left, h=h), lambda b: b, bands)
+            bands = jax.lax.cond(
+                idx == ndev - 1, partial(_fold_right, h=h), lambda b: b,
+                bands)
+        return bands
+
     def _row_core(self, tables, s, periodic, batch_axis=None,
-                  per_member=False, refine=0):
+                  per_member=False, refine=0, df64=False, df64_mixed=2):
         """Shard-mapped fixed ROW step on global sharded arrays:
         ``core(t, u, helpers, pstack, x, dt) -> (u_new, err)`` with the
         embedded error pmax-reduced across shards (replicated scalar).
@@ -499,7 +526,20 @@ class SpatialModel:
         passes per stage solve: the residual against the TRUE distributed
         operator (one extra halo ring through ``banded_matvec_ext``)
         corrected through the same SPIKE factorization — sharded twin of
-        the scheme-level ``refine`` knob (core/schemes.py)."""
+        the scheme-level ``refine`` knob (core/schemes.py).
+
+        ``df64=True`` runs the reference-precision path on sharded state
+        (the reference solves every stage in f64 regardless of driver,
+        schemes.py:146-163): state/F/J evaluate in double-float pairs and
+        each stage solve is MIXED-precision — the f32 SPIKE factorization
+        of the rounded system preconditions ``df64_mixed`` df64-residual
+        correction passes against the df64 distributed operator (one halo
+        ring + banded_matvec_ext_df per pass), the Higham-style scheme
+        already proven at 1e-10-class accuracy on the single-grid path
+        (core/schemes.py df64_mixed_solve, tests/test_precision.py)."""
+        if df64:
+            return self._row_core_df64(tables, s, periodic, batch_axis,
+                                       per_member, max(1, int(df64_mixed)))
         a_t, c_t, m_t, m_pred_t, g00 = tables
         ndev, axis, h = self.ndev, self.axis, self.h
         backend = self.backend
@@ -553,12 +593,127 @@ class SpatialModel:
 
         return self._wrap_core(local_core, batch_axis, per_member)
 
-    def _theta_core(self, theta, periodic, batch_axis=None,
-                    per_member=False):
-        """Shard-mapped linearized theta step (reference Theta semantics,
-        schemes.py:502-559, with the SuperLU solve replaced by SPIKE)."""
+    def _row_core_df64(self, tables, s, periodic, batch_axis, per_member,
+                       mixed):
+        """df64 ROW core (see _row_core): DF state, df64 F/J, mixed f32
+        SPIKE + df64 residual refinement stage solves."""
+        from ..ops.banded_df import banded_matvec_ext_df
+        from ..ops.df64 import DF, df_max_abs, from_scalar
+
+        a_t, c_t, m_t, m_pred_t, g00 = tables
         ndev, axis, h = self.ndev, self.axis, self.h
         backend = self.backend
+
+        def local_core(t, u, helpers, pstack, x, dt):
+            u_ext = halo_extend(u, h, axis, ndev, periodic)
+            helpers_ext = halo_extend(helpers, h, axis, ndev, periodic)
+            dx = x[..., 1] - x[..., 0]
+            J = self._df64_local_J(u_ext, helpers_ext, pstack, x, dx,
+                                   periodic)
+            g00_df = DF.wrap(*from_scalar(float(g00)))
+            gdt = g00_df * DF(dt)
+            # f32 preconditioner: SPIKE factorization of the ROUNDED
+            # system; residuals come straight from the df64 J bands (no
+            # materialized A = I - gdt*J pair array — see the single-grid
+            # _MixedFact)
+            J32 = J.hi + J.lo
+            fact32 = spike_factor(axpy_bands(1.0, -(gdt.hi + gdt.lo), J32),
+                                  axis, ndev, periodic)
+
+            def solve_mixed(rhs):
+                k = DF(fact32.solve(rhs.hi + rhs.lo))
+                for _ in range(mixed):
+                    k_ext = halo_extend(k, h, axis, ndev, periodic)
+                    jk = banded_matvec_ext_df(J, k_ext)
+                    r = (rhs - k) + gdt * jk
+                    k = k + DF(fact32.solve(r.hi + r.lo))
+                return k
+
+            us = []
+            for i in range(s):
+                u_i = u
+                for j in range(i):
+                    if a_t[i, j]:
+                        c_df = DF.wrap(*from_scalar(float(a_t[i, j])))
+                        u_i = u_i + c_df * us[j]
+                u_i_ext = halo_extend(u_i, h, axis, ndev, periodic)
+                F_i = backend.F_ext_df64(u_i_ext, helpers_ext, pstack, x,
+                                         dx)
+                rhs = gdt * F_i
+                for j in range(i):
+                    if c_t[i, j]:
+                        c_df = DF.wrap(*from_scalar(float(g00 * c_t[i, j])))
+                        rhs = rhs + c_df * us[j]
+                us.append(solve_mixed(rhs))
+            u_new = u
+            for i in range(s):
+                if m_t[i]:
+                    c_df = DF.wrap(*from_scalar(float(m_t[i])))
+                    u_new = u_new + c_df * us[i]
+            if m_pred_t is not None:
+                diff = None
+                for i in range(s):
+                    c = m_t[i] - m_pred_t[i]
+                    if c:
+                        c_df = DF.wrap(*from_scalar(float(c)))
+                        term = c_df * us[i]
+                        diff = term if diff is None else diff + term
+                err = df_max_abs(diff)
+                err = jnp.where(jnp.isnan(err) | jnp.isinf(err), jnp.inf,
+                                err)
+                err = jax.lax.pmax(err, axis)
+            else:
+                err = jnp.full((), jnp.inf, dtype=jnp.float32)
+            return u_new, err
+
+        return self._wrap_core(local_core, batch_axis, per_member)
+
+    def _theta_core(self, theta, periodic, batch_axis=None,
+                    per_member=False, df64=False, df64_mixed=2):
+        """Shard-mapped linearized theta step (reference Theta semantics,
+        schemes.py:502-559, with the SuperLU solve replaced by SPIKE).
+        ``df64=True``: DF state, df64 F/J/RHS, mixed-precision solve (see
+        _row_core)."""
+        ndev, axis, h = self.ndev, self.axis, self.h
+        backend = self.backend
+
+        if df64:
+            from ..ops.banded_df import banded_matvec_ext_df
+            from ..ops.df64 import DF, from_scalar
+
+            theta_df = DF.wrap(*from_scalar(float(theta)))
+            mixed = max(1, int(df64_mixed))
+
+            def local_core(t, u, helpers, pstack, x, dt):
+                dx = x[..., 1] - x[..., 0]
+                dt_df = DF(dt)
+                u_ext = halo_extend(u, h, axis, ndev, periodic)
+                helpers_ext = halo_extend(helpers, h, axis, ndev, periodic)
+                if theta == 0:
+                    F = backend.F_ext_df64(u_ext, helpers_ext, pstack, x,
+                                           dx)
+                    u2 = u + dt_df * F
+                else:
+                    J = self._df64_local_J(u_ext, helpers_ext, pstack, x,
+                                           dx, periodic)
+                    F = backend.F_ext_df64(u_ext, helpers_ext, pstack, x,
+                                           dx)
+                    B = dt_df * (F - theta_df
+                                 * banded_matvec_ext_df(J, u_ext)) + u
+                    tdt = theta_df * dt_df
+                    J32 = J.hi + J.lo
+                    fact32 = spike_factor(
+                        axpy_bands(1.0, -(tdt.hi + tdt.lo), J32),
+                        axis, ndev, periodic)
+                    u2 = DF(fact32.solve(B.hi + B.lo))
+                    for _ in range(mixed):
+                        u2_ext = halo_extend(u2, h, axis, ndev, periodic)
+                        jk = banded_matvec_ext_df(J, u2_ext)
+                        r = (B - u2) + tdt * jk
+                        u2 = u2 + DF(fact32.solve(r.hi + r.lo))
+                return u2, jnp.zeros((), dtype=jnp.float32)
+
+            return self._wrap_core(local_core, batch_axis, per_member)
 
         def local_core(t, u, helpers, pstack, x, dt):
             dx = x[..., 1] - x[..., 0]
@@ -577,12 +732,15 @@ class SpatialModel:
         return self._wrap_core(local_core, batch_axis, per_member)
 
     def _erk_core(self, a, b, b_pred, s, periodic, batch_axis=None,
-                  per_member=False):
+                  per_member=False, df64=False):
         """Shard-mapped explicit RK step: stages are local F evaluations
         behind one halo ring each (no solve, no interface system), embedded
-        error pmax-reduced across shards."""
+        error pmax-reduced across shards.  ``df64=True``: DF shards, df64
+        stage evaluations (_erk_stage_combination detects DF state and
+        forms every c*dt coefficient in double-float)."""
         ndev, axis, h = self.ndev, self.axis, self.h
         backend = self.backend
+        F_ext = backend.F_ext_df64 if df64 else backend.F_ext_impl
 
         def local_core(t, u, helpers, pstack, x, dt):
             from ..core.schemes import _erk_stage_combination
@@ -592,8 +750,7 @@ class SpatialModel:
 
             def eval_F(u_i):
                 u_i_ext = halo_extend(u_i, h, axis, ndev, periodic)
-                return backend.F_ext_impl(u_i_ext, helpers_ext, pstack,
-                                          x, dx)
+                return F_ext(u_i_ext, helpers_ext, pstack, x, dx)
 
             u_new, err, _k = _erk_stage_combination(a, b, b_pred, s, dt,
                                                     eval_F, u)
@@ -712,8 +869,16 @@ class _SpatialSchemeMixin:
 class _SpatialROWMixin(_SpatialSchemeMixin):
     def _fixed_step_fn(self, problem):
         sm = self._spatial
+        # df64: stage solves go mixed-precision (full-df64 distributed
+        # SPIKE is not implemented; the mixed scheme reaches the same
+        # accuracy class — _row_core docstring).  An explicit
+        # df64_mixed_solve=n from the user sets the pass count; the
+        # single-grid default 0 (= full-df64 solver there) maps to 2
+        # passes here.
         core = sm._row_core(self._tables, self._s, problem.periodic,
-                            refine=getattr(self, "_refine", 0))
+                            refine=getattr(self, "_refine", 0),
+                            df64=self._df64,
+                            df64_mixed=getattr(self, "_df64_mixed", 0) or 2)
 
         def fixed_step(t, u, helpers, pstack, x, dt):
             u, helpers, pstack, x = problem.apply_hook(t, u, helpers,
@@ -735,7 +900,7 @@ class _SpatialERKMixin(_SpatialSchemeMixin):
         if self._tol is None and not self._time_control:
             b_pred = None  # no controller ever reads the embedded error
         core = sm._erk_core(self._a, self._b, b_pred, self._s,
-                            problem.periodic)
+                            problem.periodic, df64=self._df64)
 
         def fixed_step(t, u, helpers, pstack, x, dt):
             u, helpers, pstack, x = problem.apply_hook(t, u, helpers,
@@ -749,7 +914,8 @@ class _SpatialERKMixin(_SpatialSchemeMixin):
 class _SpatialThetaMixin(_SpatialSchemeMixin):
     def _fixed_step_fn(self, problem):
         sm = self._spatial
-        core = sm._theta_core(self._theta, problem.periodic)
+        core = sm._theta_core(self._theta, problem.periodic,
+                              df64=self._df64)
 
         def fixed_step(t, u, helpers, pstack, x, dt):
             u, helpers, pstack, x = problem.apply_hook(t, u, helpers,

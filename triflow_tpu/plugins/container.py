@@ -189,17 +189,19 @@ class TimeSeries:
         ``data[var] -> (T, B, N)`` (reference analog: one container per
         pickled-model run, user_guide.rst:125-138 — here the whole sweep
         lands in ONE container)."""
+        from ..ops.df64 import host64
+
         system = ensemble.model.backend.system
         coords = {
             "member": np.arange(ensemble.B),
-            "x": np.asarray(ensemble.x),
+            "x": host64(ensemble.x),
         }
-        u = np.asarray(ensemble.u)              # (B, nvar, N)
+        u = host64(ensemble.u)              # (B, nvar, N)
         data_vars = {
             name: u[:, idx][None]
             for idx, name in enumerate(system.dep_vars)
         }
-        helpers = np.asarray(ensemble.helpers)  # (B, nhelp, N)
+        helpers = host64(ensemble.helpers)  # (B, nhelp, N)
         for idx, name in enumerate(system.help_funcs):
             data_vars[str(name)] = helpers[:, idx][None]
         return TimeSeries([t], coords, data_vars, metadata)

@@ -108,9 +108,15 @@ def save_ensemble_checkpoint(path, ensemble):
             f.create_dataset("internal_dt",
                              data=np.atleast_1d(np.asarray(idt, np.float64)))
             f.attrs["internal_dt_scalar"] = not getattr(idt, "ndim", 0)
-        f.create_dataset("u", data=np.asarray(ensemble.u))
-        f.create_dataset("helpers", data=np.asarray(ensemble.helpers))
-        f.create_dataset("x", data=np.asarray(ensemble.x))
+        from ..ops.df64 import host64
+
+        # df64 ensembles store the exact f64 value (hi + lo); the rebuild's
+        # from_float64 split reproduces the identical DF pair (bit-exact
+        # resume, same property tests/test_checkpoint.py pins for
+        # Simulation)
+        f.create_dataset("u", data=host64(ensemble.u))
+        f.create_dataset("helpers", data=host64(ensemble.helpers))
+        f.create_dataset("x", data=host64(ensemble.x))
     os.replace(tmp, path)
     return path
 

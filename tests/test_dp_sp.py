@@ -130,6 +130,7 @@ def test_dp_sp_dirichlet_hook():
     assert np.allclose(U, np.asarray(u_ref), rtol=1e-9, atol=1e-11)
 
 
+@pytest.mark.slow
 def test_dp_sp_per_member_dt(burgers):
     """per_member_dt in dp x sp mode: member-local clocks/steps drive the
     masked controller on per-member errors (each pmax-reduced over its
@@ -156,3 +157,24 @@ def test_dp_sp_per_member_dt(burgers):
     assert iters.min() >= 1 and iters.max() > iters.min()
     # per-member attempt counts agree with the single-chip controller
     assert np.all(np.abs(iters - np.asarray(ref.member_iters)) <= 2)
+
+
+@pytest.mark.slow
+def test_dp_sp_df64(burgers):
+    """df64 members on the 2-D mesh: DF state shards over BOTH axes, the
+    shard-mapped df64 cores run mixed-precision stage solves, and the
+    result lands in the single-chip df64 ensemble's accuracy class (well
+    below anything f32 could produce)."""
+    model = Model("k * dxxU - U * dxU", "U", "k", double="df64")
+    x, u0, pars = _sweep(model)
+    ref = Ensemble(model, u0, pars, x, scheme=schemes.ROS2)
+    _t, u_ref = ref.run(tmax=0.25, dt=0.125)
+
+    ens = Ensemble(model, u0, pars, x, scheme=schemes.ROS2, mesh=mesh_2d(),
+                   space_axis="space")
+    t, u = ens.run(tmax=0.25, dt=0.125)
+    assert t == pytest.approx(0.25)
+    # mixed sharded solves vs full-df64 single-chip solves: agreement far
+    # below the f32 envelope (~1e-6) proves real double-float physics
+    assert np.abs(u.to_float64() - u_ref.to_float64()).max() < 1e-10
+    assert len(ens.u.hi.sharding.device_set) == 8

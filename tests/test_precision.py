@@ -142,7 +142,12 @@ def test_df64_arithmetic_under_jit():
                   / np.abs(u.to_float64() / k.to_float64())) < 1e-13
 
 
-def test_df64_banded_solver_vs_scipy():
+@pytest.mark.parametrize(
+    "W,nvar,N,periodic",
+    [(5, 1, 300, True),
+     # the block (nvar=2) case compiles a much larger df64 trace — nightly
+     pytest.param(5, 2, 200, False, marks=pytest.mark.slow)])
+def test_df64_banded_solver_vs_scipy(W, nvar, N, periodic):
     """df64 factor+solve matches the scipy f64 sparse solve to ~1e-13."""
     import jax
     import scipy.sparse.linalg as spla
@@ -152,7 +157,7 @@ def test_df64_banded_solver_vs_scipy():
     from triflow_tpu.ops.df64 import DF
 
     rng = np.random.RandomState(0)
-    for (W, nvar, N, periodic) in [(5, 1, 300, True), (5, 2, 200, False)]:
+    for (W, nvar, N, periodic) in [(W, nvar, N, periodic)]:
         h = W // 2
         bands64 = rng.randn(W, nvar, nvar, N) * 0.1
         di = np.arange(nvar)
@@ -294,6 +299,63 @@ def test_df64_mixed_solve_accuracy():
     assert np.max(np.abs(v - ref)) < 1e-10
 
 
+def test_df64_mixed_solve_folded_preconditioner(monkeypatch):
+    """On TPU the mixed solve's f32 preconditioner routes through the
+    folded fast path (r4: the node-layout generic solve was the dominant
+    line of the df64 step — 12x 4.6 ms of a 71 ms step measured on the
+    v5e).  Interpret mode exercises that exact routing on CPU: the folded
+    preconditioner factors J32 from the ROUNDED state, and the df64
+    residual refinement must still land in the full-df64 accuracy class."""
+    import jax
+
+    from triflow_tpu.ops.df64 import DF
+
+    monkeypatch.setenv("TRIFLOW_PALLAS_INTERPRET", "1")
+    N, steps, dt = 96, 6, 0.0625
+    x = np.arange(N, dtype=np.float64) * 0.5
+    rng = np.random.RandomState(0)
+    u0 = (np.cos(2 * np.pi * np.arange(N) / N * 3)
+          + 0.1 * rng.randn(N))[None]
+
+    from triflow_tpu.ops import folded as fl
+
+    def run(double, **kw):
+        model = Model("-dxxU - dxxxxU - U * dxU", "U", double=double)
+        if double == "df64":
+            # the folded preconditioner must actually be selectable here
+            assert fl.plan_for_backend(model.backend, N) is not None
+        scheme = schemes.RODASPR(model, time_stepping=False, tol=None, **kw)
+        fixed = scheme.device_fixed_step(periodic=True)
+        if double == "df64":
+            u = DF.from_float64(u0)
+            h = DF.from_float64(np.zeros((0, N)))
+            p = DF.from_float64(np.zeros((0, N)))
+            xx = DF.from_float64(x)
+            step = jax.jit(
+                lambda t, u: fixed(t, u, h, p, xx, jnp.float32(dt))[0])
+            for i in range(steps):
+                u = step(jnp.float32(i * dt), u)
+            return u.to_float64()[0]
+        dtype = model.backend.dtype
+        u = jnp.asarray(u0, dtype)
+        h = jnp.zeros((0, N), dtype)
+        p = jnp.zeros((0, N), dtype)
+        xx = jnp.asarray(x, dtype)
+        monkeypatch.setenv("TRIFLOW_NO_FOLDED", "1")   # f64 ref: XLA path
+        try:
+            step = jax.jit(
+                lambda t, u: fixed(t, u, h, p, xx, jnp.asarray(dt, dtype))[0])
+            for i in range(steps):
+                u = step(jnp.asarray(i * dt, dtype), u)
+        finally:
+            monkeypatch.delenv("TRIFLOW_NO_FOLDED")
+        return np.asarray(u[0], np.float64)
+
+    ref = run(True)
+    v = run("df64", df64_mixed_solve=1)
+    assert np.max(np.abs(v - ref)) < 1e-10
+
+
 def test_df64_dirichlet_hook():
     """Hooks on double-float state: the hook sees the hi component; entries
     it CHANGES get lo zeroed (exact Dirichlet scatter), unchanged entries
@@ -309,9 +371,12 @@ def test_df64_dirichlet_hook():
         fields["U"] = fields["U"].at[0].set(1.0).at[-1].set(0.0)
         return fields, pars
 
+    # dt=12: 10 output steps reach the same steady state as 60 did (the
+    # adaptive controller does the internal work; fewer host dispatches —
+    # the r3 63 s fast-lane cost was output-step count, not physics)
     sim = Simulation(model, model.fields_template(x=x, U=U0),
                      dict(periodic=False, k=1e-2), hook=dirichlet,
-                     dt=2.0, tmax=120.0, tol=1e-8)
+                     dt=12.0, tmax=120.0, tol=1e-8)
     for t, fields in sim:
         pass
     U = np.asarray(fields["U"])
@@ -396,3 +461,32 @@ def test_df64_erk_dopri5():
     ref = run(True)
     v = run("df64")
     assert np.max(np.abs(v - ref)) < 1e-11
+
+
+def test_df64_erk_adaptive_simulation():
+    """ADVICE r3 items 1+2: the adaptive ERK path must (a) disable Kahan
+    compensation under df64 (the f32 track is DF-incompatible — the r3
+    crash), and (b) carry the df64 compensated internal clock
+    (precise_time), else the f32 clock accumulation quantizes the time
+    grid at ~ulp(t)/2 per accepted step (~1e-7 phase error here, swamping
+    the 1e-8 target).  Adaptive df64 DOPRI5 with compensated=True through
+    the full Simulation driver, checked against the exact
+    discrete-operator solution."""
+    from triflow_tpu import Simulation
+
+    model = Model("k * dxxU - c * dxU", "U", ["k", "c"], double="df64")
+    N = 128
+    x, dx = np.linspace(0, 10, N, endpoint=False, retstep=True)
+    om = 2 * np.pi / 10
+    U0 = np.cos(om * x)
+    k, c = 0.01, 1.0
+    T = 1.0
+    sim = Simulation(model, model.fields_template(x=x, U=U0),
+                     dict(periodic=True, k=k, c=c), dt=0.25, tmax=T,
+                     scheme=schemes.DOPRI5, tol=1e-10, compensated=True)
+    for t, fields in sim:
+        pass
+    lam = k * (2 * np.cos(om * dx) - 2) / dx ** 2
+    mu = c * np.sin(om * dx) / dx
+    exact = np.exp(lam * T) * np.cos(om * x - mu * T)
+    assert np.abs(np.asarray(fields["U"]) - exact).max() < 1e-8

@@ -29,8 +29,13 @@ def make_fields(model, N=50):
     "scheme,tol",
     [(schemes.ROS2, 1e-1), (schemes.ROS3PRL, 1e-1), (schemes.ROS3PRw, 1e-1),
      (schemes.RODASPR, 1e-1), (schemes.Theta, 1e-1),
-     (schemes.scipy_ode, 1e-1),
-     (ft.partial(schemes.scipy_ode, integrator="vode", method="bdf"), 1e-1),
+     # the scipy proxies step through the host Fortran loop 100 output
+     # times — ~40s each, nightly tier (the fast lane keeps scipy_ode
+     # coverage via test_scipy_ode_proxy / the oracle cross-checks)
+     pytest.param(schemes.scipy_ode, 1e-1, marks=pytest.mark.slow),
+     pytest.param(
+         ft.partial(schemes.scipy_ode, integrator="vode", method="bdf"),
+         1e-1, marks=pytest.mark.slow),
      # explicit pairs need a tighter tol on this stiff target: at loose tol
      # the controller tolerates a marginally-damped Nyquist mode of
      # amplitude ~ tol (the classic explicit-on-stiff behavior)

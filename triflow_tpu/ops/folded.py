@@ -766,6 +766,111 @@ def matvec_folded(bands_f, vf, periodic, plan):
     )(bands_f, vf, vf, vf)
 
 
+def matvec_df_ok(plan) -> bool:
+    """True when matvec_df_folded has a workable tile for this plan."""
+    Kb = _pick_kb(plan.K,
+                  2 * (4 * plan.nvar + plan.W * plan.nvar ** 2)
+                  * plan.Cp * 4)
+    return Kb is not None and plan.halo < Kb
+
+
+def matvec_df_folded(bands_df, vf_df, periodic, plan):
+    """df64 (J @ v) with both operands as DF pairs in folded layout.
+
+    The precision twin of matvec_folded: same window/ring plumbing, but
+    every product is an error-free-transform chain (ops/df64.mul_/add_ —
+    mantissa-mask splits, contraction-immune on every backend) on (hi, lo)
+    slabs held in VMEM.  This is the hot op of the mixed df64 stage solve:
+    the XLA node-layout banded_matvec_df measured 2.8 ms at N=1e6 on the
+    v5e (6 calls = 64% of the 26 ms RODASPR step); in-VMEM EFT chains cut
+    the intermediate traffic.  Returns a DF of folded shape.
+    """
+    from .df64 import DF, add_, mul_
+
+    W, nvar = plan.W, plan.nvar
+    h = plan.halo
+    C8 = plan.C8
+    dtype = jnp.float32
+    item = 4
+    Kb = _pick_kb(plan.K,
+                  2 * (4 * nvar + W * nvar * nvar) * plan.Cp * item)
+    if Kb is None or h >= Kb:
+        return None                   # caller falls back to the XLA matvec
+    nt = plan.K // Kb
+
+    import os as _os
+    thin = (h > 0 and Kb % h == 0
+            and not _os.environ.get("TRIFLOW_NO_THINHALO"))
+
+    def shifted(rows, s):
+        if thin and s:
+            kph = Kb // h
+            if s < 0:
+                kmap = lambda i: (0, ((i - 1) % nt + 1) * kph - 1, 0, 0)
+            else:
+                kmap = lambda i: (0, ((i + 1) % nt) * kph, 0, 0)
+            return pl.BlockSpec((rows, h, 8, C8), kmap,
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((rows, Kb, 8, C8),
+                            lambda i, s=s: (0, (i + s) % nt, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    bspec = pl.BlockSpec((W, nvar, nvar, Kb, 8, C8),
+                         lambda i: (0, 0, 0, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    def window(v_l, v_c, v_r, tid):
+        if h == 0:
+            return v_c[...]
+        v_win = _chunk_halo_window(v_c[...], v_l[...], v_r[...], h,
+                                   periodic, tid, nt, plan)
+        if not periodic:
+            # ghost columns contribute zero (edge-folded bands): mask the
+            # clamped window copies back to zero
+            first, last = _member_masks(plan)
+            head = jnp.where((tid == 0) & first, 0.0, v_win[..., :h, :, :])
+            tail = jnp.where((tid == nt - 1) & last, 0.0,
+                             v_win[..., -h:, :, :])
+            v_win = jnp.concatenate(
+                [head, v_win[..., h:-h, :, :], tail], axis=-3)
+        return v_win
+
+    def kernel(bh_ref, bl_ref, vh_l, vh_c, vh_r, vl_l, vl_c, vl_r,
+               oh_ref, ol_ref):
+        tid = pl.program_id(0)
+        wh = window(vh_l, vh_c, vh_r, tid)
+        wl = window(vl_l, vl_c, vl_r, tid)
+        rows_h, rows_l = [], []
+        for m in range(nvar):
+            acc = None
+            for kb in range(W):
+                for n in range(nvar):
+                    ph, pe = mul_(bh_ref[kb, m, n], bl_ref[kb, m, n],
+                                  wh[n, kb: kb + Kb, :, :],
+                                  wl[n, kb: kb + Kb, :, :])
+                    acc = ((ph, pe) if acc is None
+                           else add_(acc[0], acc[1], ph, pe))
+            rows_h.append(acc[0])
+            rows_l.append(acc[1])
+        oh_ref[...] = jnp.stack(rows_h)
+        ol_ref[...] = jnp.stack(rows_l)
+
+    out_spec = pl.BlockSpec((nvar, Kb, 8, C8), lambda i: (0, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    oh, ol = _pcall(
+        kernel,
+        grid=(nt,),
+        in_specs=[bspec, bspec, shifted(nvar, -1), shifted(nvar, 0),
+                  shifted(nvar, 1), shifted(nvar, -1), shifted(nvar, 0),
+                  shifted(nvar, 1)],
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((nvar, plan.K, 8, C8), dtype),
+                   jax.ShapeDtypeStruct((nvar, plan.K, 8, C8), dtype)),
+    )(bands_df.hi, bands_df.lo, vf_df.hi, vf_df.hi, vf_df.hi,
+      vf_df.lo, vf_df.lo, vf_df.lo)
+    return DF.wrap(oh, ol)
+
+
 # ---------------------------------------------------------------------------
 # fused assembly + factor sweeps reading folded bands
 # ---------------------------------------------------------------------------

@@ -33,8 +33,8 @@ def main():
     from triflow_tpu.ops import folded as fl
 
     N = int(os.environ.get("PROF_N", 1_000_000))
-    IT1 = int(os.environ.get("PROF_IT1", 50))
-    IT2 = int(os.environ.get("PROF_IT2", 250))
+    IT1 = int(os.environ.get("PROF_IT1", 20))
+    IT2 = int(os.environ.get("PROF_IT2", 80))
     dt = 0.05
 
     model = Model("-U * dxU + nu * dxxU", "U", "nu", double=False)

@@ -802,7 +802,15 @@ class ROW_general(_SchemeBase):
                     from ..ops import folded as _fl
 
                     N = x.hi.shape[-1]
-                    plan32 = _fl.plan_for_backend(problem.backend, N)
+                    # vmapped state (df64 ensembles): the folded pallas
+                    # preconditioner dies under batching on the real chip
+                    # (silent Mosaic abort, probed r4) — route batched
+                    # members through the node-layout f32 factorization.
+                    # (name check: jax.interpreters.batching.BatchTracer
+                    # is deprecated as an import surface in current jax)
+                    batched = type(u.hi).__name__ == "BatchTracer"
+                    plan32 = (None if batched
+                              else _fl.plan_for_backend(problem.backend, N))
                     if plan32 is not None:
                         u32 = u.hi + u.lo
                         h32 = helpers.hi + helpers.lo

@@ -275,3 +275,41 @@ def test_device_time_stepping_folded_carry(interpret_pallas, monkeypatch):
     monkeypatch.delenv("TRIFLOW_NO_FOLDED")
     assert it_fold >= 1
     assert np.allclose(u_fold, u_node, rtol=1e-10, atol=1e-12)
+
+
+def test_matvec_df_folded_matches_node_layout(interpret_pallas):
+    """The Pallas df64 banded matvec (EFT chains on VMEM slabs) must equal
+    the node-layout banded_matvec_df bit-for-near-bit: both compute the
+    same error-free-transform chains, so agreement is at double-float
+    round-off, far below f32."""
+    import jax
+
+    from triflow_tpu import Model
+    from triflow_tpu.ops import folded as fl
+    from triflow_tpu.ops.banded_df import banded_matvec_df
+    from triflow_tpu.ops.df64 import DF
+
+    model = Model("-dxxU - dxxxxU - U * dxU", "U", double="df64")
+    be = model.backend
+    N = 256
+    plan = fl.plan_for_backend(be, N)
+    assert plan is not None
+    rng = np.random.RandomState(0)
+    x = np.arange(N, dtype=np.float64) * 0.5
+    u = DF.from_float64((np.cos(0.1 * x) + 0.05 * rng.randn(N))[None])
+    h = DF.from_float64(np.zeros((0, N)))
+    p = DF.from_float64(np.zeros((0, N)))
+    xx = DF.from_float64(x)
+    J = jax.jit(lambda u: be.J_bands_df64(u, h, p, xx, periodic=True))(u)
+    v = DF.from_float64(rng.randn(1, N))
+
+    ref = banded_matvec_df(J, v, True)
+
+    Jf = DF.wrap(fl.fold(J.hi, plan), fl.fold(J.lo, plan))
+    vf = DF.wrap(fl.fold(v.hi, plan), fl.fold(v.lo, plan))
+    out = jax.jit(
+        lambda Jf, vf: fl.matvec_df_folded(Jf, vf, True, plan))(Jf, vf)
+    got = DF.wrap(fl.unfold(out.hi, plan), fl.unfold(out.lo, plan))
+    d = np.abs(got.to_float64() - ref.to_float64()).max()
+    rel = d / np.abs(ref.to_float64()).max()
+    assert rel < 1e-13, rel

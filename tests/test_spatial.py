@@ -483,3 +483,25 @@ def test_sharded_df64_simulation_trajectory(ks_model):
     ref = run(None)
     sh = run(make_mesh())
     assert np.abs(sh - ref).max() < 1e-12
+
+
+@pytest.mark.slow
+def test_sharded_df64_erk_step_matches_single_device():
+    """df64 explicit RK sharding: stages are DF halo rings + df64 local F
+    (no solve) — one fixed DOPRI5 step over 8 devices matches the
+    single-device df64 step to double-float round-off."""
+    model = Model("-dxxU - U * dxU", "U", double="df64")
+    N = 256
+    x, u_np, u, h, p, xx = _df64_state(N)
+    scheme = schemes.DOPRI5(model, time_stepping=False, tol=None)
+    fixed = scheme.device_fixed_step(periodic=True)
+    ref, *_ = fixed(jnp.float32(0.0), u, h, p, xx, jnp.float32(0.005))
+
+    sm = SpatialModel(model, make_mesh(), periodic=True)
+    cls = sm.scheme_class(schemes.DOPRI5)
+    sch = cls(model, time_stepping=False, tol=None)
+    fixed_sh = sch.device_fixed_step(periodic=True)
+    u2, *_ = fixed_sh(jnp.float32(0.0), sm.shard(u), sm.shard(h),
+                      sm.shard(p), sm.shard(xx), jnp.float32(0.005))
+    d = np.abs(u2.to_float64() - ref.to_float64()).max()
+    assert d < 1e-13, d

@@ -408,15 +408,20 @@ def test_df64_theta_step():
                    jnp.asarray(x), jnp.float64(dt))
 
     mdf = Model("k * dxxU - U * dxU", "U", "k", double="df64")
-    sdf = schemes.Theta(mdf, theta=1.0)
-    fdf = sdf.device_fixed_step(periodic=True)
     u = DF.from_float64(u0)
     h = DF.from_float64(np.zeros((0, N)))
     p = DF.from_float64(np.broadcast_to(0.5, (1, N)).astype(np.float64))
     xx = DF.from_float64(x)
-    out, *_ = jax.jit(lambda u: fdf(jnp.float32(0.0), u, h, p, xx,
-                                    jnp.float32(dt)))(u)
-    assert np.max(np.abs(out.to_float64() - np.asarray(ref))) < 1e-11
+    for kw in ({}, dict(df64_mixed_solve=1)):
+        # both the full-df64 solve and the mixed f32-preconditioned
+        # refinement (r4: same knob as the ROW family) land in the df64
+        # accuracy class
+        sdf = schemes.Theta(mdf, theta=1.0, **kw)
+        fdf = sdf.device_fixed_step(periodic=True)
+        out, *_ = jax.jit(lambda u: fdf(jnp.float32(0.0), u, h, p, xx,
+                                        jnp.float32(dt)))(u)
+        d = np.max(np.abs(out.to_float64() - np.asarray(ref)))
+        assert d < 1e-11, (kw, d)
 
 
 @pytest.mark.slow

@@ -490,6 +490,95 @@ def _row_fixed_step_folded(backend, plan, tables, s,
     return fl.unfold(u_new, plan), helpers, pstack, x, err
 
 
+def _df64_mixed_solver(problem, J, coef_df, coef32, mixed, periodic,
+                       u, helpers, pstack, x):
+    """``solve(rhs_df)`` for the df64 system ``(I - coef*J) k = rhs`` via
+    an f32 preconditioner + ``mixed`` df64-residual refinement passes
+    (Higham-style; the scheme proven at the full-df64 accuracy class in
+    tests/test_precision.py).  Shared by the ROW stage solves and the
+    theta step.
+
+    The preconditioner factors the ROUNDED system through the FOLDED
+    fused/Pallas fast path when a plan applies and the state is not
+    vmap-batched (the folded pallas path dies with a silent Mosaic abort
+    under batching on the real chip — probed r4); otherwise the
+    node-layout generic factorization serves.  ``coef_df`` is the full
+    double-float coefficient (used for the residual), ``coef32`` its f32
+    value (used for the factorization).  Residuals come straight from the
+    df64 J bands — no materialized A = I - coef*J pair array, whose
+    (hi, lo) write+reread was ~40 MB/step of pure overhead at N=1e6."""
+    from ..ops import folded as _fl
+    from ..ops.banded_df import banded_matvec_df
+    from ..ops.df64 import DF
+
+    N = x.hi.shape[-1]
+    # (name check: jax.interpreters.batching.BatchTracer is deprecated as
+    # an import surface in current jax)
+    batched = type(u.hi).__name__ == "BatchTracer"
+    plan32 = (None if batched
+              else _fl.plan_for_backend(problem.backend, N))
+    if plan32 is not None:
+        u32 = u.hi + u.lo
+        h32 = helpers.hi + helpers.lo
+        p32 = pstack.hi + pstack.lo
+        x32 = x.hi + x.lo
+        uf = _fl.fold(u32, plan32)
+        hf = _fl.fold(h32, plan32)
+        pf = _fl.fold(p32, plan32)
+        xf = _fl.fold(x32, plan32)
+        dx32 = (x32[..., -1] - x32[..., 0]) / (N - 1)
+        ffact = _fl.factor_folded_direct(
+            1.0, -coef32, problem.backend, uf, hf, pf, xf, dx32,
+            periodic, plan32)
+        if ffact is None:
+            bands_f = _fl.eval_J_folded(problem.backend, uf, hf, pf, xf,
+                                        dx32, periodic, plan32)
+            ffact = _fl.factor_folded(1.0, -coef32, bands_f, periodic,
+                                      plan32)
+    else:
+        ffact = None
+        J32 = J.hi + J.lo
+        fact32 = factor_linearized(1.0, -coef32, J32, None, periodic)
+
+    if ffact is not None and _fl.matvec_df_ok(plan32):
+        # fully-folded refinement: preconditioner solves AND the df64
+        # residual matvec run on the folded layout (matvec_df_folded: EFT
+        # chains on VMEM slabs — the XLA node-layout matvec was 6 x
+        # 2.8 ms = 64% of the 26 ms ROW step at N=1e6), with one fold per
+        # RHS and one unfold per output
+        Jf_df = DF.wrap(_fl.fold(J.hi, plan32), _fl.fold(J.lo, plan32))
+
+        def solve(rhs_df):
+            rf = DF.wrap(_fl.fold(rhs_df.hi, plan32),
+                         _fl.fold(rhs_df.lo, plan32))
+            k = DF(ffact.solve(rf.hi + rf.lo))
+            for _ in range(mixed):
+                jk = _fl.matvec_df_folded(Jf_df, k, periodic, plan32)
+                r = (rf - k) + coef_df * jk
+                k = k + DF(ffact.solve(r.hi + r.lo))
+            return DF.wrap(_fl.unfold(k.hi, plan32),
+                           _fl.unfold(k.lo, plan32))
+
+        return solve
+
+    if ffact is not None:
+        def solve32(r32, _p=plan32, _f=ffact):
+            return _fl.unfold(_f.solve(_fl.fold(r32, _p)), _p)
+    else:
+        def solve32(r32, _f=fact32):
+            return _f.solve(r32)
+
+    def solve(rhs_df):
+        k = DF(solve32(rhs_df.hi + rhs_df.lo))
+        for _ in range(mixed):
+            jk = banded_matvec_df(J, k, periodic)
+            r = (rhs_df - k) + coef_df * jk
+            k = k + DF(solve32(r.hi + r.lo))
+        return k
+
+    return solve
+
+
 def _adaptive_embedded_loop(fixed_step, *, tol, safety, max_iter, dt_min,
                             compensated, exponent=0.5, interpolate=False,
                             precise_time=False):
@@ -787,102 +876,24 @@ class ROW_general(_SchemeBase):
                 gdt = g00_df * DF(dt)
                 mixed = getattr(self, "_df64_mixed", 0)
                 if mixed:
-                    # f32 preconditioner + df64 operator for the residual
-                    # passes.  The preconditioner routes through the FOLDED
-                    # f32 fast path where it applies: the node-layout
-                    # generic banded solve measured 4.6 ms/solve at N=1e6
-                    # on the v5e (x12 per RODASPR step = the dominant line
-                    # of the r3 df64 step, ~55 of 71 ms), while a folded
-                    # solve is ~0.05 ms plus a fold/unfold relayout.  The
-                    # folded factor evaluates J32 from the ROUNDED state
-                    # (J(round(u)) instead of round(J_df64(u)) — both are
-                    # f32-accurate preconditioners; the refinement corrects
-                    # against the df64 operator either way, so the
-                    # converged answer is unchanged).
-                    from ..ops import folded as _fl
+                    # f32 preconditioner + df64-residual refinement: the
+                    # preconditioner routes through the FOLDED f32 fast
+                    # path where it applies — the node-layout generic
+                    # banded solve measured 4.6 ms/solve at N=1e6 on the
+                    # v5e (x12 per RODASPR step = the dominant line of the
+                    # r3 df64 step, ~55 of 71 ms), while a folded solve is
+                    # ~0.05 ms plus a relayout.  The folded factor
+                    # evaluates J32 from the ROUNDED state (J(round(u))
+                    # instead of round(J_df64(u)) — both are f32-accurate
+                    # preconditioners; the refinement corrects against the
+                    # df64 operator either way).  See _df64_mixed_solver.
+                    mixed_solve = _df64_mixed_solver(
+                        problem, J, gdt, float(g00) * dt, mixed, periodic,
+                        u, helpers, pstack, x)
 
-                    N = x.hi.shape[-1]
-                    # vmapped state (df64 ensembles): the folded pallas
-                    # preconditioner dies under batching on the real chip
-                    # (silent Mosaic abort, probed r4) — route batched
-                    # members through the node-layout f32 factorization.
-                    # (name check: jax.interpreters.batching.BatchTracer
-                    # is deprecated as an import surface in current jax)
-                    batched = type(u.hi).__name__ == "BatchTracer"
-                    plan32 = (None if batched
-                              else _fl.plan_for_backend(problem.backend, N))
-                    if plan32 is not None:
-                        u32 = u.hi + u.lo
-                        h32 = helpers.hi + helpers.lo
-                        p32 = pstack.hi + pstack.lo
-                        x32 = x.hi + x.lo
-                        uf = _fl.fold(u32, plan32)
-                        hf = _fl.fold(h32, plan32)
-                        pf = _fl.fold(p32, plan32)
-                        xf = _fl.fold(x32, plan32)
-                        dx32 = (x32[..., -1] - x32[..., 0]) / (N - 1)
-                        ffact = _fl.factor_folded_direct(
-                            1.0, -float(g00) * dt, problem.backend,
-                            uf, hf, pf, xf, dx32, periodic, plan32)
-                        if ffact is None:
-                            bands_f = _fl.eval_J_folded(
-                                problem.backend, uf, hf, pf, xf, dx32,
-                                periodic, plan32)
-                            ffact = _fl.factor_folded(
-                                1.0, -float(g00) * dt, bands_f, periodic,
-                                plan32)
-                    else:
-                        ffact = None
-                        J32 = J.hi + J.lo
-                        fact32 = factor_linearized(
-                            1.0, -float(g00) * dt, J32, None, periodic)
-
-                    if ffact is not None and _fl.matvec_df_ok(plan32):
-                        # fully-folded refinement: preconditioner solves
-                        # AND the df64 residual matvec run on the folded
-                        # layout (matvec_df_folded: EFT chains on VMEM
-                        # slabs — the XLA node-layout matvec was 6 x
-                        # 2.8 ms = 64% of the 26 ms step at N=1e6), with
-                        # one fold per stage RHS and one unfold per stage
-                        # output
-                        Jf_df = DF.wrap(_fl.fold(J.hi, plan32),
-                                        _fl.fold(J.lo, plan32))
-
-                        class _MixedFact:
-                            def solve(self_, rhs_df):
-                                rf = DF.wrap(_fl.fold(rhs_df.hi, plan32),
-                                             _fl.fold(rhs_df.lo, plan32))
-                                k = DF(ffact.solve(rf.hi + rf.lo))
-                                for _ in range(mixed):
-                                    jk = _fl.matvec_df_folded(
-                                        Jf_df, k, periodic, plan32)
-                                    r = (rf - k) + gdt * jk
-                                    k = k + DF(ffact.solve(r.hi + r.lo))
-                                return DF.wrap(
-                                    _fl.unfold(k.hi, plan32),
-                                    _fl.unfold(k.lo, plan32))
-                    else:
-                        if ffact is not None:
-                            def solve32(r32, _p=plan32, _f=ffact):
-                                return _fl.unfold(
-                                    _f.solve(_fl.fold(r32, _p)), _p)
-                        else:
-                            def solve32(r32, _f=fact32):
-                                return _f.solve(r32)
-
-                        class _MixedFact:
-                            def solve(self_, rhs_df):
-                                # residual of (I - gdt*J) k = rhs computed
-                                # straight from the df64 J bands — NOT
-                                # from a materialized A = I - gdt*J band
-                                # array, whose (hi, lo) write+reread was
-                                # ~40 MB/step of pure overhead at N=1e6
-                                k = DF(solve32(rhs_df.hi + rhs_df.lo))
-                                for _ in range(mixed):
-                                    jk = banded_matvec_df(J, k, periodic)
-                                    r = (rhs_df - k) + gdt * jk
-                                    k = k + DF(solve32(r.hi + r.lo))
-                                return k
+                    class _MixedFact:
+                        def solve(self_, rhs_df):
+                            return mixed_solve(rhs_df)
 
                     fact = _MixedFact()
                 else:
@@ -1641,10 +1652,15 @@ class Theta(_SchemeBase):
     current state (reference schemes.py:502-559); the sparse LU of the
     reference is replaced by the banded BCR solve."""
 
-    def __init__(self, model, theta=1, solver=None):
+    def __init__(self, model, theta=1, solver=None, df64_mixed_solve=0):
         super().__init__(model)
         self._theta = theta
         self._solver = solver  # optional custom (A_bands, B, periodic) -> x
+        # df64 models only: n > 0 replaces the full-df64 linear solve with
+        # f32-preconditioned df64-residual refinement (same knob and
+        # accuracy class as the ROW family's df64_mixed_solve; the
+        # preconditioner rides the folded fast path where it applies)
+        self._df64_mixed = int(df64_mixed_solve) if self._df64 else 0
 
     def _folded_core(self, problem, plan, periodic):
         """Folded-native theta step.  Uses the identity
@@ -1705,8 +1721,15 @@ class Theta(_SchemeBase):
                     th_dt = float(theta) * dt_df
                     B = dt_df * F - th_dt * banded_matvec_df(J, u, periodic) \
                         + u
-                    u2 = factor_banded_df(
-                        axpy_bands_df(1.0, -th_dt, J), periodic).solve(B)
+                    mixed = getattr(self, "_df64_mixed", 0)
+                    if mixed:
+                        solve = _df64_mixed_solver(
+                            problem, J, th_dt, float(theta) * dt, mixed,
+                            periodic, u, helpers, pstack, x)
+                        u2 = solve(B)
+                    else:
+                        u2 = factor_banded_df(
+                            axpy_bands_df(1.0, -th_dt, J), periodic).solve(B)
                 return u2, helpers, pstack, x, jnp.zeros((), jnp.float32)
             if theta != 0 and solver is None:
                 from ..ops import folded as _folded

@@ -26,7 +26,7 @@ headline.
 
 Environment knobs: BENCH_N, BENCH_STEPS, BENCH_REPEATS, BENCH_ONLY
 (comma-separated subset of {ks,ks_scaling,ks_adaptive,ensemble,burgers,
-film,advdiff,sweep,df64,ks}).
+film,advdiff,sweep,df64_smalln,df64_ensemble,df64}).
 """
 
 import json
@@ -604,6 +604,81 @@ def bench_df64_smalln():
     print(json.dumps(rec), flush=True)
 
 
+def bench_df64_ensemble():
+    """df64 ensemble throughput (VERDICT r4 missing #1): B=64 x N=1e5 KS
+    members in double-float through the members-as-chunks mixed-precision
+    plan (parallel/ensemble._build_merged_df — f32 folded preconditioner
+    over the merged chunk system + df64-residual refinement), vs the
+    vmapped DF fallback measured in the same run (``vs_vmapped`` reports
+    the multiple).  vs_baseline = value / 1e7 (same scale as the
+    single-grid df64 point)."""
+    import jax
+
+    from triflow_tpu import Model, schemes
+    from triflow_tpu.parallel import Ensemble
+    from triflow_tpu.ops.df64 import DF
+
+    B = int(os.environ.get("BENCH_DF64_ENS_B", 64))
+    N = int(os.environ.get("BENCH_DF64_ENS_N", 100_000))
+    STEPS = int(os.environ.get("BENCH_DF64_ENS_STEPS", 10))
+    REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
+    DTX = 0.05
+
+    model = Model("-dxxU - dxxxxU - U * dxU", "U", double="df64")
+    x = np.arange(N, dtype=np.float64) * 0.5
+    rng = np.random.RandomState(1)
+    phases = rng.rand(B, 1) * 2 * np.pi
+    u0 = (np.cos(2 * np.pi * np.arange(N)[None] / N * 10 + phases)
+          + 0.1 * rng.randn(B, N))
+
+    def run(ens, steps):
+        ens.steps(steps, DTX)            # warmup / compile
+        jax.block_until_ready(ens.u.hi)
+        top = 0.0
+        for _ in range(REPEATS):
+            start = time.perf_counter()
+            ens.steps(steps, DTX)
+            jax.block_until_ready(ens.u.hi)
+            top = max(top, B * N * steps / (time.perf_counter() - start))
+        if not bool(np.isfinite(np.asarray(ens.u.hi)).all()):
+            raise RuntimeError("non-finite state")
+        return top
+
+    ens = Ensemble(model, u0, dict(periodic=True), x,
+                   scheme=schemes.RODASPR, time_stepping=False, tol=None,
+                   df64_mixed_solve=1)
+    merged = ens._merged_df_plan is not None
+    best = run(ens, STEPS)
+
+    # vmapped DF fallback, measured in-run (fewer steps: it is the slow
+    # path this metric exists to quantify); skip with BENCH_DF64_ENS_FAST=1
+    vs_vmapped = None
+    if not os.environ.get("BENCH_DF64_ENS_FAST"):
+        os.environ["TRIFLOW_NO_FOLDED"] = "1"
+        try:
+            ens_v = Ensemble(model, u0, dict(periodic=True), x,
+                             scheme=schemes.RODASPR, time_stepping=False,
+                             tol=None, df64_mixed_solve=1)
+            assert ens_v._merged_df_plan is None
+            vm = run(ens_v, max(2, STEPS // 5))
+            vs_vmapped = best / vm
+        finally:
+            del os.environ["TRIFLOW_NO_FOLDED"]
+
+    rec = {
+        "metric": "ks-df64-ensemble-cell-updates", "value": round(best, 1),
+        "unit": "cells/s", "vs_baseline": round(best / 1e7, 4),
+        "cells": B * N, "steps_timed": STEPS, "B": B, "N": N,
+        "device": str(jax.devices()[0]),
+        "precision": "df64", "solver": "mixed (merged members-as-chunks)"
+        if merged else "vmapped DF fallback",
+        "merged_df_fold": merged,
+    }
+    if vs_vmapped is not None:
+        rec["vs_vmapped"] = round(vs_vmapped, 2)
+    print(json.dumps(rec), flush=True)
+
+
 def bench_burgers():
     """Config 2: Burgers at N=1e6, backward-Euler (Theta, linearized) —
     banded J eval + fused factor + solve per step."""
@@ -775,6 +850,7 @@ BENCHES = [
     ("film", bench_film),
     ("advdiff", bench_advdiff),
     ("df64_smalln", bench_df64_smalln),
+    ("df64_ensemble", bench_df64_ensemble),
     ("df64", bench_df64),
     ("ks", bench_ks),
 ]

@@ -389,6 +389,46 @@ def test_df64_dirichlet_hook():
     assert np.abs(U - np.linspace(1.0, 0.0, N)).max() < 1e-3
 
 
+def test_df64_hook_exact_enforcement_after_lo_drift():
+    """Enforced boundary values are bit-exact even when the solver drifted
+    ONLY the lo component (r4 left a ~ulp(hi)/2 ~ 6e-8 hole: change
+    detection by hi inequality missed a re-imposed target whose hi was
+    already there).  The perturbed-probe detection zeroes lo for every
+    state-independent enforced entry; untouched entries keep their full
+    (hi, lo) pair unchanged (core/schemes._apply_hook_df64)."""
+    from triflow_tpu.core import schemes as schemes_mod
+    from triflow_tpu.ops.df64 import DF
+
+    model = Model("k * dxxU", "U", "k", double="df64")
+
+    def dirichlet(t, fields, pars):
+        fields["U"] = fields["U"].at[0].set(1.0).at[-1].set(0.25)
+        return fields, pars
+
+    problem = schemes_mod._DeviceProblem(model, dirichlet, False, df64=True)
+    N = 32
+    x = DF.from_float64(np.linspace(0, 1, N))
+    u0 = np.cos(np.linspace(0, 3, N))[None]
+    u0[0, 0], u0[0, -1] = 1.0, 0.25          # hi already AT the targets
+    u = DF.from_float64(u0)
+    # drift only lo at the boundaries (what a df64 solver update can do)
+    u = DF.wrap(u.hi, u.lo.at[0, 0].add(3e-9).at[0, -1].add(-2e-9))
+    h = DF.from_float64(np.zeros((0, N)))
+    p = DF.from_float64(np.full((1, N), 0.01))
+    u2, h2, p2, x2 = problem.apply_hook(0.0, u, h, p, x)
+    # boundary pairs are exactly the enforced values: lo zeroed
+    assert float(u2.lo[0, 0]) == 0.0 and float(u2.lo[0, -1]) == 0.0
+    assert u2.to_float64()[0, 0] == 1.0
+    assert u2.to_float64()[0, -1] == 0.25
+    # interior pairs pass through bit-exactly (hi AND lo)
+    assert np.array_equal(np.asarray(u2.hi)[0, 1:-1],
+                          np.asarray(u.hi)[0, 1:-1])
+    assert np.array_equal(np.asarray(u2.lo)[0, 1:-1],
+                          np.asarray(u.lo)[0, 1:-1])
+    # parameters keep their pairs (unchanged by the hook)
+    assert np.array_equal(np.asarray(p2.lo), np.asarray(p.lo))
+
+
 def test_df64_theta_step():
     """Theta's df64 branch: a backward-Euler df64 step matches the f64
     step to the df64 class."""

@@ -94,13 +94,18 @@ class _DeviceProblem:
     the reference's native-f64 compute path (model.py:148) at f32 speed.
     """
 
-    def __init__(self, model, hook, periodic: bool, df64: bool = False):
+    def __init__(self, model, hook, periodic: bool, df64: bool = False,
+                 batched: bool = False):
         self.backend = model.backend
         self.system = model.backend.system
         self.template = model.fields_template
         self.hook = hook
         self.periodic = periodic
         self.df64 = df64
+        # set by callers that vmap the fixed step (ensembles): gates the
+        # folded Pallas paths off explicitly instead of relying on tracer
+        # class-name sniffing (see _df64_mixed_solver)
+        self.batched = batched
 
     def apply_hook(self, t, u, helpers, pstack, x):
         if self.hook is null_hook:
@@ -139,28 +144,49 @@ class _DeviceProblem:
 
     def _apply_hook_df64(self, t, u, helpers, pstack, x):
         """Hook semantics on double-float state: the hook sees the hi
-        component (the f32 value); entries it CHANGES get their lo zeroed
+        component (the f32 value); entries it ENFORCES get their lo zeroed
         (a Dirichlet scatter sets the exact new value), entries it leaves
         alone keep their full df64 pair.
 
-        Granularity caveat (documented limitation): change detection is by
-        value inequality on hi, so a hook that re-imposes a value whose hi
-        ALREADY equals the target (e.g. re-setting U[0]=1.0 after the
-        solver drifted only the lo component) leaves the stale lo in
-        place — df64 hooks enforce values only to f32 granularity when hi
-        is unchanged.  In practice Dirichlet targets are f32-representable
-        constants whose lo is 0 at the first enforcement, and every
-        subsequent solver update that moves hi re-triggers the exact
-        scatter; a drift confined strictly to lo is bounded by ulp(hi)/2
-        (~6e-8 relative), the same envelope the caveat states."""
+        Enforcement detection is exact for state-independent targets
+        (reference bar: hooks mutate f64 state exactly,
+        /root/reference/triflow/core/schemes.py:139-145).  Two hook
+        evaluations run: one on the true hi state and one on a perturbed
+        copy.  An entry whose output CHANGED vs the input is enforced; an
+        entry whose output did NOT follow the input perturbation is also
+        enforced (a Dirichlet constant re-imposing a value whose hi is
+        already at the target — e.g. after the solver drifted only the lo
+        component — is caught here, closing the ~ulp(hi)/2 ~ 6e-8 boundary
+        hole of the changed-only rule).  Both classes get lo zeroed, so
+        the enforced value is bit-exact.
+
+        Remaining caveat (documented): a hook that COMPUTES its boundary
+        value from the state (e.g. a mirror u[0] = u[1]) moves with the
+        perturbation, so it is only caught by the changed-vs-input rule —
+        if its hi already equals the target while lo drifted, enforcement
+        is f32-granular for that entry.  Dirichlet/parameter/x-derived
+        targets — every reference-style hook — are state-independent and
+        therefore exact."""
         from ..ops.df64 import DF
 
         u2h, h2h, p2, x2h = self._plain_hook(
             t, u.hi, helpers.hi, pstack.hi, x.hi)
-        changed_u = u2h != u.hi
-        u_new = DF.wrap(u2h, jnp.where(changed_u, 0.0, u.lo))
-        changed_h = h2h != helpers.hi
-        h_new = DF.wrap(h2h, jnp.where(changed_h, 0.0, helpers.lo))
+        # perturbed state probe: d >= max(|a|, 1) * 2^-10 always survives
+        # f32 rounding, so every state entry is visibly moved
+        delta = np.float32(2.0 ** -10)
+
+        def perturb(a):
+            return a + jnp.maximum(jnp.abs(a), 1.0) * delta
+
+        u2p, h2p, _p2p, _x2p = self._plain_hook(
+            t, perturb(u.hi), perturb(helpers.hi), pstack.hi, x.hi)
+        enforced_u = (u2h != u.hi) | (u2h == u2p)
+        u_new = DF.wrap(u2h, jnp.where(enforced_u, 0.0, u.lo))
+        enforced_h = (h2h != helpers.hi) | (h2h == h2p)
+        h_new = DF.wrap(h2h, jnp.where(enforced_h, 0.0, helpers.lo))
+        # x / pstack are not perturbed (hook targets routinely DERIVE from
+        # them, and they are inputs, not solver-evolved state): the
+        # changed-only rule suffices there
         changed_x = x2h != x.hi
         x_new = DF.wrap(x2h, jnp.where(changed_x, 0.0, x.lo))
         changed_p = p2 != pstack.hi
@@ -228,12 +254,15 @@ class _SchemeBase:
         """
         return self._get_stepper(hook, periodic)
 
-    def device_fixed_step(self, hook=null_hook, periodic=True):
+    def device_fixed_step(self, hook=null_hook, periodic=True,
+                          batched=False):
         """Pure single fixed step (no adaptive loop) where the scheme defines
         one: ``fixed(t, u, helpers, pstack, x, dt) -> (u', helpers', pstack',
-        x', err)``."""
+        x', err)``.  Callers that vmap the returned step over a batch axis
+        must pass ``batched=True`` so single-address-space Pallas paths are
+        gated off explicitly."""
         problem = _DeviceProblem(self._model, hook, periodic,
-                                 df64=self._df64)
+                                 df64=self._df64, batched=batched)
         return self._fixed_step_fn(problem)
 
     def device_steps(self, t, fields, n, dt, pars, hook=null_hook):
@@ -512,9 +541,13 @@ def _df64_mixed_solver(problem, J, coef_df, coef32, mixed, periodic,
     from ..ops.df64 import DF
 
     N = x.hi.shape[-1]
-    # (name check: jax.interpreters.batching.BatchTracer is deprecated as
-    # an import surface in current jax)
-    batched = type(u.hi).__name__ == "BatchTracer"
+    # batching gate: the explicit flag from callers that vmap (the
+    # ensemble knows it is batching — _DeviceProblem.batched), with the
+    # tracer-class-name sniff kept only as a defensive backstop (the
+    # folded pallas path's documented failure mode under an undeclared
+    # batch is a silent Mosaic abort on hardware)
+    batched = (getattr(problem, "batched", False)
+               or type(u.hi).__name__ == "BatchTracer")
     plan32 = (None if batched
               else _fl.plan_for_backend(problem.backend, N))
     if plan32 is not None:

@@ -914,8 +914,12 @@ class _SpatialERKMixin(_SpatialSchemeMixin):
 class _SpatialThetaMixin(_SpatialSchemeMixin):
     def _fixed_step_fn(self, problem):
         sm = self._spatial
+        # forward the user's df64_mixed_solve pass count exactly as the
+        # ROW mixin does (the single-grid default 0 maps to 2 passes here)
         core = sm._theta_core(self._theta, problem.periodic,
-                              df64=self._df64)
+                              df64=self._df64,
+                              df64_mixed=getattr(self, "_df64_mixed", 0)
+                              or 2)
 
         def fixed_step(t, u, helpers, pstack, x, dt):
             u, helpers, pstack, x = problem.apply_hook(t, u, helpers,

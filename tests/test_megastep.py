@@ -270,3 +270,54 @@ def test_mega_rejects_multi_lane_tile_plans(interpret_pallas):
     plan = folded.plan_for_ensemble(
         be, 256, 16, accept=lambda p: megastep.applicable(be, p, 6))
     assert plan is not None and plan.C8 <= 128
+
+
+def test_megastep_df64_matches_node_layout(interpret_pallas, monkeypatch):
+    """The df64 whole-step kernel (row_step_df_folded: mixed-precision
+    step — f32 factor of the rounded system, DF stages, in-kernel df64
+    residual refinement — as ONE pallas_call) matches the node-layout
+    mixed pipeline bit-for-bit in structure and to the df64 accuracy
+    class in value, and both land at ~1e-13 of the f64 step."""
+    import jax
+
+    from triflow_tpu.ops.df64 import DF
+
+    N, dt = 64, 0.0625
+    model = Model("-dxxU - dxxxxU - U * dxU", "U", double="df64")
+    plan = folded.plan_for_backend(model.backend, N)
+    assert plan is not None
+    assert megastep.applicable_df(model.backend, plan, 3)
+
+    x = np.arange(N, dtype=np.float64) * 0.5
+    rng = np.random.RandomState(0)
+    u0 = (np.cos(2 * np.pi * np.arange(N) / N * 3)
+          + 0.1 * rng.randn(N))[None]
+    u = DF.from_float64(u0)
+    h = DF.from_float64(np.zeros((0, N)))
+    p = DF.from_float64(np.zeros((0, N)))
+    xx = DF.from_float64(x)
+
+    def one_step(**env):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        try:
+            sch = schemes.ROS3PRw(model, time_stepping=False, tol=None,
+                                  df64_mixed_solve=1)
+            fixed = sch.device_fixed_step(periodic=True)
+            out, *_ = fixed(jnp.float32(0.0), u, h, p, xx,
+                            jnp.float32(dt))
+            return out.to_float64()
+        finally:
+            for k in env:
+                monkeypatch.delenv(k)
+
+    ref = one_step(TRIFLOW_NO_MEGA_DF="1")     # node-layout mixed path
+    mega = one_step()                          # the whole-step kernel
+    assert np.abs(mega - ref).max() < 1e-12
+
+    m64 = Model("-dxxU - dxxxxU - U * dxU", "U", double=True)
+    s64 = schemes.ROS3PRw(m64, time_stepping=False, tol=None)
+    f64s = s64.device_fixed_step(periodic=True)
+    r64, *_ = f64s(0.0, jnp.asarray(u0), jnp.zeros((0, N)),
+                   jnp.zeros((0, N)), jnp.asarray(x), jnp.float64(dt))
+    assert np.abs(mega - np.asarray(r64)).max() < 1e-11

@@ -271,7 +271,10 @@ def test_df64_mixed_solve_accuracy():
 
     def run(double, **kw):
         model = Model("-dxxU - dxxxxU - U * dxU", "U", double=double)
-        scheme = schemes.RODASPR(model, time_stepping=False, tol=None, **kw)
+        # ROS3PRw (3 stages): the mixed-solve property is
+        # scheme-independent; the RODASPR df64 trace costs 2x the compile
+        scheme = schemes.ROS3PRw(model, time_stepping=False, tol=None,
+                                 **kw)
         fixed = scheme.device_fixed_step(periodic=True)
         if double == "df64":
             u = DF.from_float64(u0)
@@ -324,7 +327,11 @@ def test_df64_mixed_solve_folded_preconditioner(monkeypatch):
         if double == "df64":
             # the folded preconditioner must actually be selectable here
             assert fl.plan_for_backend(model.backend, N) is not None
-        scheme = schemes.RODASPR(model, time_stepping=False, tol=None, **kw)
+        # ROS3PRw (3 stages, half the RODASPR trace): the routing property
+        # is scheme-independent and the df64 interpret-mode RODASPR trace
+        # was 70 s of compile alone in the fast lane
+        scheme = schemes.ROS3PRw(model, time_stepping=False, tol=None,
+                                 **kw)
         fixed = scheme.device_fixed_step(periodic=True)
         if double == "df64":
             u = DF.from_float64(u0)
@@ -373,9 +380,14 @@ def test_df64_dirichlet_hook():
 
     # dt=12: 10 output steps reach the same steady state as 60 did (the
     # adaptive controller does the internal work; fewer host dispatches —
-    # the r3 63 s fast-lane cost was output-step count, not physics)
+    # the r3 63 s fast-lane cost was output-step count, not physics).
+    # ROS3PRL: 4 stages (2/3 of the RODASPR df64 trace) and STIFFLY
+    # ACCURATE — a W-method (ROS3PRw) leaves an O(1) boundary layer on
+    # hook-forced Dirichlet problems (order reduction), so the scheme
+    # here must be stiffly accurate.
     sim = Simulation(model, model.fields_template(x=x, U=U0),
                      dict(periodic=False, k=1e-2), hook=dirichlet,
+                     scheme=schemes.ROS3PRL,
                      dt=12.0, tmax=120.0, tol=1e-8)
     for t, fields in sim:
         pass

@@ -69,7 +69,19 @@ def split(a):
     implicit bit + the top 11 explicit mantissa bits (12 significand
     bits), lo = a - hi is exact (same exponent, full cancellation) and
     also fits 12 bits — so every cross product of two splits is exact in
-    f32 (24-bit significands)."""
+    f32 (24-bit significands).
+
+    Rank-0 operands route through a (1, 1) view: inside a Mosaic kernel
+    even constants are tracers (omnistaging) and ``tpu.bitcast`` rejects
+    scalar operands; the (1, 1) bitcast + reshape-back is value-identical
+    and compiles on both the kernel and XLA paths (probed on v5e)."""
+    if getattr(a, "ndim", 0) == 0 and not isinstance(a, (float, np.floating)):
+        v = jnp.reshape(a, (1, 1))
+        vi = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        hi = jnp.reshape(
+            jax.lax.bitcast_convert_type(vi & np.uint32(0xFFFFF000),
+                                         jnp.float32), ())
+        return hi, a - hi
     ai = jax.lax.bitcast_convert_type(a, jnp.uint32)
     hi = jax.lax.bitcast_convert_type(
         ai & np.uint32(0xFFFFF000), jnp.float32

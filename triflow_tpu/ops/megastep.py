@@ -509,6 +509,370 @@ def _solve_values(facs, Dhs, DUs, Ws, Vs, red: _Reduced, rhs, plan, wrap):
 
 
 # ---------------------------------------------------------------------------
+# df64 value-level pieces (the precision twin of the step body: mixed
+# f32-preconditioned solves + double-float F/J/residuals, all in-kernel)
+# ---------------------------------------------------------------------------
+
+def applicable_df(backend, plan: FoldPlan, n_stages: int) -> bool:
+    """True when the df64 whole-step kernel can serve this plan: the f32
+    gates plus the DF working set — state/stage/window slabs become
+    (hi, lo) pairs and the band storage triples (f32 preconditioner bands
+    + the DF pair), while the f32 factor rows and the reduced operators
+    stay single."""
+    if os.environ.get("TRIFLOW_NO_MEGA_DF"):
+        return False
+    if not applicable(backend, plan, n_stages):
+        return False
+    if plan.B > 1:
+        return False          # ensemble plans: the merged DF path serves
+    item = jnp.dtype(backend.dtype).itemsize
+    nvar, W = plan.nvar, plan.W
+    vec = plan.K * plan.Cp * item
+    bands = W * nvar * nvar * vec
+    stages = (n_stages + 4) * nvar * vec
+    nhelp = len(backend.system.help_funcs)
+    npar = len(backend.system.pars)
+    windows = (3 * nvar + 3 * nhelp + npar + 1) * vec
+    # extra pair components on top of the f32 estimate
+    extra = 2 * bands + stages + windows + 2 * nvar * vec
+    budget = int(os.environ.get("TRIFLOW_MEGA_BUDGET_MB", 6)) << 20
+    return _vmem_estimate(backend, plan, n_stages) + extra <= budget
+
+
+def _build_args_values_df(backend, plan: FoldPlan, periodic, u, he, ps,
+                          xv, dx):
+    """DF stencil args from whole-array VMEM DF values (the double-float
+    twin of _build_args_values: windows are structural, so hi and lo
+    extend componentwise and the pairs stay exact)."""
+    from .df64 import DF
+
+    h, K = backend.halo, plan.K
+
+    def win(a):
+        return (_chunk_halo_window(a, a, a, h, periodic, 0, 1, plan)
+                if h else a)
+
+    named = {}
+    uwh, uwl = win(u.hi), win(u.lo)
+    for idx, name in enumerate(backend.system.dep_vars):
+        named[name] = DF.wrap(uwh[idx], uwl[idx])
+    if len(backend.system.help_funcs):
+        hwh, hwl = win(he.hi), win(he.lo)
+        for idx, name in enumerate(backend.system.help_funcs):
+            named[name] = DF.wrap(hwh[idx], hwl[idx])
+    args = [xv]
+    for var, off in backend._offset_args:
+        d = named[var]
+        args.append(DF.wrap(d.hi[h + off: h + off + K],
+                            d.lo[h + off: h + off + K]))
+    for idx in range(len(backend.system.pars)):
+        args.append(DF.wrap(ps.hi[idx], ps.lo[idx]))
+    args.append(dx)
+    return args
+
+
+def _as_df_slab(val, shape):
+    """Coerce a DF-lambdified row output (DF, array or scalar constant) to
+    a DF of broadcast (K, 8, C8) slabs."""
+    from .df64 import DF
+
+    if not isinstance(val, DF):
+        val = DF(jnp.asarray(val, jnp.float32))
+    return DF.wrap(jnp.broadcast_to(val.hi, shape),
+                   jnp.broadcast_to(val.lo, shape))
+
+
+def _f_rows_values_df(backend, plan: FoldPlan, args):
+    """df64 F(u) -> DF (nvar, K, 8, C8); dead chunks zeroed (both
+    components)."""
+    from .df64 import DF, df_where
+
+    K, C8 = plan.K, plan.C8
+    F_fns, _ = backend._df64_lambdified()
+    rows = [_as_df_slab(fn(*args), (K, 8, C8)) for fn in F_fns]
+    out = DF.wrap(jnp.stack([r.hi for r in rows]),
+                  jnp.stack([r.lo for r in rows]))
+    dead = _dead_mask(plan)
+    if dead is not None:
+        out = df_where(dead, 0.0, out)
+    return out
+
+
+def _j_rows_values_df(backend, args, plan: FoldPlan, periodic):
+    """df64 banded-Jacobian slab DF (W, nvar, nvar, K, 8, C8) from DF
+    stencil args — the double-float twin of _j_rows_values (whole-array
+    form: Kb = K, tid = 0, nt = 1).  Edge folding moves band values with
+    the same masks on both components (exact)."""
+    from .df64 import DF, df_where, df_zeros
+
+    nvar, W, h = backend.system.nvar, plan.W, plan.halo
+    K, C8 = plan.K, plan.C8
+    _, J_fns = backend._df64_lambdified()
+    krow = jax.lax.broadcasted_iota(jnp.int32, (K, 8, C8), 0)
+    first, last = _member_masks(plan)
+    zero = df_zeros((K, 8, C8))
+    rows = {}
+    for (m, n, kb), fn in J_fns.items():
+        rows[(kb, m, n)] = _as_df_slab(fn(*args), (K, 8, C8))
+
+    def get(kb, m, n):
+        return rows.get((kb, m, n), zero)
+
+    if not periodic:
+        for m in range(nvar):
+            for n in range(nvar):
+                for i in range(h):
+                    for kb in range(h - i):
+                        mask = (krow == i) & first
+                        src = get(kb, m, n)
+                        rows[(h - i, m, n)] = df_where(
+                            mask, get(h - i, m, n) + src, get(h - i, m, n))
+                        rows[(kb, m, n)] = df_where(mask, 0.0, src)
+                for i in range(h):
+                    for kb in range(h - i):
+                        koff = W - 1 - kb
+                        mask = (krow == K - 1 - i) & last
+                        src = get(koff, m, n)
+                        rows[(h + i, m, n)] = df_where(
+                            mask, get(h + i, m, n) + src, get(h + i, m, n))
+                        rows[(koff, m, n)] = df_where(mask, 0.0, src)
+
+    dead = _dead_mask(plan)
+    if dead is not None:
+        rows = {k: df_where(dead, 0.0, v) for k, v in rows.items()}
+
+    def stack(comp):
+        return jnp.stack([
+            jnp.stack([
+                jnp.stack([getattr(get(kb, m, n), comp)
+                           for n in range(nvar)])
+                for m in range(nvar)
+            ])
+            for kb in range(W)
+        ])
+
+    return DF.wrap(stack("hi"), stack("lo"))
+
+
+def _matvec_values_df(bands_df, v_df, periodic, plan: FoldPlan):
+    """df64 (J @ v) at value level: DF windows + EFT accumulation chains
+    (the in-kernel twin of folded.matvec_df_folded with Kb = K)."""
+    from .df64 import DF, add_, mul_
+
+    W, nvar, h, K = plan.W, plan.nvar, plan.halo, plan.K
+
+    def window(v):
+        if h == 0:
+            return v
+        w = _chunk_halo_window(v, v, v, h, periodic, 0, 1, plan)
+        if not periodic:
+            first, last = _member_masks(plan)
+            head = jnp.where(first, 0.0, w[..., :h, :, :])
+            tail = jnp.where(last, 0.0, w[..., -h:, :, :])
+            w = jnp.concatenate([head, w[..., h:-h, :, :], tail], axis=-3)
+        return w
+
+    wh, wl = window(v_df.hi), window(v_df.lo)
+    rows_h, rows_l = [], []
+    for m in range(nvar):
+        acc = None
+        for kb in range(W):
+            for n in range(nvar):
+                ph, pe = mul_(bands_df.hi[kb, m, n], bands_df.lo[kb, m, n],
+                              wh[n, kb: kb + K, :, :],
+                              wl[n, kb: kb + K, :, :])
+                acc = ((ph, pe) if acc is None
+                       else add_(acc[0], acc[1], ph, pe))
+        rows_h.append(acc[0])
+        rows_l.append(acc[1])
+    return DF.wrap(jnp.stack(rows_h), jnp.stack(rows_l))
+
+
+def _row_step_values_df(backend, plan: FoldPlan, tables, s_stages,
+                        periodic, u_df, he_df, ps_df, xv_df, dx_df, dt,
+                        mixed):
+    """One mixed-precision df64 ROW (or theta) step at value level: the f32
+    factorization of the ROUNDED system preconditions ``mixed``
+    df64-residual refinement passes per stage against the in-kernel DF
+    banded operator — the single-launch statement of the
+    ``df64_mixed_solve`` scheme (core/schemes._df64_mixed_solver), closing
+    the small-N df64 gap (VERDICT r4 missing #2: 467 us/step through the
+    ~28-launch scan vs the 22 us f32 megakernel floor).  Returns
+    ``(u_new_df, err)`` with err an f32 scalar of the embedded estimate."""
+    from .df64 import DF, df_where, from_scalar
+
+    a_t, c_t, m_t, m_pred_t, g00 = tables
+    wrap = bool(periodic) and plan.halo > 0
+    cyclic = wrap and plan.cyclic_ok
+    f32 = jnp.float32
+
+    # --- f32 preconditioner of the rounded system -------------------------
+    # (absent helper/param operands arrive as None — nhelp/npar gates in
+    # the arg builders never read them)
+    u32 = u_df.hi + u_df.lo
+    he32 = None if he_df is None else he_df.hi + he_df.lo
+    ps32 = None if ps_df is None else ps_df.hi + ps_df.lo
+    xv32 = xv_df.hi + xv_df.lo
+    dx32 = dx_df.hi + dx_df.lo
+    args32 = _build_args_values(backend, plan, periodic, u32, he32, ps32,
+                                xv32, dx32)
+    bands32 = _j_rows_values(backend, args32, plan.K, 0, 1, periodic, plan,
+                             f32)
+    one = jnp.ones((), f32)
+    beta32 = -float(g00) * dt
+    facs, Dhs, DUs, Ws, Vs = _factor_values(bands32, one, beta32, plan,
+                                            wrap)
+    Lred, Ured = _reduced_LU_values(Ws, Vs, plan)
+    red = _Reduced(plan, Lred, Ured, cyclic, wrap)
+
+    def solve32(r32):
+        return _solve_values(facs, Dhs, DUs, Ws, Vs, red, r32, plan, wrap)
+
+    # --- DF operator for the residuals ------------------------------------
+    args_df = _build_args_values_df(backend, plan, periodic, u_df, he_df,
+                                    ps_df, xv_df, dx_df)
+    bands_df = _j_rows_values_df(backend, args_df, plan, periodic)
+
+    def c11(c):
+        # DF scalar constants as (1, 1) vectors: inside the kernel trace
+        # even constants are tracers (omnistaging), and the EFT split's
+        # tpu.bitcast rejects rank-0 operands (probed on v5e) — (1, 1)
+        # bitcasts fine and broadcasts against every slab shape
+        h, l = from_scalar(float(c))
+        return DF.wrap(jnp.full((1, 1), h, f32), jnp.full((1, 1), l, f32))
+
+    gdt = c11(g00) * DF(jnp.reshape(dt, (1, 1)))
+
+    def solve_mixed(rhs):
+        k = DF(solve32(rhs.hi + rhs.lo))
+        for _ in range(mixed):
+            jk = _matvec_values_df(bands_df, k, periodic, plan)
+            r = (rhs - k) + gdt * jk
+            k = k + DF(solve32(r.hi + r.lo))
+        return k
+
+    us = []
+    for i in range(s_stages):
+        u_i = u_df
+        for j in range(i):
+            if a_t[i, j]:
+                u_i = u_i + c11(a_t[i, j]) * us[j]
+        if i == 0:
+            s_args = args_df
+        else:
+            s_args = _build_args_values_df(backend, plan, periodic, u_i,
+                                           he_df, ps_df, xv_df, dx_df)
+        rhs = gdt * _f_rows_values_df(backend, plan, s_args)
+        for j in range(i):
+            if c_t[i, j]:
+                rhs = rhs + c11(g00 * c_t[i, j]) * us[j]
+        us.append(solve_mixed(rhs))
+
+    u_new = u_df
+    for i in range(s_stages):
+        if m_t[i]:
+            u_new = u_new + c11(m_t[i]) * us[i]
+    if m_pred_t is not None:
+        diff = None
+        for i in range(s_stages):
+            c = m_t[i] - m_pred_t[i]
+            if c:
+                term = c11(c) * us[i]
+                diff = term if diff is None else diff + term
+        err = jnp.max(jnp.abs(diff.hi + diff.lo))
+        err = jnp.where(jnp.isnan(err) | jnp.isinf(err),
+                        jnp.asarray(jnp.inf, f32), err)
+    else:
+        err = jnp.full((), jnp.inf, f32)
+    return u_new, err
+
+
+def row_step_df_folded(backend, plan: FoldPlan, tables, s_stages, periodic,
+                       uf_df, hf_df, pf_df, xf_df, dx_df, dt, mixed,
+                       nsteps=1):
+    """``nsteps`` mixed-precision df64 ROW steps as ONE pallas_call ->
+    (uf_new_df, err), or None when the df64 whole-step kernel does not
+    apply (callers fall back to the node-layout mixed pipeline).  All
+    operands are folded DF pairs; ``dt`` is the (exact) f32 step and
+    ``dx_df`` the DF grid spacing."""
+    from .df64 import DF
+
+    if not applicable_df(backend, plan, s_stages):
+        return None
+    dtype = jnp.float32
+    nvar, K, C8 = plan.nvar, plan.K, plan.C8
+    nhelp = len(backend.system.help_funcs)
+    npar = len(backend.system.pars)
+    n = int(nsteps)
+
+    def kernel(*refs):
+        it = iter(refs)
+        uh = next(it)[...]
+        ul = next(it)[...]
+        # zero-size slabs must never be CREATED in-kernel (Mosaic rejects
+        # 0-dim vector types); absent operands thread as None and the
+        # nhelp/npar gates downstream never touch them
+        he = DF.wrap(next(it)[...], next(it)[...]) if nhelp else None
+        ps = DF.wrap(next(it)[...], next(it)[...]) if npar else None
+        xh, xl = next(it)[...], next(it)[...]
+        sc_ref = next(it)
+        oh_ref = next(it)
+        ol_ref = next(it)
+        err_ref = next(it)
+        dt_v = sc_ref[0, 0]
+        # traced scalars entering DF arithmetic ride as (1, 1) vectors:
+        # the EFT split's tpu.bitcast rejects scalar operands (probed on
+        # v5e), while (1, 1) bitcasts fine and broadcasts against every
+        # slab shape
+        dx_df_v = DF.wrap(sc_ref[0, 1].reshape(1, 1),
+                          sc_ref[0, 2].reshape(1, 1))
+        xv = DF.wrap(xh, xl)
+
+        def one(u_):
+            return _row_step_values_df(backend, plan, tables, s_stages,
+                                       periodic, u_, he, ps, xv, dx_df_v,
+                                       dt_v, mixed)
+
+        u0 = DF.wrap(uh, ul)
+        if n == 1:
+            u_new, err = one(u0)
+        else:
+            u_new, err = jax.lax.fori_loop(
+                0, n, lambda _i, c: one(c[0]),
+                (u0, jnp.zeros((), dtype)))
+        oh_ref[...] = u_new.hi
+        ol_ref[...] = u_new.lo
+        err_ref[0, 0] = err
+
+    sc = jnp.stack([jnp.asarray(dt, dtype),
+                    jnp.asarray(dx_df.hi, dtype),
+                    jnp.asarray(dx_df.lo, dtype)]).reshape(1, 3)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ops = [uf_df.hi, uf_df.lo]
+    specs = [vspec, vspec]
+    if nhelp:
+        ops += [hf_df.hi, hf_df.lo]
+        specs += [vspec, vspec]
+    if npar:
+        ops += [pf_df.hi, pf_df.lo]
+        specs += [vspec, vspec]
+    ops += [xf_df.hi, xf_df.lo, sc]
+    specs += [vspec, vspec, sspec]
+    oh, ol, err = _pcall(
+        kernel,
+        in_specs=specs,
+        out_specs=[vspec, vspec, sspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((nvar, K, 8, C8), dtype),
+            jax.ShapeDtypeStruct((nvar, K, 8, C8), dtype),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+        ],
+    )(*ops)
+    return DF.wrap(oh, ol), err[0, 0]
+
+
+# ---------------------------------------------------------------------------
 # the whole-step kernels
 # ---------------------------------------------------------------------------
 

@@ -563,7 +563,6 @@ def bench_df64_smalln():
     model = Model("-dxxU - dxxxxU - U * dxU", "U", double="df64")
     scheme = schemes.RODASPR(model, time_stepping=False, tol=None,
                              df64_mixed_solve=1)
-    fixed = scheme.device_fixed_step(periodic=True)
 
     x = np.arange(N, dtype=np.float64) * 0.5
     rng = np.random.RandomState(0)
@@ -574,14 +573,40 @@ def bench_df64_smalln():
     p = DF.from_float64(np.zeros((0, N)))
     xx = DF.from_float64(x)
 
-    def chain(carry, _):
-        t, u_ = carry
-        u2, *_ = fixed(t, u_, h, p, xx, jnp.float32(DTX))
-        return (t + DTX, u2), ()
+    solver = "mixed-n1"
+    scan_api = scheme.device_fixed_scan_df_folded(N, periodic=True)
+    if scan_api is not None:
+        # whole-chunk in-kernel stepping: STEPS df64 steps = ONE
+        # pallas_call (the df64 megakernel's fori_loop — same lever as
+        # the f32 small-N path)
+        from triflow_tpu.ops import folded as fl
 
-    @jax.jit
-    def run_chunk(t, u_):
-        return jax.lax.scan(chain, (t, u_), length=STEPS)[0]
+        solver = "mixed-n1 megakernel"
+        plan, scan_f = scan_api
+
+        def fold_df(a):
+            return DF.wrap(fl.fold(a.hi, plan), fl.fold(a.lo, plan))
+
+        dx_df = (xx[-1] - xx[0]) / DF(jnp.float32(N - 1))
+
+        @jax.jit
+        def run_chunk(t, u_):
+            uf2 = scan_f(fold_df(u_), fold_df(h), fold_df(p), fold_df(xx),
+                         dx_df, jnp.float32(DTX), STEPS)
+            return (t + STEPS * DTX,
+                    DF.wrap(fl.unfold(uf2.hi, plan),
+                            fl.unfold(uf2.lo, plan)))
+    else:
+        fixed = scheme.device_fixed_step(periodic=True)
+
+        def chain(carry, _):
+            t, u_ = carry
+            u2, *_ = fixed(t, u_, h, p, xx, jnp.float32(DTX))
+            return (t + DTX, u2), ()
+
+        @jax.jit
+        def run_chunk(t, u_):
+            return jax.lax.scan(chain, (t, u_), length=STEPS)[0]
 
     t, u = run_chunk(jnp.float32(0.0), u)      # warmup / compile
     jax.block_until_ready(u.hi)
@@ -599,7 +624,7 @@ def bench_df64_smalln():
         "cells": N, "steps_timed": STEPS, "N": N,
         "us_per_step": round(N / best * 1e6, 2),
         "device": str(jax.devices()[0]),
-        "precision": "df64", "solver": "mixed-n1",
+        "precision": "df64", "solver": solver,
     }
     print(json.dumps(rec), flush=True)
 

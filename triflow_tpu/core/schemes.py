@@ -1098,6 +1098,36 @@ class ROW_general(_SchemeBase):
 
         return plan, scan_f
 
+    def device_fixed_scan_df_folded(self, N, periodic=True):
+        """``nsteps`` mixed-precision df64 ROW steps as ONE kernel launch
+        (the df64 whole-step kernel's in-kernel fori_loop) for launch-bound
+        small grids — the df64 twin of device_fixed_scan_folded.  Returns
+        ``(plan, scan_f)`` with ``scan_f(uf_df, hf_df, pf_df, xf_df,
+        dx_df, dt, nsteps) -> uf2_df`` (folded DF operands; ``nsteps``
+        static), or None when the df64 whole-step kernel does not apply."""
+        from ..ops import folded as fl
+        from ..ops import megastep
+
+        backend = self._model.backend
+        mixed = getattr(self, "_df64_mixed", 0)
+        if not self._df64 or not mixed or getattr(self, "_refine", 0):
+            return None
+        plan = fl.plan_for_backend(backend, N)
+        if plan is None or not megastep.applicable_df(backend, plan,
+                                                      self._s):
+            return None
+        tables, s = self._tables, self._s
+        if self._tol is None and not self._time_control:
+            tables = tables[:3] + (None,) + tables[4:]
+
+        def scan_f(uf, hf, pf, xf, dx_df, dt, nsteps):
+            out = megastep.row_step_df_folded(
+                backend, plan, tables, s, periodic, uf, hf, pf, xf,
+                dx_df, dt, mixed, nsteps=int(nsteps))
+            return out[0]
+
+        return plan, scan_f
+
     def _build_stepper(self, problem):
         fixed_step = self._fixed_step_fn(problem)
 
@@ -1860,12 +1890,34 @@ class Theta(_SchemeBase):
         """Folded-native theta step for scan-level stepping (state stays in
         the chunk-native layout across steps — see the ROW twin).  Returns
         ``(plan, fixed_f)`` with ``fixed_f(t, uf, hf, pf, xf, dx, dt) ->
-        (uf', err)`` or None when the folded path does not apply."""
+        (uf', err)`` or None when the folded path does not apply.
+
+        Large periodic single-variable grids route through the two-pass
+        grid-blocked whole-step kernel (ops/megatheta) when it applies —
+        the entire local solve stays VMEM-resident per 128-lane tile, so
+        the factor rows / rhs / sweep intermediates never touch HBM
+        (TRIFLOW_NO_MEGATHETA=1 forces the kernel-granular path)."""
         if self._theta == 0 or self._solver is not None:
             return None
         from ..ops import folded as fl
+        from ..ops import megatheta
 
         problem = _DeviceProblem(self._model, null_hook, periodic)
+        if not self._df64:
+            picked = megatheta.plan_for(problem.backend, N)
+            if picked is not None and megatheta.applicable(
+                    problem.backend, picked[0], periodic):
+                tplan, lb = picked
+                theta = self._theta
+                backend = problem.backend
+
+                def fixed_t(t, uf, hf, pf, xf, dx, dt):
+                    uf2 = megatheta.theta_step_tiled(
+                        backend, tplan, theta, periodic, uf, hf, pf, xf,
+                        dx, dt, lb=lb)
+                    return uf2, jnp.zeros((), uf.dtype)
+
+                return tplan, fixed_t
         plan = (None if self._df64
                 else fl.plan_for_backend(problem.backend, N))
         if plan is None:

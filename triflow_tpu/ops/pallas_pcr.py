@@ -217,7 +217,8 @@ def applicable(s2: int, C: int, dtype, nrhs: int = 1,
     item = jnp.dtype(dtype).itemsize
     nlev = len(_levels(Cm or C))
     blk = s2 * s2 * 8 * (-(-C // 8)) * item
-    if (2 * nlev + 8) * blk > 10 * 1024 * 1024:
+    budget = int(os.environ.get("TRIFLOW_PCR_BUDGET_MB", 10)) << 20
+    if (2 * nlev + 8) * blk > budget:
         return False
     return True
 

@@ -321,3 +321,53 @@ def test_megastep_df64_matches_node_layout(interpret_pallas, monkeypatch):
     r64, *_ = f64s(0.0, jnp.asarray(u0), jnp.zeros((0, N)),
                    jnp.zeros((0, N)), jnp.asarray(x), jnp.float64(dt))
     assert np.abs(mega - np.asarray(r64)).max() < 1e-11
+
+
+def test_megatheta_tiled_matches_grid_path(interpret_pallas, monkeypatch):
+    """The two-pass grid-blocked theta kernel (ops/megatheta, opt-in via
+    TRIFLOW_MEGATHETA=1) matches the kernel-granular folded theta step:
+    per-tile fused factor/data sweeps + the standard reduced interface
+    machinery reproduce the same solve."""
+    from triflow_tpu.ops import megatheta
+
+    N, dt = 8192, 0.05
+    model = Model("-U * dxU + nu * dxxU", "U", "nu", double=False)
+    be = model.backend
+    monkeypatch.setenv("TRIFLOW_MEGATHETA", "1")
+    picked = megatheta.plan_for(be, N)
+    assert picked is not None
+    tplan, lb = picked
+    assert tplan.C >= 1024 and tplan.Cp == tplan.C
+
+    sch = schemes.Theta(model, theta=1.0)
+    api_t = sch.device_fixed_step_folded(N, periodic=True)
+    assert api_t is not None
+    plan_t, fixed_t = api_t
+    assert plan_t.C == tplan.C          # the tiled plan was selected
+
+    monkeypatch.setenv("TRIFLOW_NO_MEGATHETA", "1")
+    plan_r, fixed_r = schemes.Theta(model, theta=1.0).\
+        device_fixed_step_folded(N, periodic=True)
+    monkeypatch.delenv("TRIFLOW_NO_MEGATHETA")
+
+    import jax.numpy as jnp
+
+    x = np.arange(N, dtype=np.float64) * 0.5
+    rng = np.random.RandomState(0)
+    u0 = (np.cos(2 * np.pi * np.arange(N) / N * 4)
+          + 0.05 * rng.randn(N)).astype(np.float32)[None]
+    pst = be.pack_pars(dict(nu=0.5, periodic=True),
+                       jnp.asarray(x, jnp.float32))
+    hf = jnp.zeros((0, N), jnp.float32)
+
+    def run(plan, fixed):
+        uf = folded.fold(jnp.asarray(u0), plan)
+        out, _ = fixed(jnp.float32(0.0), uf,
+                       folded.fold(hf, plan), folded.fold(pst, plan),
+                       folded.fold(jnp.asarray(x, jnp.float32), plan),
+                       jnp.float32(0.5), jnp.float32(dt))
+        return np.asarray(folded.unfold(out, plan))
+
+    a = run(plan_r, fixed_r)
+    b = run(plan_t, fixed_t)
+    assert np.abs(a - b).max() < 2e-5

@@ -549,8 +549,13 @@ def _row_df64_mega_step(scheme, problem, tables, s, periodic,
     from ..ops import megastep as _ms
     from ..ops.df64 import DF
 
-    plan = scheme._df64_mega_plan_for(problem, u, x)
-    if plan is None or not _ms.applicable_df(problem.backend, plan, s):
+    # gate on the standard plan hook (single address space, unbatched DF
+    # state), then re-plan for the kernel's own cost model (max lane
+    # utilization — see megastep.df64_small_plan_for)
+    if scheme._df64_mega_plan_for(problem, u, x) is None:
+        return None
+    plan = _ms.df64_small_plan_for(problem.backend, x.hi.shape[-1], s)
+    if plan is None:
         return None
 
     def fold_df(a):
@@ -1112,9 +1117,10 @@ class ROW_general(_SchemeBase):
         mixed = getattr(self, "_df64_mixed", 0)
         if not self._df64 or not mixed or getattr(self, "_refine", 0):
             return None
-        plan = fl.plan_for_backend(backend, N)
-        if plan is None or not megastep.applicable_df(backend, plan,
-                                                      self._s):
+        if fl.plan_for_backend(backend, N) is None:
+            return None          # same TPU/foldability gate as every path
+        plan = megastep.df64_small_plan_for(backend, N, self._s)
+        if plan is None:
             return None
         tables, s = self._tables, self._s
         if self._tol is None and not self._time_control:
@@ -1892,18 +1898,23 @@ class Theta(_SchemeBase):
         ``(plan, fixed_f)`` with ``fixed_f(t, uf, hf, pf, xf, dx, dt) ->
         (uf', err)`` or None when the folded path does not apply.
 
-        Large periodic single-variable grids route through the two-pass
-        grid-blocked whole-step kernel (ops/megatheta) when it applies —
-        the entire local solve stays VMEM-resident per 128-lane tile, so
-        the factor rows / rhs / sweep intermediates never touch HBM
-        (TRIFLOW_NO_MEGATHETA=1 forces the kernel-granular path)."""
+        ``TRIFLOW_MEGATHETA=1`` opts into the two-pass grid-blocked
+        whole-step kernel (ops/megatheta) where it applies.  It is OFF by
+        default: measured on the v5e at Burgers N=1e6 it reaches 5.27 G
+        cells/s at its best plan vs 6.19 G through the kernel-granular
+        path — the HBM-traffic win (~28 vs ~60 MB/step) is more than
+        cancelled by the serial sweep depth at narrow lane tiles and the
+        larger reduced interface system at wide ones (BASELINE.md
+        §Roofline records the full sweep)."""
         if self._theta == 0 or self._solver is not None:
             return None
+        import os as _os
+
         from ..ops import folded as fl
         from ..ops import megatheta
 
         problem = _DeviceProblem(self._model, null_hook, periodic)
-        if not self._df64:
+        if not self._df64 and _os.environ.get("TRIFLOW_MEGATHETA"):
             picked = megatheta.plan_for(problem.backend, N)
             if picked is not None and megatheta.applicable(
                     problem.backend, picked[0], periodic):

@@ -539,6 +539,33 @@ def applicable_df(backend, plan: FoldPlan, n_stages: int) -> bool:
     return _vmem_estimate(backend, plan, n_stages) + extra <= budget
 
 
+def df64_small_plan_for(backend, N: int, n_stages: int) -> FoldPlan | None:
+    """Plan for the df64 whole-step kernel, chosen for VREG efficiency:
+    the kernel's cost is dominated by elementwise EFT chains on
+    (K, 8, C8) slabs, so maximize the lane utilization (C8 as close to
+    the 128-lane tile as possible — a C8=63 plan wastes half of every
+    vector op) and minimize the sweep depth second.  The grid-kernel
+    gates do not apply (everything runs inside ONE kernel)."""
+    system = backend.system
+    g = max(backend.halo, 1)
+    if N % g or system.nvar * g > 8:
+        return None
+    M = N // g
+    best = None
+    for Mc in range(2, _MC_CAP + 1):
+        if M % Mc:
+            continue
+        C = M // Mc
+        plan = FoldPlan(N, system.nvar, backend.halo, g, backend.window,
+                        C, Mc, Mc * g, C & (C - 1) == 0 and C >= 8)
+        if not applicable_df(backend, plan, n_stages):
+            continue
+        score = (-plan.C8, Mc)
+        if best is None or score < best[0]:
+            best = (score, plan)
+    return best[1] if best else None
+
+
 def _build_args_values_df(backend, plan: FoldPlan, periodic, u, he, ps,
                           xv, dx):
     """DF stencil args from whole-array VMEM DF values (the double-float

@@ -144,7 +144,7 @@ def test_df64_arithmetic_under_jit():
 
 @pytest.mark.parametrize(
     "W,nvar,N,periodic",
-    [(5, 1, 300, True),
+    [(5, 1, 160, True),
      # the block (nvar=2) case compiles a much larger df64 trace — nightly
      pytest.param(5, 2, 200, False, marks=pytest.mark.slow)])
 def test_df64_banded_solver_vs_scipy(W, nvar, N, periodic):
@@ -314,7 +314,7 @@ def test_df64_mixed_solve_folded_preconditioner(monkeypatch):
     from triflow_tpu.ops.df64 import DF
 
     monkeypatch.setenv("TRIFLOW_PALLAS_INTERPRET", "1")
-    N, steps, dt = 96, 6, 0.0625
+    N, steps, dt = 64, 2, 0.0625
     x = np.arange(N, dtype=np.float64) * 0.5
     rng = np.random.RandomState(0)
     u0 = (np.cos(2 * np.pi * np.arange(N) / N * 3)
@@ -327,11 +327,10 @@ def test_df64_mixed_solve_folded_preconditioner(monkeypatch):
         if double == "df64":
             # the folded preconditioner must actually be selectable here
             assert fl.plan_for_backend(model.backend, N) is not None
-        # ROS3PRw (3 stages, half the RODASPR trace): the routing property
-        # is scheme-independent and the df64 interpret-mode RODASPR trace
-        # was 70 s of compile alone in the fast lane
-        scheme = schemes.ROS3PRw(model, time_stepping=False, tol=None,
-                                 **kw)
+        # ROS2 (2 stages, a third of the RODASPR trace): the routing
+        # property is scheme-independent and the interpret-mode pallas
+        # TRACING dominates this test every run (it is not XLA-cacheable)
+        scheme = schemes.ROS2(model, **kw)
         fixed = scheme.device_fixed_step(periodic=True)
         if double == "df64":
             u = DF.from_float64(u0)
@@ -378,17 +377,19 @@ def test_df64_dirichlet_hook():
         fields["U"] = fields["U"].at[0].set(1.0).at[-1].set(0.0)
         return fields, pars
 
-    # dt=12: 10 output steps reach the same steady state as 60 did (the
-    # adaptive controller does the internal work; fewer host dispatches —
-    # the r3 63 s fast-lane cost was output-step count, not physics).
-    # ROS3PRL: 4 stages (2/3 of the RODASPR df64 trace) and STIFFLY
-    # ACCURATE — a W-method (ROS3PRw) leaves an O(1) boundary layer on
-    # hook-forced Dirichlet problems (order reduction), so the scheme
-    # here must be stiffly accurate.
+    # hook-imposed Dirichlet values propagate inward at the SMALL-step
+    # rate (at dt -> inf a backward-Euler step relaxes toward the
+    # edge-folded operator's Neumann steady state and the hook only
+    # resets two nodes, ~(1 - 2/N) contraction — measured), so the
+    # adaptive ROW controller with a moderate tolerance is actually the
+    # cheap way to the steady profile; k=4e-2 shortens the diffusion
+    # time 4x vs r4 and tol=1e-6 keeps the internal-step count low
+    # (boundary EXACTNESS is independent of tol — the hook enforces it
+    # bit-exactly, pinned by the lo-drift unit test above)
     sim = Simulation(model, model.fields_template(x=x, U=U0),
-                     dict(periodic=False, k=1e-2), hook=dirichlet,
+                     dict(periodic=False, k=4e-2), hook=dirichlet,
                      scheme=schemes.ROS3PRL,
-                     dt=12.0, tmax=120.0, tol=1e-8)
+                     dt=6.0, tmax=60.0, tol=1e-6)
     for t, fields in sim:
         pass
     U = np.asarray(fields["U"])
@@ -465,9 +466,8 @@ def test_df64_theta_step():
     p = DF.from_float64(np.broadcast_to(0.5, (1, N)).astype(np.float64))
     xx = DF.from_float64(x)
     for kw in ({}, dict(df64_mixed_solve=1)):
-        # both the full-df64 solve and the mixed f32-preconditioned
-        # refinement (r4: same knob as the ROW family) land in the df64
-        # accuracy class
+        # both the full-df64 solve (the default) and the mixed
+        # f32-preconditioned refinement land in the df64 accuracy class
         sdf = schemes.Theta(mdf, theta=1.0, **kw)
         fdf = sdf.device_fixed_step(periodic=True)
         out, *_ = jax.jit(lambda u: fdf(jnp.float32(0.0), u, h, p, xx,

@@ -418,7 +418,13 @@ def _df64_state(N, seed=0):
             DF.from_float64(np.zeros((0, N))), DF.from_float64(x))
 
 
-@pytest.mark.parametrize("periodic", [True, False])
+@pytest.mark.parametrize(
+    "periodic",
+    [True,
+     # the edge-mode variant compiles a second full df64 shard_map trace
+     # for ~15 s on the 1-core harness — nightly (the periodic variant
+     # keeps the df64 sharded step in the fast lane, VERDICT r4 weak #6)
+     pytest.param(False, marks=pytest.mark.slow)])
 def test_sharded_df64_row_step_matches_single_device(periodic):
     """One fixed df64 ROW step sharded over 8 devices matches the
     single-device df64 step to <= 1e-12 (the r3 'done' bar): DF state

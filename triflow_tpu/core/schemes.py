@@ -866,7 +866,7 @@ class ROW_general(_SchemeBase):
     def __init__(self, model, alpha, gamma, b, b_pred=None,
                  time_stepping=False, tol=None, max_iter=None, dt_min=None,
                  safety_factor=0.9, recompute_target=True,
-                 compensated=False, refine=0, df64_mixed_solve=0):
+                 compensated=False, refine=0, df64_mixed_solve=None):
         super().__init__(model)
         # df64 state already carries ~49-bit significands; the f32 Kahan
         # track would be both redundant and DF-incompatible
@@ -879,7 +879,19 @@ class ROW_general(_SchemeBase):
         # (Higham-style).  Error per solve ~ (eps32 * cond)^n vs the
         # ~1e-14 of the full-df64 solver; n=2 meets the 1e-8 target at a
         # fraction of the cost (no df64 factorization, no df64 sweeps).
-        self._df64_mixed = int(df64_mixed_solve) if self._df64 else 0
+        # Default (None -> 0, the full-df64 solver): mixed is the
+        # recommended THROUGHPUT config (measured at the same ~1e-13
+        # accuracy class on every BASELINE workload at >10x the rate),
+        # but its per-solve residue ~(eps32*cond)^n pollutes the embedded
+        # ERROR ESTIMATE: at tight tolerances (tol <~ 1e-8) on stiff
+        # systems the controller sees solve noise instead of truncation
+        # error and grinds at tiny dt (measured: 33k internal iterations
+        # on a tol=1e-8 Dirichlet heat run that the full solver does in a
+        # handful).  The full solver stays the default exactly like the
+        # reference's unconditional f64; opt into mixed explicitly.
+        self._df64_mixed = ((0 if df64_mixed_solve is None
+                             else int(df64_mixed_solve))
+                            if self._df64 else 0)
         self._alpha = np.asarray(alpha, dtype=np.float64)
         self._gamma = np.asarray(gamma, dtype=np.float64)
         self._b = np.asarray(b, dtype=np.float64)
@@ -1310,13 +1322,14 @@ class ROS2(ROW_general):
     """2nd-order 2-stage Rosenbrock scheme, no time stepping
     (coefficients: reference schemes.py:241-256)."""
 
-    def __init__(self, model):
+    def __init__(self, model, df64_mixed_solve=None):
         gamma = np.array([[2.928932188134e-1, 0],
                           [-5.857864376269e-1, 2.928932188134e-1]])
         alpha = np.array([[0, 0],
                           [1, 0]])
         b = np.array([1 / 2, 1 / 2])
-        super().__init__(model, alpha, gamma, b, time_stepping=False)
+        super().__init__(model, alpha, gamma, b, time_stepping=False,
+                         df64_mixed_solve=df64_mixed_solve)
 
 
 class ROS3PRw(ROW_general):
@@ -1325,7 +1338,7 @@ class ROS3PRw(ROW_general):
 
     def __init__(self, model, tol=1e-1, time_stepping=True,
                  max_iter=None, dt_min=None, recompute_target=True,
-                 compensated=False, refine=0, df64_mixed_solve=0):
+                 compensated=False, refine=0, df64_mixed_solve=None):
         alpha = np.zeros((3, 3))
         gamma = np.zeros((3, 3))
         gamma_i = 7.8867513459481287e-01
@@ -1356,7 +1369,7 @@ class ROS3PRL(ROW_general):
 
     def __init__(self, model, tol=1e-1, time_stepping=True,
                  max_iter=None, dt_min=None, recompute_target=True,
-                 compensated=False, refine=0, df64_mixed_solve=0):
+                 compensated=False, refine=0, df64_mixed_solve=None):
         alpha = np.zeros((4, 4))
         gamma = np.zeros((4, 4))
         gamma_i = 4.3586652150845900e-01
@@ -1396,7 +1409,7 @@ class RODASPR(ROW_general):
 
     def __init__(self, model, tol=1e-1, time_stepping=True,
                  max_iter=None, dt_min=None, recompute_target=True,
-                 compensated=False, refine=0, df64_mixed_solve=0):
+                 compensated=False, refine=0, df64_mixed_solve=None):
         alpha = np.zeros((6, 6))
         gamma = np.zeros((6, 6))
         b = [-7.9683251690137014e-1,
@@ -1783,15 +1796,17 @@ class Theta(_SchemeBase):
     current state (reference schemes.py:502-559); the sparse LU of the
     reference is replaced by the banded BCR solve."""
 
-    def __init__(self, model, theta=1, solver=None, df64_mixed_solve=0):
+    def __init__(self, model, theta=1, solver=None, df64_mixed_solve=None):
         super().__init__(model)
         self._theta = theta
         self._solver = solver  # optional custom (A_bands, B, periodic) -> x
         # df64 models only: n > 0 replaces the full-df64 linear solve with
-        # f32-preconditioned df64-residual refinement (same knob and
-        # accuracy class as the ROW family's df64_mixed_solve; the
+        # f32-preconditioned df64-residual refinement (same knob, default
+        # and accuracy class as the ROW family's df64_mixed_solve; the
         # preconditioner rides the folded fast path where it applies)
-        self._df64_mixed = int(df64_mixed_solve) if self._df64 else 0
+        self._df64_mixed = ((0 if df64_mixed_solve is None
+                             else int(df64_mixed_solve))
+                            if self._df64 else 0)
 
     def _folded_core(self, problem, plan, periodic):
         """Folded-native theta step.  Uses the identity

@@ -371,3 +371,47 @@ def test_megatheta_tiled_matches_grid_path(interpret_pallas, monkeypatch):
     a = run(plan_r, fixed_r)
     b = run(plan_t, fixed_t)
     assert np.abs(a - b).max() < 2e-5
+
+
+def test_megastep_theta_df64_matches_node_layout(interpret_pallas,
+                                                 monkeypatch):
+    """The df64 theta whole-step kernel (1-stage table, rhs = dt*F with
+    the theta*dt system coefficient) matches the node-layout mixed theta
+    step and the f64 step."""
+    import jax
+
+    from triflow_tpu.ops.df64 import DF
+
+    N, dt = 64, 0.25
+    x = np.linspace(0, 10, N, endpoint=False)
+    u0 = np.cos(2 * np.pi * x / 10)[None]
+    mdf = Model("k * dxxU - U * dxU", "U", "k", double="df64")
+    u = DF.from_float64(u0)
+    h = DF.from_float64(np.zeros((0, N)))
+    p = DF.from_float64(np.broadcast_to(0.5, (1, N)).astype(np.float64))
+    xx = DF.from_float64(x)
+
+    def one(**env):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        try:
+            sch = schemes.Theta(mdf, theta=1.0, df64_mixed_solve=1)
+            out, *_ = sch.device_fixed_step(periodic=True)(
+                jnp.float32(0.0), u, h, p, xx, jnp.float32(dt))
+            return out.to_float64()
+        finally:
+            for k in env:
+                monkeypatch.delenv(k)
+
+    ref = one(TRIFLOW_NO_MEGA_DF="1")
+    mega = one()
+    assert np.abs(mega - ref).max() < 1e-12
+
+    m64 = Model("k * dxxU - U * dxU", "U", "k", double=True)
+    s64 = schemes.Theta(m64, theta=1.0)
+    p64 = m64.backend.pack_pars(dict(k=0.5, periodic=True),
+                                jnp.asarray(x))
+    r64, *_ = s64.device_fixed_step(periodic=True)(
+        0.0, jnp.asarray(u0), jnp.zeros((0, N)), p64, jnp.asarray(x),
+        jnp.float64(dt))
+    assert np.abs(mega - np.asarray(r64)).max() < 1e-11

@@ -572,6 +572,34 @@ def _row_df64_mega_step(scheme, problem, tables, s, periodic,
     return DF.wrap(_fl.unfold(uf2.hi, plan), _fl.unfold(uf2.lo, plan)), err
 
 
+def _theta_df64_mega_step(scheme, problem, theta, periodic,
+                          u, helpers, pstack, x, dt, mixed):
+    """Fold DF state, run the df64 theta whole-step kernel, unfold — or
+    None when it does not apply (see ops/megastep.theta_step_df_folded)."""
+    from ..ops import folded as _fl
+    from ..ops import megastep as _ms
+    from ..ops.df64 import DF
+
+    if scheme._df64_mega_plan_for(problem, u, x) is None:
+        return None
+    plan = _ms.df64_small_plan_for(problem.backend, x.hi.shape[-1], 1)
+    if plan is None:
+        return None
+
+    def fold_df(a):
+        return DF.wrap(_fl.fold(a.hi, plan), _fl.fold(a.lo, plan))
+
+    N = x.hi.shape[-1]
+    dx_df = (x[..., -1] - x[..., 0]) / DF(jnp.float32(N - 1))
+    out = _ms.theta_step_df_folded(
+        problem.backend, plan, theta, periodic, fold_df(u),
+        fold_df(helpers), fold_df(pstack), fold_df(x), dx_df, dt, mixed)
+    if out is None:
+        return None
+    uf2, err = out
+    return DF.wrap(_fl.unfold(uf2.hi, plan), _fl.unfold(uf2.lo, plan)), err
+
+
 def _df64_mixed_solver(problem, J, coef_df, coef32, mixed, periodic,
                        u, helpers, pstack, x):
     """``solve(rhs_df)`` for the df64 system ``(I - coef*J) k = rhs`` via
@@ -1858,6 +1886,16 @@ class Theta(_SchemeBase):
                                              factor_banded_df)
                 from ..ops.df64 import DF
 
+                mixed_n = getattr(self, "_df64_mixed", 0)
+                if theta != 0 and mixed_n and solver is None:
+                    # single-launch df64 theta step (the small-N latency
+                    # path — see the ROW twin _row_df64_mega_step)
+                    out = _theta_df64_mega_step(self, problem, theta,
+                                                periodic, u, helpers,
+                                                pstack, x, dt, mixed_n)
+                    if out is not None:
+                        return (out[0], helpers, pstack, x,
+                                jnp.zeros((), jnp.float32))
                 F = problem.F(u, helpers, pstack, x)
                 dt_df = DF(dt)
                 if theta == 0:

@@ -717,7 +717,7 @@ def _matvec_values_df(bands_df, v_df, periodic, plan: FoldPlan):
 
 def _row_step_values_df(backend, plan: FoldPlan, tables, s_stages,
                         periodic, u_df, he_df, ps_df, xv_df, dx_df, dt,
-                        mixed):
+                        mixed, rhs_dt_scale=False):
     """One mixed-precision df64 ROW (or theta) step at value level: the f32
     factorization of the ROUNDED system preconditions ``mixed``
     df64-residual refinement passes per stage against the in-kernel DF
@@ -768,7 +768,11 @@ def _row_step_values_df(backend, plan: FoldPlan, tables, s_stages,
         h, l = from_scalar(float(c))
         return DF.wrap(jnp.full((1, 1), h, f32), jnp.full((1, 1), l, f32))
 
-    gdt = c11(g00) * DF(jnp.reshape(dt, (1, 1)))
+    dt_df = DF(jnp.reshape(dt, (1, 1)))
+    gdt = c11(g00) * dt_df
+    # theta (1-stage table): the system coefficient is theta*dt but the
+    # RHS is dt*F — u2 = u + (I - theta*dt*J)^-1 (dt*F)
+    rhs_scale = dt_df if rhs_dt_scale else gdt
 
     def solve_mixed(rhs):
         k = DF(solve32(rhs.hi + rhs.lo))
@@ -789,7 +793,7 @@ def _row_step_values_df(backend, plan: FoldPlan, tables, s_stages,
         else:
             s_args = _build_args_values_df(backend, plan, periodic, u_i,
                                            he_df, ps_df, xv_df, dx_df)
-        rhs = gdt * _f_rows_values_df(backend, plan, s_args)
+        rhs = rhs_scale * _f_rows_values_df(backend, plan, s_args)
         for j in range(i):
             if c_t[i, j]:
                 rhs = rhs + c11(g00 * c_t[i, j]) * us[j]
@@ -816,7 +820,7 @@ def _row_step_values_df(backend, plan: FoldPlan, tables, s_stages,
 
 def row_step_df_folded(backend, plan: FoldPlan, tables, s_stages, periodic,
                        uf_df, hf_df, pf_df, xf_df, dx_df, dt, mixed,
-                       nsteps=1):
+                       nsteps=1, rhs_dt_scale=False):
     """``nsteps`` mixed-precision df64 ROW steps as ONE pallas_call ->
     (uf_new_df, err), or None when the df64 whole-step kernel does not
     apply (callers fall back to the node-layout mixed pipeline).  All
@@ -858,7 +862,8 @@ def row_step_df_folded(backend, plan: FoldPlan, tables, s_stages, periodic,
         def one(u_):
             return _row_step_values_df(backend, plan, tables, s_stages,
                                        periodic, u_, he, ps, xv, dx_df_v,
-                                       dt_v, mixed)
+                                       dt_v, mixed,
+                                       rhs_dt_scale=rhs_dt_scale)
 
         u0 = DF.wrap(uh, ul)
         if n == 1:
@@ -897,6 +902,22 @@ def row_step_df_folded(backend, plan: FoldPlan, tables, s_stages, periodic,
         ],
     )(*ops)
     return DF.wrap(oh, ol), err[0, 0]
+
+
+def theta_step_df_folded(backend, plan: FoldPlan, theta, periodic,
+                         uf_df, hf_df, pf_df, xf_df, dx_df, dt, mixed,
+                         nsteps=1):
+    """``nsteps`` mixed-precision df64 linearized theta steps as ONE
+    pallas_call -> (uf_new_df, err), or None.  Expressed on the 1-stage
+    table: u2 = u + (I - theta*dt*J)^-1 (dt*F(u)) with the residual
+    refinement against the df64 (I - theta*dt*J) operator."""
+    import numpy as np
+
+    tables = (np.zeros((1, 1)), np.zeros((1, 1)), np.array([1.0]), None,
+              float(theta))
+    return row_step_df_folded(backend, plan, tables, 1, periodic,
+                              uf_df, hf_df, pf_df, xf_df, dx_df, dt,
+                              mixed, nsteps=nsteps, rhs_dt_scale=True)
 
 
 # ---------------------------------------------------------------------------

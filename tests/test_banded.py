@@ -123,7 +123,9 @@ def test_batched_solve_matches_loop():
     """vmap over a leading ensemble axis must equal per-member solves."""
     import jax
 
-    W, nvar, N, B = 5, 1, 48, 3
+    # N=32/B=2: the property is shape-generic and this is trace-bound on
+    # the 1-core CI host (lane budget, BASELINE.md "Fast lane")
+    W, nvar, N, B = 5, 1, 32, 2
     bands = np.stack([random_bands(W, nvar, N, seed=s) for s in range(B)])
     rhs = np.random.RandomState(7).randn(B, nvar, N)
     batched = jax.vmap(lambda b, r: solve_banded(b, r, True))(bands, rhs)

@@ -626,6 +626,25 @@ def test_ensemble_recompute_target_false_shared_dt():
 # are large and the suite is compile-bound on CPU.
 # ---------------------------------------------------------------------------
 
+def test_ensemble_df64_never_selects_f32_merged():
+    """Construction-time guard (r3 regression): a df64 Ensemble must not
+    pick the f32 merged/megakernel plan — that silently produced f32
+    physics in r3.  Cheap (no trajectory); the full vmapped-path parity
+    trajectory lives in test_ensemble_df64_matches_single_runs
+    (nightly; the merged df64 plan's parity test stays in the lane)."""
+    N, B = 64, 3
+    x = np.linspace(0, 10, N, endpoint=False)
+    u0 = np.stack([np.cos(2 * np.pi * x / 10 * (i + 1))
+                   for i in range(B)])[:, None, :]
+    pars = [dict(k=k, periodic=True) for k in (0.3, 0.5, 0.8)]
+    model = Model("k * dxxU - U * dxU", "U", "k", double="df64")
+    ens = Ensemble(model, u0, pars, x, scheme=schemes.ROS2)
+    assert ens._merged_plan is None
+    from triflow_tpu.ops.df64 import DF
+    assert isinstance(ens.u, DF)
+
+
+@pytest.mark.slow
 def test_ensemble_df64_matches_single_runs():
     """An Ensemble built from a df64 model must run REAL double-float
     physics: members match independent df64 scheme runs to <= 1e-12, the

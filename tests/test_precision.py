@@ -302,6 +302,7 @@ def test_df64_mixed_solve_accuracy():
     assert np.max(np.abs(v - ref)) < 1e-10
 
 
+@pytest.mark.slow
 def test_df64_mixed_solve_folded_preconditioner(monkeypatch):
     """On TPU the mixed solve's f32 preconditioner routes through the
     folded fast path (r4: the node-layout generic solve was the dominant

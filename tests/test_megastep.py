@@ -278,8 +278,6 @@ def test_megastep_df64_matches_node_layout(interpret_pallas, monkeypatch):
     residual refinement — as ONE pallas_call) matches the node-layout
     mixed pipeline bit-for-bit in structure and to the df64 accuracy
     class in value, and both land at ~1e-13 of the f64 step."""
-    import jax
-
     from triflow_tpu.ops.df64 import DF
 
     N, dt = 64, 0.0625
@@ -378,8 +376,6 @@ def test_megastep_theta_df64_matches_node_layout(interpret_pallas,
     """The df64 theta whole-step kernel (1-stage table, rhs = dt*F with
     the theta*dt system coefficient) matches the node-layout mixed theta
     step and the f64 step."""
-    import jax
-
     from triflow_tpu.ops.df64 import DF
 
     N, dt = 64, 0.25
